@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Central table access for the graft engine.
+  *
+  * All queries load inputs through here so scan-level concerns live in one
+  * place:
+  *   - the `events` table ships `timestamp[ns]` which Spark 4 refuses to
+  *     read; we flip `spark.sql.legacy.parquet.nanosAsLong` (runtime-settable)
+  *     and rebuild a microsecond `ts` alongside the raw `ts_ns` long. The
+  *     DuckDB oracle applies the same µs truncation (`epoch_us`).
+  *   - schema is explicit per table (no inference surprises across SFs).
+  *
+  * At 100 TB these single-file reads become directory scans; nothing here
+  * assumes a single file — `spark.read.parquet(dir)` handles both. Filters
+  * and projections are applied by callers *after* load and reach the parquet
+  * scan via Catalyst pushdown (verified with .explain: PushedFilters /
+  * ReadSchema stay minimal).
+  */
+object Tables {
+
+  val relational: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Money-safe cast: exact, associative, hash-stable across engines.
+    * SUM(double) is order-dependent; SUM(decimal) is exact. Outputs are cast
+    * back to double at the very end (`asMoney`) so both engines emit the
+    * identical IEEE value for the identical decimal.
+    */
+  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 2))
+
+  def money6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 6))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // timestamp[ns] parquet: read the physical int64, truncate to µs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    case other =>
+      spark.read.parquet(s"$sfDir/$other.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.{money, money6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The four AMPLab Big Data Benchmark query families, re-expressed on the
+  * local star schema. Reference semantics (amplab/benchmark
+  * `runner/run_query.py`, QUERY_1a..QUERY_4):
+  *
+  *   Q1  scan + filter + project        (selectivity sweep a/b/c)
+  *   Q2  substring group key + SUM      (group-cardinality sweep)
+  *   Q3  join + agg + ORDER BY LIMIT 1  (join-input sweep via date BETWEEN)
+  *   Q4  UDTF row explosion + re-agg    (url_count.py TRANSFORM analog)
+  *
+  * Scale notes: Q1 is a pure pushed-down parquet scan (PushedFilters carries
+  * the predicate; ReadSchema is 3 columns). Q2/Q3 are partial+final hash
+  * aggregates; the only shuffle is on the group key. Q3's join shuffles both
+  * sides on the key at 100 TB — customer is the smaller side and Spark's
+  * size-based planning broadcasts it at real scale factors; we keep the plan
+  * declarative so AQE can choose. Q4 is explode + two-level aggregation with
+  * map-side partial counts.
+  */
+object ReferenceQueries {
+
+  // ---- Q1: SELECT pageURL, pageRank FROM rankings WHERE pageRank > X ----
+  private def q1(threshold: Double)(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > threshold)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def q1a(s: SparkSession, d: String): DataFrame = q1(100000.0)(s, d)
+  def q1b(s: SparkSession, d: String): DataFrame = q1(50000.0)(s, d)
+  def q1c(s: SparkSession, d: String): DataFrame = q1(10000.0)(s, d)
+
+  private def q1Sql(threshold: String): String =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice
+       |FROM lineitem WHERE l_extendedprice > $threshold
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- Q2: SELECT SUBSTR(sourceIP,1,X), SUM(adRevenue) GROUP BY 1 ----
+  private def q2(prefixLen: Int)(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(substring(col("o_orderpriority"), 1, prefixLen).as("prio_prefix"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("prio_prefix"))
+
+  def q2a(s: SparkSession, d: String): DataFrame = q2(1)(s, d)
+  def q2b(s: SparkSession, d: String): DataFrame = q2(3)(s, d)
+
+  private def q2Sql(prefixLen: Int): String =
+    s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       |       COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1 ORDER BY prio_prefix""".stripMargin
+
+  // ---- Q3: join + per-key agg + top-1 by revenue ----
+  private def q3(dateHi: String)(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").between(lit("1995-01-01").cast("timestamp"),
+                                         lit(dateHi).cast("timestamp")))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_revenue"),
+           round(avg(money(col("c_acctbal"))), 4).cast("double").as("avg_acctbal"))
+      .orderBy(col("total_revenue").desc, col("c_custkey"))
+      .limit(1)
+  }
+
+  def q3a(s: SparkSession, d: String): DataFrame = q3("1995-07-01")(s, d)
+  def q3b(s: SparkSession, d: String): DataFrame = q3("1997-01-01")(s, d)
+  def q3c(s: SparkSession, d: String): DataFrame = q3("2002-01-01")(s, d)
+
+  private def q3Sql(dateHi: String): String =
+    s"""SELECT c_custkey,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       |       CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_acctbal
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '$dateHi'
+       |GROUP BY c_custkey
+       |ORDER BY total_revenue DESC, c_custkey LIMIT 1""".stripMargin
+
+  // ---- Q4: tokenize documents, count per token, top-20 ----
+  def q4Wordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  val q4WordcountSql: String =
+    """SELECT token, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** Q4's two-phase CTAS shape: partial counts per (source, token), then
+    * re-aggregate per token. Declared as one chained plan for the oracle;
+    * the materialized two-step variant lives in unit tests (sink path).
+    */
+  def q4Ctas(s: SparkSession, d: String): DataFrame = {
+    val partial = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    partial
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("total_cnt"))
+      .orderBy(col("token"))
+  }
+
+  val q4CtasSql: String =
+    """SELECT token, SUM(cnt) AS total_cnt FROM (
+      |  SELECT source, token, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY source, token)
+      |GROUP BY token ORDER BY token""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1a_scan_filter" -> (q1a _),
+    "q1b_scan_filter" -> (q1b _),
+    "q1c_scan_filter" -> (q1c _),
+    "q2a_substr_agg"  -> (q2a _),
+    "q2b_substr_agg"  -> (q2b _),
+    "q3a_join_topk"   -> (q3a _),
+    "q3b_join_topk"   -> (q3b _),
+    "q3c_join_topk"   -> (q3c _),
+    "q4_wordcount"    -> (q4Wordcount _),
+    "q4_ctas"         -> (q4Ctas _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1a_scan_filter" -> q1Sql("100000"),
+    "q1b_scan_filter" -> q1Sql("50000"),
+    "q1c_scan_filter" -> q1Sql("10000"),
+    "q2a_substr_agg"  -> q2Sql(1),
+    "q2b_substr_agg"  -> q2Sql(3),
+    "q3a_join_topk"   -> q3Sql("1995-07-01"),
+    "q3b_join_topk"   -> q3Sql("1997-01-01"),
+    "q3c_join_topk"   -> q3Sql("2002-01-01"),
+    "q4_wordcount"    -> q4WordcountSql,
+    "q4_ctas"         -> q4CtasSql
+  )
+}
