@@ -1,0 +1,491 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{StringPolyHash, VectorCosine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** LLM-training-data pipeline operators: exact/near dedup, similarity
+  * search, text analysis, and multimodal-column plumbing — the north-star
+  * extensions on top of the reference's OLAP surface.
+  *
+  * Cross-engine determinism strategy (SURVEY §5.2): every hash is explicit
+  * arithmetic (StringPolyHash / affine permutations mod 2^31-1) that the
+  * DuckDB oracle replays literally; every floating-point reduction folds
+  * left-to-right over doubles in both engines, so even unrounded sims agree.
+  *
+  * Scale design (100 TB):
+  *  - x2 exact dedup = hash-partitioned groupBy on the text (at real scale:
+  *    on sha2(text) to keep keys short) — one shuffle, no driver state.
+  *  - x3 minhash-LSH = the standard shingle→minhash→band→bucket-join
+  *    pipeline; every step is a DataFrame op that partitions by doc or by
+  *    (band, signature); candidate verification touches only bucket
+  *    collisions, never the full N².
+  *  - x1 brute-force cosine broadcasts the vector index (the "small side")
+  *    and keeps a bounded top-k heap per partition — no N² shuffle, no
+  *    driver-side pair loop. x8 is the scale path: LSH bucketing makes the
+  *    self-join sub-quadratic.
+  */
+object PipelineOps {
+
+  private val P31 = 2147483647L // 2^31 - 1
+
+  // ================= x1: brute-force cosine top-k pairs =================
+
+  /** Global top-10 most-similar embedding pairs, exact brute force.
+    *
+    * The vector index is collected + broadcast (dim 64 × 4 B ≈ 0.5 MB at
+    * bench scale; at 100 TB you shard the index and run x8 instead). Each
+    * partition scans its rows against the broadcast index for ids > own id
+    * (so each unordered pair is computed exactly once) and keeps a local
+    * top-k heap; only k rows per partition reach the final TakeOrdered.
+    */
+  def x1CosineTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val index = raw.collect().sortBy(_._1)
+    val ids = index.map(_._1)
+    val vecs = index.map(_._2)
+    val norms = vecs.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+      math.sqrt(n)
+    }
+    val bc = s.sparkContext.broadcast((ids, vecs, norms))
+    val k = 10
+    // PQ head = worst kept pair: lowest sim, then largest ids.
+    val worstFirst: Ordering[(Double, Long, Long)] =
+      Ordering.by(t => (-t._1, t._2, t._3))
+
+    val local = raw.mapPartitions { it =>
+      val (bids, bvecs, bnorms) = bc.value
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](worstFirst)
+      it.foreach { case (idA, _) =>
+        val pos = java.util.Arrays.binarySearch(bids, idA)
+        if (pos >= 0) {
+          val vA = bvecs(pos); val nA = bnorms(pos)
+          var j = pos + 1
+          while (j < bids.length) {
+            val vB = bvecs(j)
+            var dot = 0.0; var i = 0
+            while (i < vA.length) { dot += vA(i).toDouble * vB(i).toDouble; i += 1 }
+            val sim = dot / (nA * bnorms(j))
+            val simR = new JBigDecimal(sim).setScale(6, RoundingMode.HALF_UP).doubleValue()
+            val cand = (simR, idA, bids(j))
+            if (heap.size < k) heap.enqueue(cand)
+            else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
+            j += 1
+          }
+        }
+      }
+      heap.iterator
+    }
+    local.toDF("sim", "vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
+  private val cosineSqlOf = (a: String, b: String) =>
+    s"list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[])))"
+
+  val x1Sql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, vec_a, vec_b LIMIT 10""".stripMargin
+
+  // ================= x1b: brute-force kNN for a query set =================
+
+  /** Top-5 neighbors for each query vector (vec_id < 10), via the codegen'd
+    * VectorCosine expression: broadcast-nested-loop of tiny query side ×
+    * full table, then per-query window top-k. This is the ANN baseline the
+    * x8 LSH variant is measured against.
+    */
+  def x1bKnn(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < 10)
+    val joined = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val x1bSql: String =
+    s"""SELECT q_id, rk, n_id, sim FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |         ROUND(${cosineSqlOf("a", "b")}, 6) AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ROUND(${cosineSqlOf("a", "b")}, 6) DESC, b.vec_id) AS rk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 10)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  // ================= x2: exact dedup =================
+
+  /** Exact text dedup: keep the lowest doc_id per distinct text. One
+    * hash-partitioned shuffle on the group key; at 100 TB group on
+    * sha2(text, 256) so shuffle keys stay 32 bytes instead of document-sized.
+    */
+  def x2DedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val x2Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  // ================= x3: minhash near-dup (shingle → minhash → LSH bands) ==
+
+  private val NumPerm = 16
+  private val Bands = 4 // 4 bands × 4 rows
+  private def permA(j: Int): Long = 1L + 7919L * j
+  private def permB(j: Int): Long = 3L + 104729L * j
+  private val JaccThreshold = 0.4
+
+  /** Near-duplicate detection: word-3-gram shingles (the 31-word vocabulary
+    * makes unigram sets degenerate), StringPolyHash per shingle, 16 affine
+    * minhash permutations, 4×4 LSH banding, exact-Jaccard verification of
+    * bucket collisions only.
+    */
+  def x3MinhashNeardup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val shingled = docs.select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(1, size(toks)-2), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))))"
+    )).as("sh"))
+    val hashed = shingled
+      .select(col("doc_id"), expr("graft_polyhash(sh)").as("h"))
+      .distinct()
+
+    val minCols = (0 until NumPerm).map(j =>
+      min(expr(s"(h * ${permA(j)}L + ${permB(j)}L) % ${P31}L")).as(s"m$j"))
+    val minh = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+
+    val bandSig = (0 until Bands).map { b =>
+      val Seq(a0, a1, a2, a3) = (0 until 4).map(r => s"m${4 * b + r}")
+      s"$b, ((($a0 * 31 + $a1) * 31 + $a2) * 31 + $a3)"
+    }.mkString(", ")
+    val bands = minh.select(col("doc_id"),
+      expr(s"stack($Bands, $bandSig) as (band, sig)"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(hashed.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hashed.as("hb"), col("doc_b") === col("hb.doc_id") && col("ha.h") === col("hb.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_common")))
+      .filter(col("jaccard") >= JaccThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val x3Sql: String = {
+    val minExprs = (0 until NumPerm)
+      .map(j => s"MIN((h * ${permA(j)}::BIGINT + ${permB(j)}) % $P31) AS m$j").mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val Seq(a0, a1, a2, a3) = (0 until 4).map(r => s"m${4 * b + r}")
+      s"SELECT doc_id, $b AS band, ((($a0 * 31 + $a1) * 31 + $a2) * 31 + $a3) AS sig FROM m"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_transform(regexp_split_to_array(
+       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
+       |      (a, b) -> (a * 31 + b) % 1000003) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+       |m AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh ha ON ha.doc_id = c.doc_a
+       |  JOIN sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= $JaccThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ================= x4: text statistics =================
+
+  def x4Textstats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"),
+           expr("percentile(n_chars, 0.5)").as("median_chars"),
+           (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  val x4Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |       quantile_cont(n_chars, 0.5) AS median_chars,
+      |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ================= x5: simhash document fingerprint (16-bit) ===========
+
+  /** Simhash over token instances: per bit b, sum ±1 weighted by whether bit
+    * b of the permuted token hash is set; simhash = bits with positive sum.
+    * All-integer math → bit-identical across engines.
+    */
+  def x5Simhash(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("hp", expr(s"(graft_polyhash(token) * 40503L + 11L) % ${P31}L"))
+    val bitSums = (0 until 16).map(b =>
+      sum(expr(s"CASE WHEN (shiftright(hp, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val simhashExpr = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x5Sql: String = {
+    val sums = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (hp >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sh = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_transform(regexp_split_to_array(token, ''), c -> ascii(c)),
+       |       (a, b) -> (a * 31 + b) % 1000003) * 40503::BIGINT + 11) % $P31 AS hp
+       |  FROM tok WHERE token <> ''),
+       |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $sh AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  // ================= x6: language-ID heuristic =================
+
+  /** Stopword-ratio language ID (integer-only threshold: 20×stopwords ≥
+    * tokens ⇔ ratio ≥ 0.05), confusion-matrix output against the labeled
+    * lang column.
+    */
+  def x6Langid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t === "the" || t === "a")))
+      .withColumn("predicted",
+        when(col("n_stop") * 20 >= col("n_tok"), lit("en")).otherwise(lit("unk")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val x6Sql: String =
+    """SELECT lang, predicted, COUNT(*) AS n_docs FROM (
+      |  SELECT lang,
+      |    CASE WHEN 20 * len(list_filter(string_split(text, ' '),
+      |                       t -> t = 'the' OR t = 'a'))
+      |              >= len(string_split(text, ' '))
+      |         THEN 'en' ELSE 'unk' END AS predicted
+      |  FROM documents)
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ================= x7: set fingerprint (bit_xor of token hashes) ========
+
+  def x7Fingerprint(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), expr("graft_polyhash(token)").as("h"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(h)").as("fingerprint"),
+           count(lit(1)).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x7Sql: String =
+    """SELECT doc_id, bit_xor(h) AS fingerprint, COUNT(*) AS n_distinct_tokens
+      |FROM (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_transform(regexp_split_to_array(token, ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '')
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ================= x8: LSH-bucketed ANN (the 100 TB similarity path) ====
+
+  private def projSql(j: Int): String =
+    s"list_transform(range(64), i -> ((i * 1103515245 + $j * 12345 + 42) % 2000001) / 1000000.0 - 1.0)"
+
+  /** Random-hyperplane LSH: 8 deterministic pseudo-projections → 8 sign bits
+    * → 256 buckets; candidate pairs only within a bucket, verified with the
+    * codegen'd VectorCosine. Sub-quadratic: the self-join key is the bucket,
+    * so the shuffle partitions by bucket and never materializes N² pairs.
+    */
+  def x8AnnLsh(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    val dots = (0 until 8).map { j =>
+      s"aggregate(zip_with(embedding, transform(sequence(0, 63), " +
+        s"i -> ((i * 1103515245L + ${j}L * 12345L + 42L) % 2000001L) / 1000000.0 - 1.0), " +
+        s"(x, r) -> cast(x as double) * r), cast(0.0 as double), (acc, v) -> acc + v)"
+    }
+    val bucketExpr = dots.zipWithIndex
+      .map { case (dstr, j) => s"(CASE WHEN $dstr >= 0.0 THEN ${1 << j} ELSE 0 END)" }
+      .mkString(" + ")
+    val sig = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val x8Sql: String = {
+    val bucket = (0 until 8).map { j =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
+       |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
+  // ================= m1/m2: multimodal binary-column plumbing =============
+
+  /** Multimodal decode plumbing: documents re-encoded as an opaque binary
+    * `content` column, "decoded" in a typed mapPartitions — the Scala analog
+    * of a mapInPandas batch UDF. The decode body is a STUB (deterministic
+    * byte statistics standing in for image/audio decode; the real codec libs
+    * are not in this container) — the Spark-side contract (binary column in,
+    * typed feature rows out, partition-wise batching) is the real, tested
+    * part.
+    */
+  def m1MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decode: byte stats in place of pixel/sample features.
+        var sum = 0L; var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        (id, bytes.length.toLong, sum)
+      }
+    }.toDF("doc_id", "n_bytes", "byte_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val m1Sql: String =
+    """SELECT doc_id, strlen(text) AS n_bytes,
+      |       CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling plumbing: take every 16th byte of the binary content
+    * (stand-in for video frame extraction), emit per-doc sample stats.
+    */
+  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        var sum = 0L; var n = 0L; var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; n += 1; i += 16 }
+        (id, n, sum)
+      }
+    }.toDF("doc_id", "n_frames", "frame_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val m2Sql: String =
+    """SELECT doc_id,
+      |       CAST((strlen(text) + 15) // 16 AS BIGINT) AS n_frames,
+      |       CAST(list_aggregate(list_transform(range(0, (strlen(text) + 15) // 16),
+      |            k -> ascii(substring(text, CAST(1 + 16 * k AS INTEGER), 1))), 'sum') AS BIGINT) AS frame_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_cosine_topk"     -> (x1CosineTopk _),
+    "x1b_knn"            -> (x1bKnn _),
+    "x2_dedup_exact"     -> (x2DedupExact _),
+    "x3_minhash_neardup" -> (x3MinhashNeardup _),
+    "x4_textstats"       -> (x4Textstats _),
+    "x5_simhash"         -> (x5Simhash _),
+    "x6_langid"          -> (x6Langid _),
+    "x7_fingerprint"     -> (x7Fingerprint _),
+    "x8_ann_lsh"         -> (x8AnnLsh _),
+    "m1_media_features"  -> (m1MediaFeatures _),
+    "m2_frame_sample"    -> (m2FrameSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_cosine_topk"     -> x1Sql,
+    "x1b_knn"            -> x1bSql,
+    "x2_dedup_exact"     -> x2Sql,
+    "x3_minhash_neardup" -> x3Sql,
+    "x4_textstats"       -> x4Sql,
+    "x5_simhash"         -> x5Sql,
+    "x6_langid"          -> x6Sql,
+    "x7_fingerprint"     -> x7Sql,
+    "x8_ann_lsh"         -> x8Sql,
+    "m1_media_features"  -> m1Sql,
+    "m2_frame_sample"    -> m2Sql
+  )
+}

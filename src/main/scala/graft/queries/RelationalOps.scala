@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.{money, money6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-surface completeness: join shapes, multi-dimensional
+  * aggregates, set algebra, and the scalar-function families every OLAP
+  * engine in the reference's benchmark set (Shark/Impala/Hive/Redshift)
+  * exposes.
+  *
+  * Scale notes per operator group:
+  *  - j1 broadcasts both dims explicitly (region 5 rows, nation 25 rows —
+  *    broadcast at any scale; the customer side never shuffles).
+  *  - j2/j3 anti/semi joins let Catalyst plan broadcast variants when the
+  *    right side is small; at 100 TB the orders side would be aggregated
+  *    to distinct keys before the join by the optimizer (verified in plan).
+  *  - j4 is an equi-join on s_nationkey with a non-equi residual — hash
+  *    partitionable, no nested-loop blowup; the theta condition never
+  *    becomes a cartesian product.
+  *  - a2/a3 rollup/cube expand rows by grouping-set count on the map side,
+  *    but partial aggregation collapses them before the shuffle.
+  */
+object RelationalOps {
+
+  // ---- j1: star join through two broadcast dims ----
+  def j1Broadcast(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(money(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val j1Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---- j2: anti join (customers with no high-value order) ----
+  // The filter keeps the result non-empty at every SF (a bare "no orders"
+  // anti join is vacuously empty on this data — weak verification).
+  def j2Antijoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val j2Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- j3: semi join (customers with >=1 order) ----
+  def j3Semijoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val j3Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- j4: theta join — equi key + non-equi residual ----
+  def j4ThetaRange(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.supplier(s, d).select(col("s_suppkey").as("a_key"),
+      col("s_nationkey").as("a_nat"), col("s_acctbal").as("a_bal"))
+    val b = Tables.supplier(s, d).select(col("s_suppkey").as("b_key"),
+      col("s_nationkey").as("b_nat"), col("s_acctbal").as("b_bal"))
+    a.join(b, col("a_nat") === col("b_nat") && col("a_bal") < col("b_bal"))
+      .groupBy(col("a_nat").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val j4Sql: String =
+    """SELECT a.s_nationkey, COUNT(*) AS n_pairs
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+      |GROUP BY a.s_nationkey ORDER BY a.s_nationkey""".stripMargin
+
+  // ---- a1: exact distinct ----
+  def a1Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val a1Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL++ sketch distinct — algorithm differs from DuckDB's, so declared
+    * without an oracle (driver records rows-only); accuracy bound is
+    * asserted in the unit spec against the exact count.
+    */
+  def a1bApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  // ---- a2: rollup ----
+  def a2Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
+      .rollup(col("event_type"), col("day_ms"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(money6(col("value"))).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_ms"))
+
+  val a2Sql: String =
+    """SELECT event_type, day_ms, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms, value FROM events)
+      |GROUP BY ROLLUP(event_type, day_ms)
+      |ORDER BY event_type ASC NULLS FIRST, day_ms ASC NULLS FIRST""".stripMargin
+
+  // ---- a3: cube + grouping_id ----
+  def a3Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(money(col("o_totalprice"))).cast("double").as("sum_price"),
+           grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+               asc_nulls_first("o_orderpriority"))
+
+  // DuckDB GROUPING(a,b) packs bits in the same (left=high) order as Spark's
+  // grouping_id(), so the two agree row-for-row.
+  val a3Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---- set algebra ----
+  def set1Except(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("key"))
+      .except(Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("key")))
+      .orderBy(col("key"))
+
+  val set1Sql: String =
+    """SELECT c_custkey AS key FROM customer
+      |EXCEPT SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+      |ORDER BY key""".stripMargin
+
+  def set2Intersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("key"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("key")))
+      .orderBy(col("key"))
+
+  val set2Sql: String =
+    """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+      |INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin
+
+  def set3Union(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("key"))
+      .union(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("key")))
+      .distinct()
+      .orderBy(col("key"))
+
+  val set3Sql: String =
+    """SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+      |UNION SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+      |ORDER BY key""".stripMargin
+
+  // ---- f1: JSON extraction (covers semi-structured / MapType surface) ----
+  def f1Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  val f1Sql: String =
+    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       COUNT(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- f2: datetime functions ----
+  def f2Date(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("yr"), col("qtr"))
+
+  val f2Sql: String =
+    """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  // ---- f3: string functions (substr is literally Q2's operator) ----
+  def f3String(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_pfx"),
+        length(col("c_name")).as("name_len"),
+        concat(lower(col("c_mktsegment")), lit("#"),
+               col("c_nationkey").cast("string")).as("seg_tag"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"))
+      .orderBy(col("c_custkey"))
+
+  val f3Sql: String =
+    """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name_pfx,
+      |       length(c_name) AS name_len,
+      |       lower(c_mktsegment) || '#' || CAST(c_nationkey AS VARCHAR) AS seg_tag,
+      |       regexp_extract(c_name, '([0-9]+)', 1) AS cust_num
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- f4: arithmetic (decimal-exact revenue math, TPC-H Q1 flavor) ----
+  def f4Math(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice")) * money6(lit(1) - col("l_discount")))
+          .cast("double").as("sum_revenue"),
+        sum(col("l_orderkey") % 7).as("mod_sum"),
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  val f4Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_revenue,
+      |       SUM(l_orderkey % 7) AS mod_sum,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- f5: array functions over the embedding column ----
+  def f5Array(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e_first"),
+        element_at(col("embedding"), 64).cast("double").as("e_last"),
+        col("label"))
+      .orderBy(col("vec_id"))
+
+  val f5Sql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      |       CAST(embedding[1] AS DOUBLE) AS e_first,
+      |       CAST(embedding[64] AS DOUBLE) AS e_last, label
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_broadcast"       -> (j1Broadcast _),
+    "j2_antijoin"        -> (j2Antijoin _),
+    "j3_semijoin"        -> (j3Semijoin _),
+    "j4_theta_range"     -> (j4ThetaRange _),
+    "a1_distinct"        -> (a1Distinct _),
+    "a1b_approx_distinct" -> (a1bApproxDistinct _),
+    "a2_rollup"          -> (a2Rollup _),
+    "a3_cube"            -> (a3Cube _),
+    "set1_except"        -> (set1Except _),
+    "set2_intersect"     -> (set2Intersect _),
+    "set3_union"         -> (set3Union _),
+    "f1_json"            -> (f1Json _),
+    "f2_date"            -> (f2Date _),
+    "f3_string"          -> (f3String _),
+    "f4_math"            -> (f4Math _),
+    "f5_array"           -> (f5Array _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_broadcast"   -> j1Sql,
+    "j2_antijoin"    -> j2Sql,
+    "j3_semijoin"    -> j3Sql,
+    "j4_theta_range" -> j4Sql,
+    "a1_distinct"    -> a1Sql,
+    // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check
+    "a2_rollup"      -> a2Sql,
+    "a3_cube"        -> a3Sql,
+    "set1_except"    -> set1Sql,
+    "set2_intersect" -> set2Sql,
+    "set3_union"     -> set3Sql,
+    "f1_json"        -> f1Sql,
+    "f2_date"        -> f2Sql,
+    "f3_string"      -> f3Sql,
+    "f4_math"        -> f4Sql,
+    "f5_array"       -> f5Sql
+  )
+}

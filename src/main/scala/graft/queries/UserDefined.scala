@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TokenizePos
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** User-extension surface: scalar UDF, typed UDAF (Aggregator), and the
+  * custom Catalyst generator (UDTF) — the reference's only extension point
+  * was Q4's external-script TRANSFORM; these are the three in-engine
+  * equivalents, in preference order (built-in > Expression > UDF).
+  */
+object UserDefined {
+
+  // ---- u1: scalar UDF (account-balance tier) ----
+  // Kept deliberately trivial: UDFs are codegen-opaque, so the guidance is
+  // "built-ins first" — this exists to cover the extension surface, and the
+  // oracle mirrors it as a CASE expression.
+  private val tierFn: Double => String = bal =>
+    if (bal < 0) "neg" else if (bal < 5000) "mid" else "high"
+
+  def u1Udf(s: SparkSession, d: String): DataFrame = {
+    val tier = udf(tierFn)
+    Tables.customer(s, d)
+      .groupBy(tier(col("c_acctbal")).as("tier"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(Tables.money(col("c_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy(col("tier"))
+  }
+
+  val u1Sql: String =
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+      |            WHEN c_acctbal < 5000 THEN 'mid'
+      |            ELSE 'high' END AS tier,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin
+
+  // ---- u2: typed Aggregator — exact weighted average ----
+  // BigDecimal accumulation mirrors the engine-side money() discipline:
+  // exact and associative, so partial aggregation across partitions is
+  // deterministic. The double division happens once, at finish.
+  object WeightedAvg extends Aggregator[(Double, Double), (JBigDecimal, JBigDecimal), Double] {
+    private def dec2(x: Double): JBigDecimal =
+      new JBigDecimal(x).setScale(2, RoundingMode.HALF_UP)
+    override def zero: (JBigDecimal, JBigDecimal) =
+      (JBigDecimal.ZERO, JBigDecimal.ZERO)
+    override def reduce(b: (JBigDecimal, JBigDecimal), in: (Double, Double)): (JBigDecimal, JBigDecimal) = {
+      val (price, qty) = in
+      val (num, den) = b
+      val q = dec2(qty)
+      (num.add(dec2(price).multiply(q)), den.add(q))
+    }
+    override def merge(a: (JBigDecimal, JBigDecimal), b: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
+      (a._1.add(b._1), a._2.add(b._2))
+    override def finish(r: (JBigDecimal, JBigDecimal)): Double =
+      if (r._2.signum == 0) Double.NaN
+      else r._1.doubleValue() / r._2.doubleValue()
+    override def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def u2Udaf(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(WeightedAvg,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val u2Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- u3: UDTF via the custom TokenizePos generator ----
+  def u3Udtf(s: SparkSession, d: String): DataFrame = {
+    TokenizePos.register(s)
+    Tables.documents(s, d)
+      .createOrReplaceTempView("graft_docs_u3")
+    s.sql(
+      """SELECT lang, token, pos FROM (
+        |  SELECT lang, tokenize_pos(text) AS (pos, token) FROM graft_docs_u3)
+        |""".stripMargin)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("token")).as("n_distinct_tokens"),
+           max(col("pos")).as("max_pos"))
+      .orderBy(col("lang"))
+  }
+
+  val u3Sql: String =
+    """SELECT lang, COUNT(*) AS n_tokens,
+      |       COUNT(DISTINCT token) AS n_distinct_tokens,
+      |       MAX(pos) AS max_pos
+      |FROM (SELECT lang,
+      |             unnest(string_split(text, ' ')) AS token,
+      |             unnest(range(len(string_split(text, ' ')))) AS pos
+      |      FROM documents)
+      |WHERE token <> '' GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u1_udf"  -> (u1Udf _),
+    "u2_udaf" -> (u2Udaf _),
+    "u3_udtf" -> (u3Udtf _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "u1_udf"  -> u1Sql,
+    "u2_udaf" -> u2Sql,
+    "u3_udtf" -> u3Sql
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.{money, money6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window functions (w1–w3) and the time-window family (s1–s3).
+  *
+  * s1–s3 are the *batch* twins of the Structured Streaming operators in
+  * `graft.streaming` — identical windowing semantics (`window()` /
+  * `session_window()`), which is what makes them oracle-checkable in DuckDB
+  * while the streaming variants are covered by MemoryStream unit specs.
+  *
+  * Determinism: every window ORDER BY carries a unique tie-break column
+  * (event_id / o_orderkey); timestamps are exported as epoch integers at the
+  * µs precision both engines share (events is ns in parquet; Spark reads it
+  * truncated to µs, the oracle uses epoch_us which truncates identically).
+  *
+  * Scale notes: all windows partition by a key (event_type / user_id /
+  * o_custkey) — no global windows, so no single-partition sort bottleneck.
+  * Sliding windows (s2) expand each row ×4 before aggregation; partial
+  * aggregation collapses them map-side.
+  */
+object WindowOps {
+
+  // ---- w1: top-3 per group by rank ----
+  def w1Rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val w1Sql: String =
+    """SELECT event_type, rk, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      |  FROM events)
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
+  // ---- w2: lag — per-user inter-event gap in µs ----
+  def w2LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("prev_us"), col("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val w2Sql: String =
+    """SELECT user_id, event_id, ts_us, prev_us, ts_us - prev_us AS gap_us FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---- w3: running sum with an explicit frame ----
+  def w3FrameSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total",
+        sum(money(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val w3Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- s1: tumbling 1-hour windows ----
+  def s1Tumble(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(money6(col("value"))).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+              col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  val s1Sql: String =
+    """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS win_start_ms,
+      |       event_type, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
+
+  // ---- s2: sliding 1-hour windows every 15 minutes ----
+  def s2Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+              col("event_type"), col("cnt"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  // Each event belongs to exactly 4 sliding windows: starts at
+  // bucket15(ts) - k*15min for k in 0..3.
+  val s2Sql: String =
+    """SELECT win_start_ms, event_type, COUNT(*) AS cnt FROM (
+      |  SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) - k * 900000 AS win_start_ms,
+      |         event_type
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+      |GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
+
+  // ---- s3: session windows (30-minute gap) per user ----
+  def s3Session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("sess_start_us"),
+              unix_micros(col("session_window.end")).as("sess_end_us"),
+              col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
+  // Gaps-and-islands: a new session starts when the gap >= 30 min; session
+  // end = last event + gap (matches Spark's session_window.end).
+  val s3Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |x AS (SELECT user_id, us,
+      |        CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |             OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |y AS (SELECT user_id, us,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x)
+      |SELECT user_id, MIN(us) AS sess_start_us,
+      |       MAX(us) + 1800000000 AS sess_end_us, COUNT(*) AS n_events
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_rank"      -> (w1Rank _),
+    "w2_lag_lead"  -> (w2LagLead _),
+    "w3_frame_sum" -> (w3FrameSum _),
+    "s1_tumble"    -> (s1Tumble _),
+    "s2_sliding"   -> (s2Sliding _),
+    "s3_session"   -> (s3Session _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_rank"      -> w1Sql,
+    "w2_lag_lead"  -> w2Sql,
+    "w3_frame_sum" -> w3Sql,
+    "s1_tumble"    -> s1Sql,
+    "s2_sliding"   -> s2Sql,
+    "s3_session"   -> s3Sql
+  )
+}
