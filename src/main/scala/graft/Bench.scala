@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Benchmark main: times every declared query once (steady-state) and
+  * prints ONE JSON line for the driver.
+  *
+  * Harness parity with amplab/benchmark's runner:
+  *  - warmup pass ≈ the reference's "first trial discarded" discipline
+  *    (`run_query.py --num-trials` reports the median of N; a single cold
+  *    JVM number would be dominated by session/codegen init).
+  *  - SPARK_GRAFT_CACHE=mem|disk ≈ Shark's `_cached` table variants
+  *    (`prepare_benchmark.py` creates `rankings_cached` etc.): persists the
+  *    two big fact tables through Spark's columnar InMemoryRelation before
+  *    timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +21,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Optional Shark-`_cached`-style variant: columnar in-memory (or
+    // disk-serialized) copies of the fact tables.
+    sys.env.get("SPARK_GRAFT_CACHE").foreach { mode =>
+      val level = mode match {
+        case "disk" => StorageLevel.DISK_ONLY
+        case _      => StorageLevel.MEMORY_ONLY
+      }
+      Seq("lineitem", "orders", "events").foreach { t =>
+        val df = Tables.load(spark, sfDir, t)
+        df.persist(level).count()
+        df.createOrReplaceTempView(s"${t}_cached")
+      }
+    }
+
+    // Warmup: exercise parquet reader, codegen, and shuffle machinery once
+    // so per-query timings below are steady-state, not JVM init.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      SparkEntry.queries.get("q2a_substr_agg").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("s1_tumble").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

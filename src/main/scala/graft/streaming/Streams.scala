@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Typed event record for the streaming surface (mirrors the events table;
+  * ts already truncated to µs as in Tables.events).
+  */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+/** Structured Streaming operators — the streaming twins of the batch
+  * s1/s2/s3 queries plus the stateful/dedup/sink surface the reference
+  * world had no answer to (amplab/benchmark is batch-only; streams are a
+  * north-star extension).
+  *
+  * These take a *source* DataFrame/Dataset (MemoryStream in unit specs,
+  * readStream.parquet in production) so the transformation logic is
+  * source-agnostic — identical semantics whether replayed in batch or
+  * streamed, which is exactly how the batch twins get oracle-checked while
+  * these get MemoryStream specs.
+  *
+  * Scale: every aggregation is keyed (window×type, session×user, user), so
+  * state partitions by key across executors; watermarks bound state size —
+  * without them a 100 TB replay would accumulate unbounded window state.
+  */
+object Streams {
+
+  /** s1's streaming twin: 1-hour tumbling counts with a 10-minute watermark
+    * (late rows beyond it are dropped instead of growing state forever).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("cnt"), col("sum_value"))
+
+  /** s2's streaming twin: sliding windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+
+  /** s3's streaming twin: 30-minute-gap session windows per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+              col("session_window.end").as("sess_end"),
+              col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup by event_id, state bounded by the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state: running per-user event count + running value sum
+    * via mapGroupsWithState (the arbitrary-state API; update mode).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (c0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var v = v0
+          it.foreach { e => c += 1; v += e.value }
+          state.update((c, v))
+          (user, c, v)
+      }
+  }
+
+  /** File-source → foreachBatch parquet-sink pipeline, Trigger.AvailableNow:
+    * processes everything currently in srcDir, writes each micro-batch
+    * through the batch parquet writer, and stops — the streaming ingest
+    * pattern for backfills. Returns rows written.
+    */
+  def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val src = spark.readStream.schema(schema)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val counted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = tumblingCounts(src).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        counted.addAndGet(batch.count())
+        batch.write.mode("append").parquet(s"$outDir/agg")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    counted.get()
+  }
+}

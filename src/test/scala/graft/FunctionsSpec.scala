@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{StringPolyHash, TokenizePos, VectorCosine}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests for the custom Catalyst expressions — interpreted (eval)
+  * and codegen paths must agree with each other and with a plain-Scala
+  * reference implementation.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def refPolyHash(s: String, mod: Long): Long = {
+    val bytes = s.getBytes("UTF-8")
+    if (bytes.isEmpty) 0L
+    else bytes.tail.foldLeft((bytes.head & 0xffL)) { (h, b) =>
+      (h * 31 + (b & 0xffL)) % mod
+    }
+  }
+
+  private val asciiToken: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  test("StringPolyHash matches reference implementation (codegen path)") {
+    import spark.implicits._
+    StringPolyHash.register(spark)
+    val tokens = Gen.listOfN(200, asciiToken).sample.get.distinct
+    val got = tokens.toDF("t").selectExpr("t", "graft_polyhash(t) as h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tokens.foreach { t =>
+      assert(got(t) === refPolyHash(t, StringPolyHash.DefaultMod), s"token $t")
+    }
+  }
+
+  test("StringPolyHash range is [0, mod)") {
+    Gen.listOfN(500, asciiToken).sample.get.foreach { t =>
+      val h = refPolyHash(t, StringPolyHash.DefaultMod)
+      assert(h >= 0 && h < StringPolyHash.DefaultMod)
+    }
+  }
+
+  test("VectorCosine: self-similarity is 1, symmetric, bounded") {
+    import spark.implicits._
+    VectorCosine.register(spark)
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+    val vecs = (1 to 50).map(i => (i.toLong, gen.sample.get.toArray)).toDF("id", "v")
+    vecs.createOrReplaceTempView("vc_test")
+    val self = spark.sql("SELECT graft_cosine(v, v) AS s FROM vc_test").collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    val pairs = spark.sql(
+      """SELECT graft_cosine(a.v, b.v) AS ab, graft_cosine(b.v, a.v) AS ba
+        |FROM vc_test a JOIN vc_test b ON a.id < b.id""".stripMargin).collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) >= -1.0 - 1e-12 && r.getDouble(0) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("TokenizePos generator emits (pos, token) per non-empty token") {
+    import spark.implicits._
+    TokenizePos.register(spark)
+    val df = Seq((1L, "a b  c"), (2L, ""), (3L, "solo")).toDF("id", "text")
+    df.createOrReplaceTempView("tp_test")
+    val rows = spark.sql(
+      "SELECT id, tokenize_pos(text) AS (pos, token) FROM tp_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // "a b  c" splits to [a, b, "", c] — empty dropped, positions original
+    assert(rows === Set((1L, 0, "a"), (1L, 1, "b"), (1L, 3, "c"), (3L, 0, "solo")))
+  }
+
+  test("money cast is exact and associative under partition reordering") {
+    import spark.implicits._
+    val values = Gen.listOfN(500, Gen.chooseNum(0.01, 99999.99)).sample.get
+    val df = values.toDF("v")
+    val once = df.repartition(1).agg(sum(Tables.money(col("v")))).head().getDecimal(0)
+    val many = df.repartition(7).agg(sum(Tables.money(col("v")))).head().getDecimal(0)
+    assert(once === many)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.{Event, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Structured Streaming specs via MemoryStream: watermark late-data drop,
+  * session merging, arbitrary keyed state, and the AvailableNow file
+  * pipeline (which must agree with the batch twin on finalized windows).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click",
+                 value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value, "{}")
+
+  test("tumbling stream: watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events in hour 0; advance event time far past hour 0 + watermark
+      mem.addData(ev(1, 10), ev(2, 20), ev(3, 30))
+      q.processAllAvailable()
+      mem.addData(ev(4, 200)) // 03:20 — watermark moves to 03:10
+      q.processAllAvailable()
+      // hour-0 window is finalized and emitted; a late hour-0 row must be dropped
+      mem.addData(ev(5, 15))
+      q.processAllAvailable()
+      val out = spark.table("tumble_test")
+        .filter(col("win_start") === lit(ts(0)))
+        .agg(sum("cnt")).head()
+      assert(out.getLong(0) === 3L, "late event must not re-open the closed window")
+    } finally q.stop()
+  }
+
+  test("session stream merges events within the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0,20,40 min (one session), then 120 (new session)
+      mem.addData(ev(1, 0), ev(2, 20), ev(3, 40), ev(4, 120))
+      // push watermark forward so sessions finalize
+      mem.addData(ev(9, 600, user = 99L))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .filter(col("user_id") === 1L)
+        .orderBy("sess_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 3L)
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("dedupStream removes duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 0), ev(1, 0), ev(2, 5), ev(1, 1))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.runningUserTotals(mem.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(ev(1, 0, user = 7, value = 2.0), ev(2, 1, user = 7, value = 3.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 2, user = 7, value = 5.0))
+      q.processAllAvailable()
+      val last = spark.table("state_test")
+        .filter(col("user_id") === 7L)
+        .orderBy(col("n").desc).head()
+      assert(last.getLong(1) === 3L)
+      assert(math.abs(last.getDouble(2) - 10.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("AvailableNow file pipeline processes the events table and stops") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // file stream sources take a directory, not a single file — stage it
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      src.resolve("events.parquet"))
+    val n = Streams.runAvailableNow(spark, src.toString, out)
+    // Append mode only emits windows finalized by the watermark; the last
+    // hour(s) stay open — so strictly fewer rows than the batch twin, but
+    // the finalized prefix must match it exactly.
+    val emitted = spark.read.parquet(s"$out/agg")
+    val batch = SparkEntry.queries("s1_tumble")(spark, TestSpark.sf0001)
+    val emittedKeyed = emitted.select(unix_millis(col("win_start")).as("win_start_ms"),
+      col("event_type"), col("cnt"), col("sum_value"))
+    val diff = emittedKeyed.except(batch)
+    assert(n > 0)
+    assert(diff.count() === 0L, "every finalized streaming window must match the batch twin")
+  }
+}
