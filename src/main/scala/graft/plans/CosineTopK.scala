@@ -1,0 +1,196 @@
+package graft.plans
+
+import graft.functions.VectorCosine
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** Whole-operator Catalyst extension for exact cosine top-k pairs.
+  *
+  * The declarative form a user writes (and PipelineOps.x1 declares) is a
+  * self-join + cosine + ORDER BY sim LIMIT k — which Spark would execute as
+  * a nested-loop join materializing all N²/2 pairs, then a TakeOrdered.
+  * This module swaps in a broadcast-index physical operator:
+  *
+  *   logical  `CosineTopK`      — carries k + the original output attrs
+  *   rule     `CosineTopKRewrite` — pattern-matches the optimized
+  *            Limit(Sort(Project(Join(a, b, a.id < b.id)))) tree with a
+  *            `round(graft_cosine(...), 6)` projection over two scans of
+  *            the SAME source, and collapses it to the logical node
+  *   strategy `CosineTopKStrategy` — plans the physical operator
+  *   physical `CosineTopKExec`  — collects the (small) vector index once,
+  *            broadcasts it, streams the child partition-wise keeping a
+  *            bounded k-heap per partition, then reduces to the global k.
+  *
+  * If the pattern doesn't match (different rounding, different order, ...)
+  * nothing rewrites and the declarative plan runs as-is — the rewrite is a
+  * pure performance substitution, never a semantics change.
+  *
+  * Registered at runtime through `spark.experimental` (works on any live
+  * session, e.g. the driver-built Verify/Bench sessions) and available as a
+  * `SparkSessionExtensions` installer for `spark.sql.extensions` users.
+  */
+case class CosineTopK(
+    k: Int,
+    override val output: Seq[Attribute],
+    idOrdinal: Int,
+    embOrdinal: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def maxRows: Option[Long] = Some(k.toLong)
+  override protected def withNewChildInternal(newChild: LogicalPlan): CosineTopK =
+    copy(child = newChild)
+}
+
+object CosineTopKRewrite extends Rule[LogicalPlan] {
+
+  private object Lit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case orig @ GlobalLimit(Lit(k), LocalLimit(_,
+        Sort(sortOrder, true,
+          Project(projList, Join(left, right, Inner, Some(cond), _)), _))) =>
+      rewrite(k, sortOrder, projList, cond, left, right).getOrElse(orig)
+  }
+
+  private def rewrite(
+      k: Int,
+      sortOrder: Seq[SortOrder],
+      projList: Seq[NamedExpression],
+      cond: Expression,
+      left: LogicalPlan,
+      right: LogicalPlan): Option[LogicalPlan] = {
+    // both join sides must be the same scan (self-join)
+    if (left.canonicalized != right.canonicalized) return None
+    // condition: idA < idB, one attribute from each side
+    val (idA, idB) = cond match {
+      case LessThan(a: Attribute, b: Attribute)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+      case _ => return None
+    }
+    // projection: [idA as vec_a, idB as vec_b, round(cosine(embA, embB), 6) as sim]
+    val simAlias = projList.collectFirst {
+      case al @ Alias(Round(VectorCosine(ea: Attribute, eb: Attribute), Lit(6), _), _)
+          if left.outputSet.contains(ea) && right.outputSet.contains(eb) => al
+    }.getOrElse(return None)
+    val projectsIds = projList.count {
+      case Alias(a: Attribute, _) => a.semanticEquals(idA) || a.semanticEquals(idB)
+      case a: Attribute => a.semanticEquals(idA) || a.semanticEquals(idB)
+      case _ => false
+    }
+    if (projectsIds != 2 || projList.size != 3) return None
+    // sort: sim DESC first (id tie-breaks assumed from the declared shape)
+    sortOrder.headOption match {
+      case Some(SortOrder(e, Descending, _, _)) if e.semanticEquals(simAlias.toAttribute) => ()
+      case _ => return None
+    }
+    val emb = simAlias.child.asInstanceOf[Round].child.asInstanceOf[VectorCosine]
+      .left.asInstanceOf[Attribute]
+    val idOrdinal = left.output.indexWhere(_.exprId == idA.exprId)
+    val embOrdinal = left.output.indexWhere(_.exprId == emb.exprId)
+    if (idOrdinal < 0 || embOrdinal < 0) return None
+    // output attrs in the project's order, with the project's exprIds
+    val out = projList.map(_.toAttribute)
+    Some(CosineTopK(k, out, idOrdinal, embOrdinal, left))
+  }
+}
+
+object CosineTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case CosineTopK(k, out, idOrd, embOrd, child) =>
+      CosineTopKExec(k, out, idOrd, embOrd, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class CosineTopKExec(
+    k: Int,
+    override val output: Seq[Attribute],
+    idOrdinal: Int,
+    embOrdinal: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Build the broadcast index (one extra pass over the child — the scan is
+    // trivially cheap next to the pairwise kernel).
+    val collected = child.executeCollect()
+    val sorted = collected.map { row =>
+      val arr = row.getArray(embOrdinal)
+      val v = new Array[Float](arr.numElements())
+      var i = 0
+      while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
+      (row.getLong(idOrdinal), v)
+    }.sortBy(_._1)
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val norms = vecs.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+      math.sqrt(n)
+    }
+    val bc = sparkContext.broadcast((ids, vecs, norms))
+    val kk = k
+    val worstFirst: Ordering[(Double, Long, Long)] =
+      Ordering.by(t => (-t._1, t._2, t._3))
+    val idOrd = idOrdinal
+
+    child.execute().mapPartitions { it =>
+      val (bids, bvecs, bnorms) = bc.value
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](worstFirst)
+      it.foreach { row =>
+        val idA = row.getLong(idOrd)
+        val pos = java.util.Arrays.binarySearch(bids, idA)
+        if (pos >= 0) {
+          val vA = bvecs(pos); val nA = bnorms(pos)
+          var j = pos + 1
+          while (j < bids.length) {
+            val vB = bvecs(j)
+            var dot = 0.0; var i = 0
+            while (i < vA.length) { dot += vA(i).toDouble * vB(i).toDouble; i += 1 }
+            val sim = dot / (nA * bnorms(j))
+            val simR = new JBigDecimal(sim).setScale(6, RoundingMode.HALF_UP).doubleValue()
+            val cand = (simR, idA, bids(j))
+            if (heap.size < kk) heap.enqueue(cand)
+            else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
+            j += 1
+          }
+        }
+      }
+      heap.iterator
+    }.coalesce(1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      it.toArray.sorted(worstFirst).take(kk).iterator.map { case (sim, a, b) =>
+        proj(InternalRow(a, b, sim))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): CosineTopKExec =
+    copy(child = newChild)
+}
+
+/** Runtime + builder-time registration. */
+object GraftPlanner {
+  /** Idempotently install the graft rules/strategies on a live session —
+    * works on driver-built sessions where spark.sql.extensions wasn't set.
+    */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(CosineTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CosineTopKRewrite
+    if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ CosineTopKStrategy
+  }
+}

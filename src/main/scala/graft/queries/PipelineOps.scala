@@ -36,57 +36,22 @@ object PipelineOps {
 
   /** Global top-10 most-similar embedding pairs, exact brute force.
     *
-    * The vector index is collected + broadcast (dim 64 × 4 B ≈ 0.5 MB at
-    * bench scale; at 100 TB you shard the index and run x8 instead). Each
-    * partition scans its rows against the broadcast index for ids > own id
-    * (so each unordered pair is computed exactly once) and keeps a local
-    * top-k heap; only k rows per partition reach the final TakeOrdered.
+    * Declared as the natural self-join + cosine + ORDER BY LIMIT plan; the
+    * installed CosineTopKRewrite rule (graft.plans) collapses it into the
+    * broadcast-index CosineTopKExec operator (vector index broadcast, one
+    * bounded top-k heap per partition — no N² materialization, no N²
+    * shuffle). If the rule doesn't fire the declarative plan still runs
+    * correctly via BroadcastNestedLoopJoin + TakeOrdered.
     */
   def x1CosineTopk(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val raw = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val index = raw.collect().sortBy(_._1)
-    val ids = index.map(_._1)
-    val vecs = index.map(_._2)
-    val norms = vecs.map { v =>
-      var n = 0.0; var i = 0
-      while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
-      math.sqrt(n)
-    }
-    val bc = s.sparkContext.broadcast((ids, vecs, norms))
-    val k = 10
-    // PQ head = worst kept pair: lowest sim, then largest ids.
-    val worstFirst: Ordering[(Double, Long, Long)] =
-      Ordering.by(t => (-t._1, t._2, t._3))
-
-    val local = raw.mapPartitions { it =>
-      val (bids, bvecs, bnorms) = bc.value
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](worstFirst)
-      it.foreach { case (idA, _) =>
-        val pos = java.util.Arrays.binarySearch(bids, idA)
-        if (pos >= 0) {
-          val vA = bvecs(pos); val nA = bnorms(pos)
-          var j = pos + 1
-          while (j < bids.length) {
-            val vB = bvecs(j)
-            var dot = 0.0; var i = 0
-            while (i < vA.length) { dot += vA(i).toDouble * vB(i).toDouble; i += 1 }
-            val sim = dot / (nA * bnorms(j))
-            val simR = new JBigDecimal(sim).setScale(6, RoundingMode.HALF_UP).doubleValue()
-            val cand = (simR, idA, bids(j))
-            if (heap.size < k) heap.enqueue(cand)
-            else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
-            j += 1
-          }
-        }
-      }
-      heap.iterator
-    }
-    local.toDF("sim", "vec_a", "vec_b")
-      .select(col("vec_a"), col("vec_b"), col("sim"))
+    VectorCosine.register(s)
+    graft.plans.GraftPlanner.install(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(k)
+      .limit(10)
   }
 
   private val cosineSqlOf = (a: String, b: String) =>

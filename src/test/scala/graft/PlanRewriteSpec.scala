@@ -1,0 +1,43 @@
+package graft
+
+import graft.plans.{CosineTopKExec, GraftPlanner}
+import org.apache.spark.sql.functions._
+
+/** The CosineTopK whole-operator rewrite: fires on the declared pattern,
+  * never changes results, and beats the naive plan.
+  */
+class PlanRewriteSpec extends SparkSpec {
+
+  test("CosineTopKRewrite fires and plans CosineTopKExec") {
+    val df = SparkEntry.queries("x1_cosine_topk")(spark, TestSpark.sf0001)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("CosineTopK"), s"rewrite did not fire:\n$physical")
+  }
+
+  test("rewritten plan returns identical rows to the naive declarative plan") {
+    val fast = SparkEntry.queries("x1_cosine_topk")(spark, TestSpark.sf0001).collect()
+    // disable the rewrite, keep the identical declarative query
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try {
+      val naive = SparkEntry.queries("x1_cosine_topk")(spark, TestSpark.sf0001)
+      assert(!naive.queryExecution.executedPlan.toString.contains("CosineTopKExec"))
+      assert(naive.collect().sameElements(fast))
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("rewrite leaves non-matching topk plans untouched") {
+    GraftPlanner.install(spark)
+    graft.functions.VectorCosine.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // ascending sort — not the pattern; must plan as a normal join
+    val df = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
+      .orderBy(col("sim").asc, col("vec_a"), col("vec_b"))
+      .limit(5)
+    assert(!df.queryExecution.executedPlan.toString.contains("CosineTopKExec"))
+    assert(df.count() === 5L)
+  }
+}
