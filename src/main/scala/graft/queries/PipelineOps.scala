@@ -339,16 +339,10 @@ object PipelineOps {
     */
   def x8AnnLsh(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
-    val dots = (0 until 8).map { j =>
-      s"aggregate(zip_with(embedding, transform(sequence(0, 63), " +
-        s"i -> ((i * 1103515245L + ${j}L * 12345L + 42L) % 2000001L) / 1000000.0 - 1.0), " +
-        s"(x, r) -> cast(x as double) * r), cast(0.0 as double), (acc, v) -> acc + v)"
-    }
-    val bucketExpr = dots.zipWithIndex
-      .map { case (dstr, j) => s"(CASE WHEN $dstr >= 0.0 THEN ${1 << j} ELSE 0 END)" }
-      .mkString(" + ")
+    graft.functions.VectorLshBucket.register(s)
     val sig = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        expr("graft_lsh_bucket(embedding)").as("bucket"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-format source/sink surface.
+  *
+  * The reference harness provisions the same tables in four physical
+  * formats — text, deflate-compressed text, SequenceFile, snappy
+  * SequenceFile (amplab/benchmark `runner/prepare_benchmark.py`, the
+  * s3n://big-data-benchmark/pavlo/{text,text-deflate,sequence,
+  * sequence-snappy}/ prefixes) — and creates external tables over each.
+  * The idiomatic Spark mapping: one DataFrame surface over pluggable
+  * `spark.read.<format>` sources with codec options; SequenceFile's role
+  * (splittable compressed container) is played by parquet+codec.
+  *
+  * At 100 TB the format choice is the whole ballgame: parquet/zstd gives
+  * column pruning + predicate pushdown; text formats exist for ingest
+  * parity and interchange, not for query serving.
+  */
+object MultiFormat {
+
+  /** documents-as-lines parity: the reference's `documents` table is raw
+    * crawl text read line-wise (`CREATE EXTERNAL TABLE documents (line
+    * STRING)`); Q4 streams those lines through url_count.py.
+    */
+  def readTextLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir).withColumnRenamed("value", "line")
+
+  /** Q4-over-text-lines: the reference's exact input shape (one line per
+    * row) driven through the same tokenize + count pipeline.
+    */
+  def wordcountOverLines(spark: SparkSession, dir: String): DataFrame =
+    readTextLines(spark, dir)
+      .select(explode(split(col("line"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+
+  /** Write `df` in the given format/codec. Formats: parquet, csv, json,
+    * text (single string column), orc. Codecs per format: parquet
+    * snappy/gzip/zstd/none; csv/json/text gzip/bzip2/none — the
+    * deflate/snappy sweep of the reference, Spark-side.
+    */
+  def write(df: DataFrame, format: String, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val configured = codec match {
+      case Some(c) if format == "parquet" || format == "orc" => w.option("compression", c)
+      case Some(c) => w.option("codec", c).option("compression", c)
+      case None => w
+    }
+    configured.format(format).save(path)
+  }
+
+  def read(spark: SparkSession, format: String, path: String, header: Boolean = false): DataFrame =
+    format match {
+      case "csv" => spark.read.option("header", header.toString)
+        .option("inferSchema", "true").csv(path)
+      case f => spark.read.format(f).load(path)
+    }
+}
