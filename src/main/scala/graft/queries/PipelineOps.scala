@@ -137,9 +137,14 @@ object PipelineOps {
       "array_distinct(transform(sequence(1, size(toks)-2), " +
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))))"
     )).as("sh"))
+    // The shingle-hash set feeds three consumers (minhash, sizes, exact
+    // intersection); persist so the explode+hash+distinct pipeline runs once
+    // per action instead of three times. (Session-lifetime cache; sized in
+    // the low MB even at bench scale.)
     val hashed = shingled
       .select(col("doc_id"), expr("graft_polyhash(sh)").as("h"))
       .distinct()
+      .persist()
 
     val minCols = (0 until NumPerm).map(j =>
       min(expr(s"(h * ${permA(j)}L + ${permB(j)}L) % ${P31}L")).as(s"m$j"))

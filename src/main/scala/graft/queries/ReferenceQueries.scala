@@ -66,7 +66,9 @@ object ReferenceQueries {
     c.join(o, c("c_custkey") === o("o_custkey"))
       .groupBy(col("c_custkey"))
       .agg(sum(money(col("o_totalprice"))).cast("double").as("total_revenue"),
-           round(avg(money(col("c_acctbal"))), 4).cast("double").as("avg_acctbal"))
+           // avg as exact-decimal-sum / count: identical double both engines
+           (sum(money(col("c_acctbal"))).cast("double") / count(lit(1)))
+             .as("avg_acctbal"))
       .orderBy(col("total_revenue").desc, col("c_custkey"))
       .limit(1)
   }
@@ -78,7 +80,7 @@ object ReferenceQueries {
   private def q3Sql(dateHi: String): String =
     s"""SELECT c_custkey,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-       |       CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_acctbal
+       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
        |FROM customer JOIN orders ON c_custkey = o_custkey
        |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '$dateHi'
        |GROUP BY c_custkey

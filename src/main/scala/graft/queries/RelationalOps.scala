@@ -153,6 +153,73 @@ object RelationalOps {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---- a4: pivot (wide counts per event_type) ----
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def a4Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
+      .groupBy(col("day_ms"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("day_ms"))
+
+  val a4Sql: String = {
+    val cases = EventTypes
+      .map(t => s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      .mkString(", ")
+    s"""SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, $cases
+       |FROM events GROUP BY 1 ORDER BY day_ms""".stripMargin
+  }
+
+  // ---- f6: moment statistics from exact decimal sums ----
+  // stddev/variance over doubles are aggregation-order-dependent; deriving
+  // them from exact decimal moments (Σx, Σx²) makes them deterministic and
+  // cross-engine identical: both engines evaluate the SAME double formula
+  // on the SAME exact inputs.
+  def f6Moments(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(money(col("l_extendedprice"))).cast("double").as("s1"),
+           sum(money(col("l_extendedprice")) * money(col("l_extendedprice")))
+             .cast("double").as("s2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1") / col("n")).as("mean_price"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("var_pop"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("stddev_pop"))
+      .orderBy(col("l_returnflag"))
+
+  val f6Sql: String =
+    """SELECT l_returnflag, n, s1 / n AS mean_price,
+      |       (s2 - s1 * s1 / n) / n AS var_pop,
+      |       sqrt((s2 - s1 * s1 / n) / n) AS stddev_pop
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- f7: scalar subquery (customers above global average balance) ----
+  def f7ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_f7")
+    s.sql(
+      """SELECT c_custkey, c_acctbal FROM graft_customer_f7
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_customer_f7)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val f7Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- set algebra ----
   def set1Except(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey").as("key"))
@@ -284,6 +351,9 @@ object RelationalOps {
     "a1b_approx_distinct" -> (a1bApproxDistinct _),
     "a2_rollup"          -> (a2Rollup _),
     "a3_cube"            -> (a3Cube _),
+    "a4_pivot"           -> (a4Pivot _),
+    "f6_moments"         -> (f6Moments _),
+    "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "set1_except"        -> (set1Except _),
     "set2_intersect"     -> (set2Intersect _),
     "set3_union"         -> (set3Union _),
@@ -303,6 +373,9 @@ object RelationalOps {
     // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check
     "a2_rollup"      -> a2Sql,
     "a3_cube"        -> a3Sql,
+    "a4_pivot"       -> a4Sql,
+    "f6_moments"     -> f6Sql,
+    "f7_scalar_subquery" -> f7Sql,
     "set1_except"    -> set1Sql,
     "set2_intersect" -> set2Sql,
     "set3_union"     -> set3Sql,
