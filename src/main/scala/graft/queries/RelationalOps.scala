@@ -96,6 +96,37 @@ object RelationalOps {
       |  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
       |GROUP BY a.s_nationkey ORDER BY a.s_nationkey""".stripMargin
 
+  // ---- j5: as-of join (each purchase -> user's most recent prior click) --
+  // Spark has no ASOF JOIN operator; the idiomatic composition is a keyed
+  // window carrying the running "last matching event" — one shuffle on
+  // user_id, no range self-join, no N² band expansion. The DuckDB oracle
+  // uses its native ASOF LEFT JOIN, proving operator-level equivalence.
+  def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("click_us",
+        when(col("event_type") === "click", col("ts_us")))
+      .withColumn("last_click_us", max(col("click_us")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val j5Sql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us, c.us AS last_click_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.us <= p.ts_us
+      |ORDER BY event_id""".stripMargin
+
   // ---- a1: exact distinct ----
   def a1Distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -152,6 +183,17 @@ object RelationalOps {
       |       GROUPING(o_orderstatus, o_orderpriority) AS gid
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** t-digest-family sketch percentiles — like a1b, the sketch differs from
+    * DuckDB's, so no oracle; the unit spec bounds it against the exact
+    * percentile instead.
+    */
+  def a5ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 10000)")
+        .as("approx_p50_p90"))
+      .orderBy(col("l_returnflag"))
 
   // ---- a4: pivot (wide counts per event_type) ----
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -347,7 +389,9 @@ object RelationalOps {
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
     "j4_theta_range"     -> (j4ThetaRange _),
+    "j5_asof_join"       -> (j5AsofJoin _),
     "a1_distinct"        -> (a1Distinct _),
+    "a5_approx_percentile" -> (a5ApproxPercentile _),
     "a1b_approx_distinct" -> (a1bApproxDistinct _),
     "a2_rollup"          -> (a2Rollup _),
     "a3_cube"            -> (a3Cube _),
@@ -369,7 +413,9 @@ object RelationalOps {
     "j2_antijoin"    -> j2Sql,
     "j3_semijoin"    -> j3Sql,
     "j4_theta_range" -> j4Sql,
+    "j5_asof_join"   -> j5Sql,
     "a1_distinct"    -> a1Sql,
+    // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check
     // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check
     "a2_rollup"      -> a2Sql,
     "a3_cube"        -> a3Sql,

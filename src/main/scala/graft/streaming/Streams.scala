@@ -83,6 +83,28 @@ object Streams {
       }
   }
 
+  /** flatMapGroupsWithState: emit an alert row exactly once, when a user's
+    * cumulative purchase value first crosses `threshold` (0..N output rows
+    * per input group — the flatMap-shaped arbitrary-state API).
+    */
+  def thresholdAlerts(events: Dataset[Event], threshold: Double): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          it.foreach { e =>
+            val before = total
+            total += e.value
+            if (before < threshold && total >= threshold) alerts += ((user, total))
+          }
+          state.update(total)
+          alerts.iterator
+      }
+  }
+
   /** File-source → foreachBatch parquet-sink pipeline, Trigger.AvailableNow:
     * processes everything currently in srcDir, writes each micro-batch
     * through the batch parquet writer, and stops — the streaming ingest

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Salting
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain equi-join result") {
+    val c = Tables.customer(spark, TestSpark.sf0001)
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+      .orderBy("o_orderkey").collect()
+    val salted = Salting.saltedJoin(o, c, "o_custkey", "c_custkey", 8)
+      .select("o_orderkey", "c_custkey")
+      .orderBy("o_orderkey").collect()
+    assert(salted.sameElements(plain))
+  }
+
+  test("j5 as-of join: last click never after the purchase") {
+    val df = SparkEntry.queries("j5_asof_join")(spark, TestSpark.sf0001)
+    assert(df.filter(col("last_click_us") > col("ts_us")).count() === 0L)
+    assert(df.count() > 0)
+  }
+
+  test("a5 approx percentile within 2% of exact") {
+    val approx = SparkEntry.queries("a5_approx_percentile")(spark, TestSpark.sf001)
+      .selectExpr("l_returnflag", "approx_p50_p90[0] AS p50")
+    val exact = Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"))
+    approx.join(exact, "l_returnflag").collect().foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.02, s"p50 approx $a vs exact $e")
+    }
+  }
+
+  test("GraftExtensions applies cleanly to a SparkSessionExtensions instance") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; injection is builder-time
+  }
+}

@@ -13,7 +13,7 @@ class QueriesSpec extends SparkSpec {
 
   test("every declared query key has an oracle or is explicitly no-oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("a1b_approx_distinct"),
+    assert(noOracle == Set("a1b_approx_distinct", "a5_approx_percentile"),
       s"unexpected no-oracle keys: $noOracle")
   }
 

@@ -100,6 +100,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits the threshold alert exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.thresholdAlerts(mem.toDS(), threshold = 10.0)
+      .toDF("user_id", "total")
+      .writeStream.format("memory").queryName("alert_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 0, user = 5, value = 4.0), ev(2, 1, user = 5, value = 3.0))
+      q.processAllAvailable()
+      assert(spark.table("alert_test").count() === 0L) // 7.0 < 10
+      mem.addData(ev(3, 2, user = 5, value = 5.0)) // crosses at 12.0
+      q.processAllAvailable()
+      mem.addData(ev(4, 3, user = 5, value = 9.0)) // already crossed: no new alert
+      q.processAllAvailable()
+      val alerts = spark.table("alert_test").collect()
+      assert(alerts.length === 1)
+      assert(alerts(0).getLong(0) === 5L)
+      assert(math.abs(alerts(0).getDouble(1) - 12.0) < 1e-12)
+    } finally q.stop()
+  }
+
   test("AvailableNow file pipeline processes the events table and stops") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // file stream sources take a directory, not a single file — stage it
