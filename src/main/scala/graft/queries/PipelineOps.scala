@@ -219,6 +219,126 @@ object PipelineOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ===== x9: n-gram Jaccard all-pairs (inverted-index blocking) ==========
+
+  /** Direct n-gram-Jaccard near-dup detection — the non-LSH sibling of x3:
+    * candidate pairs come from an inverted index on the shingle hash (docs
+    * sharing >= 1 shingle), then exact Jaccard filters. Blocking keys on the
+    * shingle, so the shuffle partitions by shingle and hot shingles — not
+    * N² — bound the cost; at 100 TB you'd drop top-frequency shingles
+    * (stop-shingles) before the self-join.
+    */
+  def x9NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val hashed = docs.select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(1, size(toks)-2), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))))"
+    )).as("sh"))
+      .select(col("doc_id"), expr("graft_polyhash(sh)").as("h"))
+      .distinct()
+      .persist()
+    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = hashed.as("a")
+      .join(hashed.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val x9Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_transform(regexp_split_to_array(
+      |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.n_common,
+      |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ===== x10: document quality scoring ==========
+
+  /** Per-doc quality features + a deterministic composite score: type-token
+    * ratio, stopword ratio, mean token length — the length/ratio heuristics
+    * of a pretraining quality filter. All double arithmetic is the same
+    * expression tree in both engines over exact integer inputs.
+    */
+  def x10Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", size(filter(col("toks"), t => t === "the" || t === "a")))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        (col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        (col("n_chars").cast("double") / col("n_tok")).as("mean_tok_len"),
+        ((col("n_uniq").cast("double") / col("n_tok")) * 2.0
+          + (col("n_stop").cast("double") / col("n_tok")) * 1.0).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val x10Sql: String =
+    """SELECT doc_id, n_tok,
+      |       CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+      |       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+      |       CAST(n_chars AS DOUBLE) / n_tok AS mean_tok_len,
+      |       (CAST(n_uniq AS DOUBLE) / n_tok) * 2.0
+      |         + (CAST(n_stop AS DOUBLE) / n_tok) * 1.0 AS quality_score
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |         len(string_split(text, ' ')) AS n_tok,
+      |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |         len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ===== x11: token counting (whitespace + BPE-ish estimate) ==========
+
+  /** Token counting for budget estimation: whitespace tokens via regex
+    * extraction plus a crude BPE-subword estimate (ceil(len/4) per token —
+    * integer math, engine-agnostic).
+    */
+  def x11Tokencount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_ws_tokens"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + CAST((length(t) + 3) DIV 4 AS LONG))")
+          .as("n_bpe_est"))
+      .orderBy(col("doc_id"))
+
+  val x11Sql: String =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '[a-z]+', 0)) AS n_ws_tokens,
+      |       CAST(list_aggregate(list_transform(regexp_extract_all(text, '[a-z]+', 0),
+      |            t -> (length(t) + 3) // 4), 'sum') AS BIGINT) AS n_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ================= x4: text statistics =================
 
   def x4Textstats(s: SparkSession, d: String): DataFrame =
@@ -435,6 +555,9 @@ object PipelineOps {
     "x6_langid"          -> (x6Langid _),
     "x7_fingerprint"     -> (x7Fingerprint _),
     "x8_ann_lsh"         -> (x8AnnLsh _),
+    "x9_ngram_jaccard"   -> (x9NgramJaccard _),
+    "x10_quality"        -> (x10Quality _),
+    "x11_tokencount"     -> (x11Tokencount _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -449,6 +572,9 @@ object PipelineOps {
     "x6_langid"          -> x6Sql,
     "x7_fingerprint"     -> x7Sql,
     "x8_ann_lsh"         -> x8Sql,
+    "x9_ngram_jaccard"   -> x9Sql,
+    "x10_quality"        -> x10Sql,
+    "x11_tokencount"     -> x11Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )
