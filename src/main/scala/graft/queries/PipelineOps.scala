@@ -488,6 +488,65 @@ object PipelineOps {
        |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
   }
 
+  // ===== x12: IVF ANN (coarse quantization; the other 100 TB ANN path) ====
+
+  /** IVF-flat: assign every vector to its nearest of 16 deterministic
+    * pivots (the lowest vec_ids), then answer queries by scanning only the
+    * query's own cluster — the coarse-quantization sibling of x8's LSH.
+    * Pivots broadcast (16 rows); assignment is one narrow pass; the probe
+    * join keys on the cluster id, so candidate generation partitions by
+    * cluster and never touches other cells.
+    */
+  def x12AnnIvf(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pivots = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val wAssign = w.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_id"))
+    val clusters = emb.crossJoin(broadcast(pivots))
+      .withColumn("pcos", expr("graft_cosine(embedding, p_emb)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("p_id").as("cluster"))
+    val q = clusters.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cluster").as("q_cluster"))
+    val wRank = w.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    q.join(clusters,
+        col("q_cluster") === col("cluster") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val x12Sql: String = {
+    val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
+    s"""WITH assign AS (
+       |  SELECT vec_id, p_id AS cluster FROM (
+       |    SELECT e.vec_id, p.vec_id AS p_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEP DESC, p.vec_id) AS rn
+       |    FROM embeddings e JOIN embeddings p ON p.vec_id < 16)
+       |  WHERE rn = 1)
+       |SELECT q_id, rk, n_id, sim FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |         ROUND(${cosineSqlOf("a", "b")}, 6) AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ROUND(${cosineSqlOf("a", "b")}, 6) DESC, b.vec_id) AS rk
+       |  FROM assign ca
+       |  JOIN embeddings a ON a.vec_id = ca.vec_id AND a.vec_id < 10
+       |  JOIN assign cb ON cb.cluster = ca.cluster
+       |  JOIN embeddings b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   // ================= m1/m2: multimodal binary-column plumbing =============
 
   /** Multimodal decode plumbing: documents re-encoded as an opaque binary
@@ -558,6 +617,7 @@ object PipelineOps {
     "x9_ngram_jaccard"   -> (x9NgramJaccard _),
     "x10_quality"        -> (x10Quality _),
     "x11_tokencount"     -> (x11Tokencount _),
+    "x12_ann_ivf"        -> (x12AnnIvf _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -575,6 +635,7 @@ object PipelineOps {
     "x9_ngram_jaccard"   -> x9Sql,
     "x10_quality"        -> x10Sql,
     "x11_tokencount"     -> x11Sql,
+    "x12_ann_ivf"        -> x12Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )

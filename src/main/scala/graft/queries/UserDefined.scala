@@ -107,15 +107,43 @@ object UserDefined {
       |      FROM documents)
       |WHERE token <> '' GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- u4: TypedImperativeAggregate — heavy hitters per language ----
+  // capacity (64) > vocabulary size, so the space-saving sketch degenerates
+  // to exact counts and the top-3 is oracle-checkable.
+  def u4HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKTokensAgg.register(s)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"))
+      .agg(expr("graft_topk_tokens(token)").as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "tc")))
+      .select(col("lang"), (col("pos") + 1).as("rk"),
+        col("tc.token").as("token"), col("tc.cnt").as("cnt"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val u4Sql: String =
+    """SELECT lang, rk, token, cnt FROM (
+      |  SELECT lang, token, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+      |  FROM (
+      |    SELECT lang, token, COUNT(*) AS cnt
+      |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |    WHERE token <> '' GROUP BY lang, token))
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_udf"  -> (u1Udf _),
     "u2_udaf" -> (u2Udaf _),
-    "u3_udtf" -> (u3Udtf _)
+    "u3_udtf" -> (u3Udtf _),
+    "u4_heavy_hitters" -> (u4HeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
     "u1_udf"  -> u1Sql,
     "u2_udaf" -> u2Sql,
-    "u3_udtf" -> u3Sql
+    "u3_udtf" -> u3Sql,
+    "u4_heavy_hitters" -> u4Sql
   )
 }

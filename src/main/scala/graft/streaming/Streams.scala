@@ -105,6 +105,26 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join with watermarks and a time-range condition:
+    * each click joined to same-user purchases within the following hour.
+    * Both watermarks + the range bound let Spark expire join state — the
+    * required discipline for an unbounded 100 TB event stream.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** File-source → foreachBatch parquet-sink pipeline, Trigger.AvailableNow:
     * processes everything currently in srcDir, writes each micro-batch
     * through the batch parquet writer, and stops — the streaming ingest

@@ -123,6 +123,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches clicks to purchases within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickToPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(ev(1, 0, user = 1, typ = "click"),
+                     ev(2, 10, user = 2, typ = "click"))
+      purchases.addData(
+        ev(101, 30, user = 1, typ = "purchase"),   // within 1h of click 1 ✓
+        ev(102, 200, user = 2, typ = "purchase"),  // 3h10m after click 2 ✗
+        ev(103, 40, user = 3, typ = "purchase"))   // no click ✗
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .select("click_id", "purchase_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 101L)))
+    } finally q.stop()
+  }
+
   test("AvailableNow file pipeline processes the events table and stops") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // file stream sources take a directory, not a single file — stage it
