@@ -16,6 +16,20 @@ class BucketingSpec extends SparkSpec {
 
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // a fresh derby metastore won't know tables whose warehouse dirs
+    // survived a previous JVM — remove the locations too
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
