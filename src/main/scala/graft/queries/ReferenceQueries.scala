@@ -51,6 +51,25 @@ object ReferenceQueries {
   def q2a(s: SparkSession, d: String): DataFrame = q2(1)(s, d)
   def q2b(s: SparkSession, d: String): DataFrame = q2(3)(s, d)
 
+  /** Q2's c-variant is the high-group-cardinality end of the sweep
+    * (SUBSTR(sourceIP,1,12) ≈ hundreds of millions of groups upstream);
+    * priority prefixes cap at 5 groups, so the c-variant keys on an
+    * orderkey prefix instead — same substring-group-by operator, thousands
+    * of groups, scaling with SF.
+    */
+  def q2c(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(substring(col("o_orderkey").cast("string"), 1, 4).as("key_prefix"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("key_prefix"))
+
+  val q2cSql: String =
+    """SELECT substr(CAST(o_orderkey AS VARCHAR), 1, 4) AS key_prefix,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY key_prefix""".stripMargin
+
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -128,6 +147,7 @@ object ReferenceQueries {
     "q1c_scan_filter" -> (q1c _),
     "q2a_substr_agg"  -> (q2a _),
     "q2b_substr_agg"  -> (q2b _),
+    "q2c_substr_agg"  -> (q2c _),
     "q3a_join_topk"   -> (q3a _),
     "q3b_join_topk"   -> (q3b _),
     "q3c_join_topk"   -> (q3c _),
@@ -141,6 +161,7 @@ object ReferenceQueries {
     "q1c_scan_filter" -> q1Sql("10000"),
     "q2a_substr_agg"  -> q2Sql(1),
     "q2b_substr_agg"  -> q2Sql(3),
+    "q2c_substr_agg"  -> q2cSql,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),
