@@ -146,8 +146,11 @@ object PipelineOps {
       .distinct()
       .persist()
 
+    // one pass computes all 16 minima AND the set size (sizes reused by the
+    // Jaccard verify below — saves a second scan + shuffle of `hashed`)
     val minCols = (0 until NumPerm).map(j =>
-      min(expr(s"(h * ${permA(j)}L + ${permB(j)}L) % ${P31}L")).as(s"m$j"))
+      min(expr(s"(h * ${permA(j)}L + ${permB(j)}L) % ${P31}L")).as(s"m$j")) :+
+      count(lit(1)).as("set_n")
     val minh = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
 
     val bandSig = (0 until Bands).map { b =>
@@ -163,7 +166,7 @@ object PipelineOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = minh.select(col("doc_id"), col("set_n").as("n"))
     val inter = cand
       .join(hashed.as("ha"), col("doc_a") === col("ha.doc_id"))
       .join(hashed.as("hb"), col("doc_b") === col("hb.doc_id") && col("ha.h") === col("hb.h"))

@@ -228,15 +228,18 @@ object RelationalOps {
            sum(money(col("l_extendedprice")) * money(col("l_extendedprice")))
              .cast("double").as("s2"))
       .select(col("l_returnflag"), col("n"),
-        (col("s1") / col("n")).as("mean_price"),
-        ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("var_pop"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("stddev_pop"))
+        // decimal->double conversion of the huge second moment can differ
+        // by 1 ulp across engines; round the derived stats at grids many
+        // orders coarser than that noise
+        round(col("s1") / col("n"), 6).as("mean_price"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 2).as("var_pop"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")), 6).as("stddev_pop"))
       .orderBy(col("l_returnflag"))
 
   val f6Sql: String =
-    """SELECT l_returnflag, n, s1 / n AS mean_price,
-      |       (s2 - s1 * s1 / n) / n AS var_pop,
-      |       sqrt((s2 - s1 * s1 / n) / n) AS stddev_pop
+    """SELECT l_returnflag, n, ROUND(s1 / n, 6) AS mean_price,
+      |       ROUND((s2 - s1 * s1 / n) / n, 2) AS var_pop,
+      |       ROUND(sqrt((s2 - s1 * s1 / n) / n), 6) AS stddev_pop
       |FROM (
       |  SELECT l_returnflag, COUNT(*) AS n,
       |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
@@ -350,7 +353,11 @@ object RelationalOps {
       .groupBy(col("l_returnflag"))
       .agg(
         sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(money(col("l_extendedprice")) * money6(lit(1) - col("l_discount")))
+        // explicit ROUND to scale 2 before the double cast: DuckDB's decimal
+        // downscale-by-CAST truncates while Spark's rounds, but ROUND is
+        // half-away-from-zero in both; the rounded value's unscaled form is
+        // < 2^53, so both engines then convert to double exactly
+        round(sum(money(col("l_extendedprice")) * money6(lit(1) - col("l_discount"))), 2)
           .cast("double").as("sum_revenue"),
         sum(col("l_orderkey") % 7).as("mod_sum"),
         (sum(money(col("l_quantity"))).cast("double") / count(lit(1)))
@@ -361,7 +368,7 @@ object RelationalOps {
   val f4Sql: String =
     """SELECT l_returnflag,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_revenue,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_revenue,
       |       SUM(l_orderkey % 7) AS mod_sum,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |       COUNT(*) AS cnt
