@@ -5,8 +5,6 @@ import graft.functions.{StringPolyHash, VectorCosine}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 /** LLM-training-data pipeline operators: exact/near dedup, similarity
   * search, text analysis, and multimodal-column plumbing — the north-star
   * extensions on top of the reference's OLAP surface.

@@ -58,7 +58,10 @@ object UserDefined {
       (a._1.add(b._1), a._2.add(b._2))
     override def finish(r: (JBigDecimal, JBigDecimal)): Double =
       if (r._2.signum == 0) Double.NaN
-      else r._1.doubleValue() / r._2.doubleValue()
+      // round the scale-4 numerator to scale 2 first: keeps its unscaled
+      // value below 2^53 at any realistic SF so the double conversion is
+      // exact in both engines (see the f4/f6 lesson)
+      else r._1.setScale(2, RoundingMode.HALF_UP).doubleValue() / r._2.doubleValue()
     override def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
       Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -76,7 +79,7 @@ object UserDefined {
 
   val u2Sql: String =
     """SELECT l_returnflag,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
       |         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
       |       COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
