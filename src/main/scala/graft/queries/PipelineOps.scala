@@ -80,7 +80,7 @@ object PipelineOps {
         round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    joined.withColumn("rk", row_number().over(w))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rk"))
@@ -294,7 +294,7 @@ object PipelineOps {
       .withColumn("n_stop", size(filter(col("toks"), t => t === "the" || t === "a")))
       .select(
         col("doc_id"),
-        col("n_tok"),
+        col("n_tok").cast("long").as("n_tok"),
         (col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
         (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
         (col("n_chars").cast("double") / col("n_tok")).as("mean_tok_len"),
@@ -328,7 +328,7 @@ object PipelineOps {
       .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
       .select(
         col("doc_id"),
-        size(col("toks")).as("n_ws_tokens"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
         expr("aggregate(toks, 0L, (acc, t) -> acc + CAST((length(t) + 3) DIV 4 AS LONG))")
           .as("n_bpe_est"))
       .orderBy(col("doc_id"))
@@ -355,7 +355,7 @@ object PipelineOps {
       .orderBy(col("lang"))
 
   val x4Sql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
       |       quantile_cont(n_chars, 0.5) AS median_chars,
       |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
@@ -444,7 +444,7 @@ object PipelineOps {
   }
 
   val x7Sql: String =
-    """SELECT doc_id, bit_xor(h) AS fingerprint, COUNT(*) AS n_distinct_tokens
+    """SELECT doc_id, bit_xor(h::BIGINT) AS fingerprint, COUNT(*) AS n_distinct_tokens
       |FROM (
       |  SELECT DISTINCT doc_id,
       |    list_reduce(list_transform(regexp_split_to_array(token, ''), c -> ascii(c)),
@@ -519,7 +519,7 @@ object PipelineOps {
         col("q_cluster") === col("cluster") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
-      .withColumn("rk", row_number().over(wRank))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rk"))

@@ -135,7 +135,7 @@ object ReferenceQueries {
   }
 
   val q4CtasSql: String =
-    """SELECT token, SUM(cnt) AS total_cnt FROM (
+    """SELECT token, CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM (
       |  SELECT source, token, COUNT(*) AS cnt
       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
       |  GROUP BY source, token)

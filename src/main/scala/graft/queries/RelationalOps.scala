@@ -209,7 +209,7 @@ object RelationalOps {
 
   val a4Sql: String = {
     val cases = EventTypes
-      .map(t => s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      .map(t => s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
       .mkString(", ")
     s"""SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, $cases
        |FROM events GROUP BY 1 ORDER BY day_ms""".stripMargin
@@ -309,15 +309,15 @@ object RelationalOps {
       .orderBy(col("event_type"))
 
   val f1Sql: String =
-    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       COUNT(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- f2: datetime functions ----
   def f2Date(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .groupBy(year(col("o_orderdate")).as("yr"),
-               quarter(col("o_orderdate")).as("qtr"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               quarter(col("o_orderdate")).cast("long").as("qtr"))
       .agg(count(lit(1)).as("cnt"),
            sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("yr"), col("qtr"))
@@ -334,7 +334,7 @@ object RelationalOps {
       .select(
         col("c_custkey"),
         upper(substring(col("c_name"), 1, 8)).as("name_pfx"),
-        length(col("c_name")).as("name_len"),
+        length(col("c_name")).cast("long").as("name_len"),
         concat(lower(col("c_mktsegment")), lit("#"),
                col("c_nationkey").cast("string")).as("seg_tag"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"))
@@ -369,7 +369,7 @@ object RelationalOps {
     """SELECT l_returnflag,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_revenue,
-      |       SUM(l_orderkey % 7) AS mod_sum,
+      |       CAST(SUM(l_orderkey % 7) AS BIGINT) AS mod_sum,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |       COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -379,7 +379,7 @@ object RelationalOps {
     Tables.embeddings(s, d)
       .select(
         col("vec_id"),
-        size(col("embedding")).as("dim"),
+        size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).cast("double").as("e_first"),
         element_at(col("embedding"), 64).cast("double").as("e_last"),
         col("label"))

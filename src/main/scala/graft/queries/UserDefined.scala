@@ -96,7 +96,7 @@ object UserDefined {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
            countDistinct(col("token")).as("n_distinct_tokens"),
-           max(col("pos")).as("max_pos"))
+           max(col("pos")).cast("long").as("max_pos"))
       .orderBy(col("lang"))
   }
 
@@ -121,7 +121,7 @@ object UserDefined {
       .groupBy(col("lang"))
       .agg(expr("graft_topk_tokens(token)").as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "tc")))
-      .select(col("lang"), (col("pos") + 1).as("rk"),
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
         col("tc.token").as("token"), col("tc.cnt").as("cnt"))
       .orderBy(col("lang"), col("rk"))
   }

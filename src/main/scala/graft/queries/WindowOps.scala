@@ -30,7 +30,7 @@ object WindowOps {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("event_id"))
     Tables.events(s, d)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("event_type"), col("rk"), col("event_id"), col("value"))
       .orderBy(col("event_type"), col("rk"))
