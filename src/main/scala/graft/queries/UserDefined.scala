@@ -136,17 +136,40 @@ object UserDefined {
       |    WHERE token <> '' GROUP BY lang, token))
       |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
 
+  // ---- u5: DeclarativeAggregate — codegen'd exact weighted sum ----
+  // discounted revenue Σ(price · (1-disc)) per linestatus, via the
+  // pure-expression aggregate (stays inside WholeStageCodegen)
+  def u5DeclAgg(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WeightedSum.register(s)
+    Tables.lineitem(s, d)
+      .withColumn("disc_factor", lit(1) - col("l_discount"))
+      .groupBy(col("l_linestatus"))
+      // ROUND to scale 2 before the double cast (2^53 discipline, see f4)
+      .agg(round(expr("graft_weighted_sum(l_extendedprice, disc_factor)"), 2)
+             .cast("double").as("disc_revenue"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val u5Sql: String =
+    """SELECT l_linestatus,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS disc_revenue,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_udf"  -> (u1Udf _),
     "u2_udaf" -> (u2Udaf _),
     "u3_udtf" -> (u3Udtf _),
-    "u4_heavy_hitters" -> (u4HeavyHitters _)
+    "u4_heavy_hitters" -> (u4HeavyHitters _),
+    "u5_decl_agg" -> (u5DeclAgg _)
   )
 
   val oracles: Map[String, String] = Map(
     "u1_udf"  -> u1Sql,
     "u2_udaf" -> u2Sql,
     "u3_udtf" -> u3Sql,
-    "u4_heavy_hitters" -> u4Sql
+    "u4_heavy_hitters" -> u4Sql,
+    "u5_decl_agg" -> u5Sql
   )
 }
