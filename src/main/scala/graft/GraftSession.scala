@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions._
+import graft.plans.{GraftExtensions, GraftPlanner}
+import org.apache.spark.sql.SparkSession
+
+/** One-line adoption surface for the library.
+  *
+  * New session, fully configured:
+  * {{{
+  *   val spark = GraftSession.builder().master("local[32]").getOrCreate()
+  * }}}
+  *
+  * Existing session (driver-built, notebook, ...):
+  * {{{
+  *   GraftSession.attach(spark)
+  *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")
+  * }}}
+  */
+object GraftSession {
+
+  /** Builder pre-configured with the graft defaults: local-appropriate
+    * shuffle parallelism, AQE, UTC, the events-table ns-timestamp shim, and
+    * the Catalyst extensions (CosineTopK rule/strategy + functions).
+    */
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+
+  /** Idempotently register every graft function and planner extension on a
+    * live session built elsewhere.
+    */
+  def attach(spark: SparkSession): SparkSession = {
+    StringPolyHash.register(spark)
+    VectorCosine.register(spark)
+    VectorLshBucket.register(spark)
+    TokenizePos.register(spark)
+    TopKTokensAgg.register(spark)
+    WeightedSum.register(spark)
+    GraftPlanner.install(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

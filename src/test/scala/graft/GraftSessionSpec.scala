@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftSessionSpec extends SparkSpec {
+  test("attach registers every graft function and the planner extension") {
+    import spark.implicits._
+    GraftSession.attach(spark)
+    val one = Seq((Array(1.0f, 0.0f), "ab c")).toDF("v", "t")
+    one.createOrReplaceTempView("gs_probe")
+    val row = spark.sql(
+      """SELECT graft_cosine(v, v) AS c, graft_polyhash(t) AS h,
+        |       graft_lsh_bucket(v) AS b FROM gs_probe""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getLong(1) > 0)
+    assert(row.getInt(2) >= 0 && row.getInt(2) < 256)
+    assert(spark.sql("SELECT tokenize_pos(t) AS (p, tok) FROM gs_probe").count() === 2)
+    assert(spark.sql("SELECT graft_topk_tokens(t) FROM gs_probe").count() === 1)
+    assert(spark.sql("SELECT graft_weighted_sum(1.0, 2.0) FROM gs_probe").count() === 1)
+    assert(spark.experimental.extraStrategies.nonEmpty)
+  }
+}
