@@ -36,7 +36,29 @@ object Tables {
   def money6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast(DecimalType(18, 6))
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+  /** Engine-level AQE posture, applied once per session at first table
+    * load: let AQE coalesce post-shuffle partitions by advisory size
+    * instead of pinning them to the parallelism (the setting Spark's own
+    * tuning guide recommends for production). Multi-stage pipelines over
+    * small intermediates (minhash bands, candidate joins) stop paying
+    * 32-task launch overhead per stage; at real scale the advisory size,
+    * not the local core count, is what should drive partition counts.
+    * Purely physical: results are partitioning-independent by contract
+    * (verified byte-identical across thread counts).
+    */
+  private def tune(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.graft.tuned").contains("true")) {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      spark.conf.set("spark.graft.tuned", "true")
+    }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
+    loadTable(spark, sfDir, name)
+  }
+
+  private def loadTable(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // timestamp[ns] parquet: read the physical int64, truncate to µs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
