@@ -131,17 +131,16 @@ object PipelineOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val shingled = docs.select(col("doc_id"), explode(expr(
-      "array_distinct(transform(sequence(1, size(toks)-2), " +
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))))"
-    )).as("sh"))
-    // The shingle-hash set feeds three consumers (minhash, sizes, exact
-    // intersection); persist so the explode+hash+distinct pipeline runs once
-    // per action instead of three times. (Session-lifetime cache; sized in
-    // the low MB even at bench scale.)
-    val hashed = shingled
-      .select(col("doc_id"), expr("graft_polyhash(sh)").as("h"))
-      .distinct()
+    // Set-dedup happens INSIDE the array (array_distinct over the hash
+    // array) before explode — no shuffle needed for per-doc set semantics.
+    // The result feeds three consumers (minhash+sizes, exact intersection
+    // twice); persist so the tokenize+hash pipeline runs once per action.
+    val hashed = docs.select(col("doc_id"), explode(expr(
+      "array_distinct(transform(" +
+        "transform(sequence(1, size(toks)-2), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
+        "s -> graft_polyhash(s)))"
+    )).as("h"))
       .persist()
 
     // one pass computes all 16 minima AND the set size (sizes reused by the
@@ -235,11 +234,11 @@ object PipelineOps {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
     val hashed = docs.select(col("doc_id"), explode(expr(
-      "array_distinct(transform(sequence(1, size(toks)-2), " +
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))))"
-    )).as("sh"))
-      .select(col("doc_id"), expr("graft_polyhash(sh)").as("h"))
-      .distinct()
+      "array_distinct(transform(" +
+        "transform(sequence(1, size(toks)-2), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
+        "s -> graft_polyhash(s)))"
+    )).as("h"))
       .persist()
     val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = hashed.as("a")
