@@ -159,10 +159,15 @@ case class CosineTopKExec(
             var dot = 0.0; var i = 0
             while (i < vA.length) { dot += vA(i).toDouble * vB(i).toDouble; i += 1 }
             val sim = dot / (nA * bnorms(j))
-            val simR = new JBigDecimal(sim).setScale(6, RoundingMode.HALF_UP).doubleValue()
-            val cand = (simR, idA, bids(j))
-            if (heap.size < kk) heap.enqueue(cand)
-            else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
+            // fast path: rounded(sim) <= sim + 5e-7, so anything more than
+            // half a rounding grid below the kept worst can't displace it —
+            // skip the (allocating) BigDecimal round for ~all pairs
+            if (heap.size < kk || sim >= heap.head._1 - 5e-7) {
+              val simR = new JBigDecimal(sim).setScale(6, RoundingMode.HALF_UP).doubleValue()
+              val cand = (simR, idA, bids(j))
+              if (heap.size < kk) heap.enqueue(cand)
+              else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
+            }
             j += 1
           }
         }
