@@ -1,0 +1,40 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Scaling probe: replicate lineitem Nx into /tmp and time the headline
+  * scan/agg/join plans at 1x vs Nx to demonstrate near-linear scaling.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_$n"
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val rep = spark.range(n).crossJoin(li)
+        .withColumn("l_orderkey", col("l_orderkey") + col("id") * 10000000L)
+        .drop("id")
+      rep.repartition(32).write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+      Seq("orders", "customer", "documents", "embeddings", "events",
+          "region", "nation", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+          .parquet(s"$big/$t.parquet")
+      }
+    }
+    def time(name: String, dir: String): Unit = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warm
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      println(f"$name%-18s $dir%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
+    }
+    for (q <- Seq("q1c_scan_filter", "q2c_substr_agg", "f4_math", "f6_moments"))
+      { time(q, src); time(q, big) }
+    spark.stop()
+  }
+}
