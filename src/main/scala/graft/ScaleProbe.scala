@@ -20,7 +20,14 @@ object ScaleProbe {
         .withColumn("l_orderkey", col("l_orderkey") + col("id") * 10000000L)
         .drop("id")
       rep.repartition(32).write.mode("overwrite").parquet(s"$big/lineitem.parquet")
-      Seq("orders", "customer", "documents", "embeddings", "events",
+      // documents: replicate 20x with distinct doc_ids (text unchanged --
+      // deliberately creates 20-copy duplicate groups for the dedup probe)
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      spark.range(20).crossJoin(docs)
+        .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+        .drop("id")
+        .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
+      Seq("orders", "customer", "embeddings", "events",
           "region", "nation", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
           .parquet(s"$big/$t.parquet")
@@ -33,7 +40,8 @@ object ScaleProbe {
       fn(spark, dir).count()
       println(f"$name%-18s $dir%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
     }
-    for (q <- Seq("q1c_scan_filter", "q2c_substr_agg", "f4_math", "f6_moments"))
+    for (q <- Seq("q1c_scan_filter", "q2c_substr_agg", "f4_math", "f6_moments",
+                  "x2_dedup_exact", "x11_tokencount", "x4_textstats"))
       { time(q, src); time(q, big) }
     spark.stop()
   }
