@@ -40,4 +40,27 @@ class OperatorsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; injection is builder-time
   }
+
+  test("bucketized range join equals the naive theta join and avoids BNLJ") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    // intervals: one hour after each purchase event
+    val iv = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iv_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + 3600000000L).as("hi"))
+    val banded = RangeJoin.pointInInterval(ev, iv, "ts_us", "lo", "hi",
+        band = 3600000000L)
+      .select("event_id", "iv_id").orderBy("event_id", "iv_id").collect()
+    val naive = ev.join(iv, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .select("event_id", "iv_id").orderBy("event_id", "iv_id").collect()
+    assert(banded.sameElements(naive))
+    assert(banded.nonEmpty)
+    // and the plan is an equi-join on the bucket, not a nested loop
+    val plan = RangeJoin.pointInInterval(ev, iv, "ts_us", "lo", "hi", 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
