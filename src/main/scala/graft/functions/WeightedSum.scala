@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.dsl.expressions._
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.types._
 
@@ -35,9 +35,12 @@ case class WeightedSum(x: Expression, w: Expression)
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal.create(Decimal(0, 30, 8), bufType))
 
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    (acc + (x.cast(DecimalType(18, 2)) * w.cast(DecimalType(18, 6))).cast(bufType))
-      .cast(bufType))
+  override lazy val updateExpressions: Seq[Expression] = {
+    val product =
+      (x.cast(DecimalType(18, 2)) * w.cast(DecimalType(18, 6))).cast(bufType)
+    // null input must not nullify the accumulator (SUM-like semantics)
+    Seq(If(product.isNull, acc, (acc + product).cast(bufType)))
+  }
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     (acc.left + acc.right).cast(bufType))

@@ -84,12 +84,15 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
       case al @ Alias(Round(VectorCosine(ea: Attribute, eb: Attribute), Lit(6), _), _)
           if left.outputSet.contains(ea) && right.outputSet.contains(eb) => al
     }.getOrElse(return None)
-    val projectsIds = projList.count {
-      case Alias(a: Attribute, _) => a.semanticEquals(idA) || a.semanticEquals(idB)
-      case a: Attribute => a.semanticEquals(idA) || a.semanticEquals(idB)
+    // the exec emits rows as (idA, idB, sim) — require the projection in
+    // exactly that order so output attributes line up positionally
+    def projects(ne: NamedExpression, target: Attribute): Boolean = ne match {
+      case Alias(a: Attribute, _) => a.semanticEquals(target)
+      case a: Attribute => a.semanticEquals(target)
       case _ => false
     }
-    if (projectsIds != 2 || projList.size != 3) return None
+    if (projList.size != 3 || !projects(projList(0), idA) ||
+        !projects(projList(1), idB) || (projList(2) ne simAlias)) return None
     // sort: sim DESC first (id tie-breaks assumed from the declared shape)
     sortOrder.headOption match {
       case Some(SortOrder(e, Descending, _, _)) if e.semanticEquals(simAlias.toAttribute) => ()
