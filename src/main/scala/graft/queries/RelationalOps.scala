@@ -265,6 +265,26 @@ object RelationalOps {
       |  FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- f8: correlated scalar subquery (Catalyst decorrelation) ----
+  // customers above their own nation's average balance; Catalyst rewrites
+  // the correlated subquery into an aggregate + join (no per-row re-scan)
+  def f8Correlated(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_f8")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM graft_customer_f8 c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_customer_f8 c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val f8Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- set algebra ----
   def set1Except(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey").as("key"))
@@ -405,6 +425,7 @@ object RelationalOps {
     "a4_pivot"           -> (a4Pivot _),
     "f6_moments"         -> (f6Moments _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
+    "f8_correlated"      -> (f8Correlated _),
     "set1_except"        -> (set1Except _),
     "set2_intersect"     -> (set2Intersect _),
     "set3_union"         -> (set3Union _),
@@ -429,6 +450,7 @@ object RelationalOps {
     "a4_pivot"       -> a4Sql,
     "f6_moments"     -> f6Sql,
     "f7_scalar_subquery" -> f7Sql,
+    "f8_correlated"  -> f8Sql,
     "set1_except"    -> set1Sql,
     "set2_intersect" -> set2Sql,
     "set3_union"     -> set3Sql,
