@@ -285,6 +285,24 @@ object RelationalOps {
       |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+
+  // ---- f9: MapType surface (from_json to map, map functions) ----
+  def f9Map(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
+      .groupBy(col("event_type"))
+      .agg(sum(element_at(col("m"), "k")).as("sum_k"),
+           max(size(col("m"))).cast("long").as("max_entries"),
+           count(when(map_contains_key(col("m"), "k"), 1)).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  val f9Sql: String =
+    """SELECT event_type,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_entries,
+      |       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- set algebra ----
   def set1Except(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey").as("key"))
@@ -426,6 +444,7 @@ object RelationalOps {
     "f6_moments"         -> (f6Moments _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "f8_correlated"      -> (f8Correlated _),
+    "f9_map"             -> (f9Map _),
     "set1_except"        -> (set1Except _),
     "set2_intersect"     -> (set2Intersect _),
     "set3_union"         -> (set3Union _),
@@ -451,6 +470,7 @@ object RelationalOps {
     "f6_moments"     -> f6Sql,
     "f7_scalar_subquery" -> f7Sql,
     "f8_correlated"  -> f8Sql,
+    "f9_map"         -> f9Sql,
     "set1_except"    -> set1Sql,
     "set2_intersect" -> set2Sql,
     "set3_union"     -> set3Sql,

@@ -105,6 +105,19 @@ object Streams {
       }
   }
 
+  /** Streaming twin of x2 exact dedup for an incoming document stream:
+    * key state on a content digest (sha2, 32 bytes) instead of the full
+    * text so state stays bounded per document regardless of document size;
+    * the watermark on ingest time bounds it over time.
+    * Expects columns (doc_id, text, ingest_ts).
+    */
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_key", sha2(col("text"), 256))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_key")
+      .drop("content_key")
+
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to same-user purchases within the following hour.
     * Both watermarks + the range bound let Spark expire join state — the

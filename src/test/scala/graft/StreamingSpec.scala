@@ -123,6 +123,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming document dedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.dedupDocuments(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.format("memory").queryName("docdedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "alpha beta", ts(0)), (2L, "alpha beta", ts(1)),
+                  (3L, "gamma", ts(2)))
+      q.processAllAvailable()
+      mem.addData((4L, "alpha beta", ts(3))) // still duplicate content
+      q.processAllAvailable()
+      val kept = spark.table("docdedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches clicks to purchases within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
