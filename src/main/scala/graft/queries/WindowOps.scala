@@ -82,6 +82,34 @@ object WindowOps {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+
+  // ---- w4: ranking-distribution windows (ntile / percent_rank / cume_dist)
+  // percent_rank = (rank-1)/(n-1) and cume_dist = rank_end/n are exact
+  // rational values evaluated identically in both engines given the same
+  // total order (value desc, event_id tie-break).
+  def w4Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("tile") === 1)
+      .select(col("event_type"), col("event_id"), col("tile"),
+              col("pct_rank"), col("cume"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val w4Sql: String =
+    """SELECT event_type, event_id, tile, pct_rank, cume FROM (
+      |  SELECT event_type, event_id,
+      |         CAST(NTILE(4) OVER win AS BIGINT) AS tile,
+      |         PERCENT_RANK() OVER win AS pct_rank,
+      |         CUME_DIST() OVER win AS cume
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+      |WHERE tile = 1 ORDER BY event_type, event_id""".stripMargin
+
   // ---- s1: tumbling 1-hour windows ----
   def s1Tumble(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -148,6 +176,7 @@ object WindowOps {
     "w1_rank"      -> (w1Rank _),
     "w2_lag_lead"  -> (w2LagLead _),
     "w3_frame_sum" -> (w3FrameSum _),
+    "w4_ntile"     -> (w4Ntile _),
     "s1_tumble"    -> (s1Tumble _),
     "s2_sliding"   -> (s2Sliding _),
     "s3_session"   -> (s3Session _)
@@ -157,6 +186,7 @@ object WindowOps {
     "w1_rank"      -> w1Sql,
     "w2_lag_lead"  -> w2Sql,
     "w3_frame_sum" -> w3Sql,
+    "w4_ntile"     -> w4Sql,
     "s1_tumble"    -> s1Sql,
     "s2_sliding"   -> s2Sql,
     "s3_session"   -> s3Sql

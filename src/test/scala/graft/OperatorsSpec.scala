@@ -63,4 +63,22 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("range join equals naive join for randomized band widths") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val iv = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("iv_id"),
+        (unix_micros(col("ts")) - 1800000000L).as("lo"),
+        (unix_micros(col("ts")) + 5400000000L).as("hi"))
+    val naive = ev.join(iv, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .select("event_id", "iv_id").orderBy("event_id", "iv_id").collect()
+    for (band <- Seq(1000000L, 999999937L, 3600000000L, 86400000000L)) {
+      val banded = RangeJoin.pointInInterval(ev, iv, "ts_us", "lo", "hi", band)
+        .select("event_id", "iv_id").orderBy("event_id", "iv_id").collect()
+      assert(banded.sameElements(naive), s"band=$band")
+    }
+  }
 }
