@@ -141,6 +141,39 @@ object ReferenceQueries {
       |  GROUP BY source, token)
       |GROUP BY token ORDER BY token""".stripMargin
 
+
+  /** Five-table star join (TPC-H Q5 flavor): region ⋈ nation ⋈ customer ⋈
+    * orders ⋈ lineitem with per-(region, year) revenue. The two dims
+    * broadcast; the two fact-fact joins shuffle on their keys; revenue uses
+    * the decimal-exact + ROUND-before-double discipline.
+    */
+  def q5StarJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(money(col("l_extendedprice")) * money6(lit(1) - col("l_discount"))), 2)
+             .cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("yr"))
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, year(o_orderdate) AS yr, COUNT(*) AS n_items,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1a_scan_filter" -> (q1a _),
     "q1b_scan_filter" -> (q1b _),
@@ -152,7 +185,8 @@ object ReferenceQueries {
     "q3b_join_topk"   -> (q3b _),
     "q3c_join_topk"   -> (q3c _),
     "q4_wordcount"    -> (q4Wordcount _),
-    "q4_ctas"         -> (q4Ctas _)
+    "q4_ctas"         -> (q4Ctas _),
+    "q5_star_join"    -> (q5StarJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +200,7 @@ object ReferenceQueries {
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),
     "q4_wordcount"    -> q4WordcountSql,
-    "q4_ctas"         -> q4CtasSql
+    "q4_ctas"         -> q4CtasSql,
+    "q5_star_join"    -> q5Sql
   )
 }
