@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.functions.VectorCosine
+import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -9,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
@@ -23,11 +25,18 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   *   rule     `CosineTopKRewrite` — pattern-matches the optimized
   *            Limit(Sort(Project(Join(a, b, a.id < b.id)))) tree with a
   *            `round(graft_cosine(...), 6)` projection over two scans of
-  *            the SAME source, and collapses it to the logical node
+  *            the SAME source, and collapses it to the logical node.
+  *            Guards on id:LongType and embedding:array<float> — any other
+  *            types fall back to the (safe) declarative plan.
   *   strategy `CosineTopKStrategy` — plans the physical operator
-  *   physical `CosineTopKExec`  — collects the (small) vector index once,
-  *            broadcasts it, streams the child partition-wise keeping a
-  *            bounded k-heap per partition, then reduces to the global k.
+  *   physical `CosineTopKExec`  — block-partitioned pairwise: rows are
+  *            hashed into B = O(√parallelism) blocks, each unordered block
+  *            pair (i ≤ j) becomes one shuffle task that computes its cross
+  *            pairs under a bounded k-heap, and the B(B+1)/2 heaps shuffle
+  *            to a single k-row reduce. NO driver materialization — per-task
+  *            memory is two blocks (≈ 2N/B rows), which shrinks as the
+  *            cluster (and hence B) grows; total work stays the exact N²/2
+  *            pair kernel, spread evenly across tasks.
   *
   * If the pattern doesn't match (different rounding, different order, ...)
   * nothing rewrites and the declarative plan runs as-is — the rewrite is a
@@ -79,10 +88,18 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
           if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
       case _ => return None
     }
+    // the exec reads ids with getLong and embeddings with getFloat — any
+    // other types must fall back to the declarative plan, not crash
+    if (idA.dataType != LongType || idB.dataType != LongType) return None
+    def isFloatArray(a: Attribute): Boolean = a.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     // projection: [idA as vec_a, idB as vec_b, round(cosine(embA, embB), 6) as sim]
     val simAlias = projList.collectFirst {
       case al @ Alias(Round(VectorCosine(ea: Attribute, eb: Attribute), Lit(6), _), _)
-          if left.outputSet.contains(ea) && right.outputSet.contains(eb) => al
+          if left.outputSet.contains(ea) && right.outputSet.contains(eb) &&
+             isFloatArray(ea) && isFloatArray(eb) => al
     }.getOrElse(return None)
     // the exec emits rows as (idA, idB, sim) — require the projection in
     // exactly that order so output attributes line up positionally
@@ -125,58 +142,105 @@ case class CosineTopKExec(
     child: SparkPlan) extends UnaryExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
-    // Build the broadcast index (one extra pass over the child — the scan is
-    // trivially cheap next to the pairwise kernel).
-    val collected = child.executeCollect()
-    val sorted = collected.map { row =>
-      val arr = row.getArray(embOrdinal)
-      val v = new Array[Float](arr.numElements())
-      var i = 0
-      while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
-      (row.getLong(idOrdinal), v)
-    }.sortBy(_._1)
-    val ids = sorted.map(_._1)
-    val vecs = sorted.map(_._2)
-    val norms = vecs.map { v =>
-      var n = 0.0; var i = 0
-      while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
-      math.sqrt(n)
-    }
-    val bc = sparkContext.broadcast((ids, vecs, norms))
     val kk = k
+    val idOrd = idOrdinal
+    val embOrd = embOrdinal
     val worstFirst: Ordering[(Double, Long, Long)] =
       Ordering.by(t => (-t._1, t._2, t._3))
-    val idOrd = idOrdinal
 
-    child.execute().mapPartitions { it =>
-      val (bids, bvecs, bnorms) = bc.value
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](worstFirst)
-      it.foreach { row =>
-        val idA = row.getLong(idOrd)
-        val pos = java.util.Arrays.binarySearch(bids, idA)
-        if (pos >= 0) {
-          val vA = bvecs(pos); val nA = bnorms(pos)
-          var j = pos + 1
-          while (j < bids.length) {
-            val vB = bvecs(j)
-            var dot = 0.0; var i = 0
-            while (i < vA.length) { dot += vA(i).toDouble * vB(i).toDouble; i += 1 }
-            val sim = dot / (nA * bnorms(j))
+    // 1. Extract (id, vec, norm) once, copying out of the reused UnsafeRow.
+    val data: RDD[(Long, Array[Float], Double)] =
+      child.execute().mapPartitions { it =>
+        it.map { row =>
+          val arr = row.getArray(embOrd)
+          val v = new Array[Float](arr.numElements())
+          var i = 0
+          while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
+          var n = 0.0; i = 0
+          while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+          (row.getLong(idOrd), v, math.sqrt(n))
+        }
+      }
+
+    // 2. Hash rows into B = O(√parallelism) blocks; replicate each row to
+    //    the B block-pair tasks its block participates in. Shuffle volume is
+    //    B×N rows (√P replication — the standard block-matrix trade), and
+    //    per-task memory is two blocks, independent of total N for a fixed
+    //    cluster and shrinking as the cluster grows.
+    val nBlocks = math.max(1,
+      math.ceil(math.sqrt(2.0 * sparkContext.defaultParallelism)).toInt)
+    val nTasks = nBlocks * (nBlocks + 1) / 2
+    val replicated = data.flatMap { case t @ (id, _, _) =>
+      val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nBlocks
+      (0 until nBlocks).iterator.map { j =>
+        (if (b <= j) (b, j) else (j, b), (b, t))
+      }
+    }
+
+    // 3. One task per unordered block pair (i ≤ j): exact pairwise kernel
+    //    under a bounded k-heap. Every global pair {a,b} lands in exactly
+    //    one task (the one keyed by its two blocks), so work is the exact
+    //    N²/2 kernel with no duplication.
+    val heaps = replicated.groupByKey(new HashPartitioner(nTasks))
+      .mapPartitions { tasks =>
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long, Long)](worstFirst)
+        tasks.foreach { case ((bi, bj), rows) =>
+          def offer(sim: Double, a: Long, b: Long): Unit = {
             // fast path: rounded(sim) <= sim + 5e-7, so anything more than
             // half a rounding grid below the kept worst can't displace it —
             // skip the (allocating) BigDecimal round for ~all pairs
             if (heap.size < kk || sim >= heap.head._1 - 5e-7) {
-              val simR = new JBigDecimal(sim).setScale(6, RoundingMode.HALF_UP).doubleValue()
-              val cand = (simR, idA, bids(j))
+              val simR = new JBigDecimal(sim)
+                .setScale(6, RoundingMode.HALF_UP).doubleValue()
+              val cand = (simR, math.min(a, b), math.max(a, b))
               if (heap.size < kk) heap.enqueue(cand)
-              else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
+              else if (worstFirst.compare(cand, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(cand)
+              }
             }
-            j += 1
+          }
+          def cosine(x: (Long, Array[Float], Double),
+                     y: (Long, Array[Float], Double)): Double = {
+            val vX = x._2; val vY = y._2
+            var dot = 0.0; var i = 0
+            while (i < vX.length) { dot += vX(i).toDouble * vY(i).toDouble; i += 1 }
+            dot / (x._3 * y._3)
+          }
+          if (bi == bj) {
+            val block = rows.iterator.map(_._2).toArray
+            var i = 0
+            while (i < block.length) {
+              var j = i + 1
+              while (j < block.length) {
+                // the declarative form joins on idA < idB: equal ids (which
+                // always co-hash to one block) must not pair with themselves
+                if (block(i)._1 != block(j)._1)
+                  offer(cosine(block(i), block(j)), block(i)._1, block(j)._1)
+                j += 1
+              }
+              i += 1
+            }
+          } else {
+            val left = rows.iterator.filter(_._1 == bi).map(_._2).toArray
+            val right = rows.iterator.filter(_._1 == bj).map(_._2).toArray
+            var i = 0
+            while (i < left.length) {
+              var j = 0
+              while (j < right.length) {
+                offer(cosine(left(i), right(j)), left(i)._1, right(j)._1)
+                j += 1
+              }
+              i += 1
+            }
           }
         }
+        heap.iterator
       }
-      heap.iterator
-    }.coalesce(1).mapPartitions { it =>
+
+    // 4. Global reduce: at most nTasks×k tuples shuffle to one task (a real
+    //    shuffle, not coalesce — the heap stage keeps its parallelism).
+    heaps.repartition(1).mapPartitions { it =>
       val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
       it.toArray.sorted(worstFirst).take(kk).iterator.map { case (sim, a, b) =>
         proj(InternalRow(a, b, sim))

@@ -15,16 +15,17 @@ import org.apache.spark.sql.functions._
   * left-to-right over doubles in both engines, so even unrounded sims agree.
   *
   * Scale design (100 TB):
-  *  - x2 exact dedup = hash-partitioned groupBy on the text (at real scale:
-  *    on sha2(text) to keep keys short) — one shuffle, no driver state.
+  *  - x2 exact dedup = hash-partitioned groupBy on sha2(text, 256) — the
+  *    shuffle moves 32-byte digests, never document bodies; one shuffle, no
+  *    driver state.
   *  - x3 minhash-LSH = the standard shingle→minhash→band→bucket-join
   *    pipeline; every step is a DataFrame op that partitions by doc or by
   *    (band, signature); candidate verification touches only bucket
   *    collisions, never the full N².
-  *  - x1 brute-force cosine broadcasts the vector index (the "small side")
-  *    and keeps a bounded top-k heap per partition — no N² shuffle, no
-  *    driver-side pair loop. x8 is the scale path: LSH bucketing makes the
-  *    self-join sub-quadratic.
+  *  - x1 brute-force cosine runs block-partitioned pairwise (hash rows into
+  *    O(√P) blocks, one bounded k-heap task per block pair, single k-row
+  *    reduce) — no N² shuffle, no driver materialization. x8 is the scale
+  *    path: LSH bucketing makes the self-join sub-quadratic.
   */
 object PipelineOps {
 
@@ -36,10 +37,11 @@ object PipelineOps {
     *
     * Declared as the natural self-join + cosine + ORDER BY LIMIT plan; the
     * installed CosineTopKRewrite rule (graft.plans) collapses it into the
-    * broadcast-index CosineTopKExec operator (vector index broadcast, one
-    * bounded top-k heap per partition — no N² materialization, no N²
-    * shuffle). If the rule doesn't fire the declarative plan still runs
-    * correctly via BroadcastNestedLoopJoin + TakeOrdered.
+    * block-partitioned CosineTopKExec operator (O(√P) row-blocks, one
+    * bounded top-k heap per block-pair task, single k-row reduce — no N²
+    * materialization, no driver-side index). If the rule doesn't fire the
+    * declarative plan still runs correctly via BroadcastNestedLoopJoin +
+    * TakeOrdered.
     */
   def x1CosineTopk(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
@@ -99,19 +101,23 @@ object PipelineOps {
   // ================= x2: exact dedup =================
 
   /** Exact text dedup: keep the lowest doc_id per distinct text. One
-    * hash-partitioned shuffle on the group key; at 100 TB group on
-    * sha2(text, 256) so shuffle keys stay 32 bytes instead of document-sized.
+    * hash-partitioned shuffle whose group key is sha2(text, 256) — 32-byte
+    * digest keys instead of document-sized strings, so at 100 TB the shuffle
+    * moves (digest, doc_id) pairs, never the document bodies. The oracle
+    * groups by the raw text: the two groupings are identical partitions of
+    * the table (modulo SHA-256 collisions), so results match row-for-row.
     */
   def x2DedupExact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(col("text"))
+      .select(sha2(col("text").cast("binary"), 256).as("text_sha"), col("doc_id"))
+      .groupBy(col("text_sha"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
   val x2Sql: String =
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+      |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin
 
   // ================= x3: minhash near-dup (shingle → minhash → LSH bands) ==
 
@@ -223,22 +229,35 @@ object PipelineOps {
 
   /** Direct n-gram-Jaccard near-dup detection — the non-LSH sibling of x3:
     * candidate pairs come from an inverted index on the shingle hash (docs
-    * sharing >= 1 shingle), then exact Jaccard filters. Blocking keys on the
-    * shingle, so the shuffle partitions by shingle and hot shingles — not
-    * N² — bound the cost; at 100 TB you'd drop top-frequency shingles
-    * (stop-shingles) before the self-join.
+    * sharing >= 1 shingle), then exact Jaccard filters.
+    *
+    * Stop-shingle cutoff: a shingle present in > 20% of documents generates
+    * M² candidate pairs in one partition (the hot-key quadratic blowup), so
+    * shingles with df*5 > n_docs are dropped BEFORE the self-join — computed
+    * as a (tiny) stop list, removed via broadcast anti-join, and mirrored
+    * exactly in the oracle. Jaccard is then over the kept-shingle sets in
+    * both engines. At 100 TB the stop list stays small by construction
+    * (only hot keys enter it), so the anti-join is always broadcastable.
     */
+  private val StopShingleDfPct = 5 // keep shingle iff df * 5 <= n_docs (df ≤ 20%)
+
   def x9NgramJaccard(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val hashed = docs.select(col("doc_id"), explode(expr(
+    val allShingles = docs.select(col("doc_id"), explode(expr(
       "array_distinct(transform(" +
         "transform(sequence(1, size(toks)-2), " +
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
         "s -> graft_polyhash(s)))"
     )).as("h"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val stop = allShingles.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") * StopShingleDfPct > col("n_docs"))
+      .select(col("h"))
+    val hashed = allShingles.join(broadcast(stop), Seq("h"), "left_anti")
       .persist()
     val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = hashed.as("a")
@@ -256,15 +275,21 @@ object PipelineOps {
   }
 
   val x9Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    list_reduce(list_transform(regexp_split_to_array(
       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
       |      (a, b) -> (a * 31 + b) % 1000003) AS h
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM toks),
+      |sh AS (
+      |  SELECT doc_id, h FROM sh0
+      |  WHERE h NOT IN (
+      |    SELECT h FROM sh0 GROUP BY h
+      |    HAVING COUNT(*) * $StopShingleDfPct > (SELECT n_docs FROM nd))),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

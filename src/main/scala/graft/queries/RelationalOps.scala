@@ -102,14 +102,19 @@ object RelationalOps {
   // user_id, no range self-join, no N² band expansion. The DuckDB oracle
   // uses its native ASOF LEFT JOIN, proving operator-level equivalence.
   def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    // Order clicks BEFORE purchases at equal ts_us (type_rank tie-break) so a
+    // same-microsecond click is inside the purchase's running-max frame —
+    // matching the oracle's inclusive ASOF condition c.us <= p.ts_us.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
+      .orderBy(col("ts_us"), col("type_rank"), col("event_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.currentRow)
     Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "click"))
       .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("type_rank",
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)))
       .withColumn("click_us",
         when(col("event_type") === "click", col("ts_us")))
       .withColumn("last_click_us", max(col("click_us")).over(w))
@@ -186,13 +191,17 @@ object RelationalOps {
 
   /** t-digest-family sketch percentiles — like a1b, the sketch differs from
     * DuckDB's, so no oracle; the unit spec bounds it against the exact
-    * percentile instead.
+    * percentile instead. Projected to SCALAR columns (not one array<double>)
+    * so the harness's rows-only canon-sort can handle the result.
     */
   def a5ApproxPercentile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 10000)")
-        .as("approx_p50_p90"))
+        .as("pcts"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("approx_p50"),
+        element_at(col("pcts"), 2).as("approx_p90"))
       .orderBy(col("l_returnflag"))
 
   // ---- a4: pivot (wide counts per event_type) ----
