@@ -13,7 +13,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_scale_$n"
+    val big = s"/tmp/graft_scale_v2_$n"
     if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       val rep = spark.range(n).crossJoin(li)
@@ -27,7 +27,14 @@ object ScaleProbe {
         .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
         .drop("id")
         .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
-      Seq("orders", "customer", "embeddings", "events",
+      // embeddings: replicate Nx with distinct vec_ids — drives the exact
+      // pairwise kernel (x1) at N² work with zero driver materialization
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      spark.range(n).crossJoin(emb)
+        .withColumn("vec_id", col("vec_id") + col("id") * 10000000L)
+        .drop("id")
+        .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      Seq("orders", "customer", "events",
           "region", "nation", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
           .parquet(s"$big/$t.parquet")
@@ -41,7 +48,8 @@ object ScaleProbe {
       println(f"$name%-18s $dir%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
     }
     for (q <- Seq("q1c_scan_filter", "q2c_substr_agg", "f4_math", "f6_moments",
-                  "x2_dedup_exact", "x11_tokencount", "x4_textstats"))
+                  "x2_dedup_exact", "x11_tokencount", "x4_textstats",
+                  "x1_cosine_topk"))
       { time(q, src); time(q, big) }
     spark.stop()
   }

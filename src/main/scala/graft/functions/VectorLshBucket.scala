@@ -84,7 +84,31 @@ case class VectorLshBucket(child: Expression, numPlanes: Int)
 }
 
 object VectorLshBucket {
+
+  /** Default plane count for small/benchmark inputs. The bucket count must
+    * scale with N: with p planes there are 2^p buckets, and in-bucket
+    * verification is quadratic in bucket occupancy, so choose
+    * p ≈ log2(N / target_bucket_size) — e.g. N = 10⁹ vectors and ~1k-vector
+    * buckets needs p ≈ 20, not 8. `graft_lsh_bucket(emb, p)` takes the
+    * count as a literal second argument end-to-end; multi-probe or
+    * multi-table LSH layers on top by unioning bucketings over different
+    * plane seeds (here: plane index offsets).
+    */
+  val DefaultPlanes = 8
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_bucket", exprs => VectorLshBucket(exprs.head, 8), "built-in")
+      "graft_lsh_bucket", exprs => {
+        val planes = exprs match {
+          case Seq(_) => DefaultPlanes
+          case Seq(_, p) => p.eval(null) match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_lsh_bucket plane count must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_lsh_bucket takes (embedding[, numPlanes])")
+        }
+        VectorLshBucket(exprs.head, planes)
+      }, "built-in")
 }

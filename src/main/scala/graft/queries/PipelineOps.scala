@@ -482,17 +482,24 @@ object PipelineOps {
   private def projSql(j: Int): String =
     s"list_transform(range(64), i -> ((i * 1103515245 + $j * 12345 + 42) % 2000001) / 1000000.0 - 1.0)"
 
-  /** Random-hyperplane LSH: 8 deterministic pseudo-projections → 8 sign bits
-    * → 256 buckets; candidate pairs only within a bucket, verified with the
-    * codegen'd VectorCosine. Sub-quadratic: the self-join key is the bucket,
-    * so the shuffle partitions by bucket and never materializes N² pairs.
+  /** Random-hyperplane LSH: `planes` deterministic pseudo-projections →
+    * sign bits → 2^planes buckets; candidate pairs only within a bucket,
+    * verified with the codegen'd VectorCosine. Sub-quadratic: the self-join
+    * key is the bucket, so the shuffle partitions by bucket and never
+    * materializes N² pairs.
+    *
+    * The plane count is the scale knob (see VectorLshBucket.DefaultPlanes):
+    * in-bucket cost is quadratic in occupancy ≈ N/2^planes, so planes must
+    * grow with log2(N) — x8 declares the 8-plane default and x8b a 6-plane
+    * variant, proving the parameter is wired end-to-end (expression,
+    * plan, and oracle all take it).
     */
-  def x8AnnLsh(s: SparkSession, d: String): DataFrame = {
+  private def annLsh(planes: Int)(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
     val sig = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr("graft_lsh_bucket(embedding)").as("bucket"))
+        expr(s"graft_lsh_bucket(embedding, $planes)").as("bucket"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -501,8 +508,11 @@ object PipelineOps {
       .limit(20)
   }
 
-  val x8Sql: String = {
-    val bucket = (0 until 8).map { j =>
+  def x8AnnLsh(s: SparkSession, d: String): DataFrame = annLsh(8)(s, d)
+  def x8bAnnLsh6(s: SparkSession, d: String): DataFrame = annLsh(6)(s, d)
+
+  private def x8SqlOf(planes: Int): String = {
+    val bucket = (0 until planes).map { j =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH sig AS (
@@ -513,20 +523,28 @@ object PipelineOps {
        |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
   }
 
+  val x8Sql: String = x8SqlOf(8)
+  val x8bSql: String = x8SqlOf(6)
+
   // ===== x12: IVF ANN (coarse quantization; the other 100 TB ANN path) ====
 
-  /** IVF-flat: assign every vector to its nearest of 16 deterministic
-    * pivots (the lowest vec_ids), then answer queries by scanning only the
-    * query's own cluster — the coarse-quantization sibling of x8's LSH.
-    * Pivots broadcast (16 rows); assignment is one narrow pass; the probe
+  /** IVF-flat: assign every vector to its nearest of `numPivots`
+    * deterministic pivots (the lowest vec_ids), then answer queries by
+    * scanning only the query's own cluster — the coarse-quantization sibling
+    * of x8's LSH. Pivots broadcast; assignment is one narrow pass; the probe
     * join keys on the cluster id, so candidate generation partitions by
     * cluster and never touches other cells.
+    *
+    * Pivot count is the scale knob: per-cluster probe cost is ≈ N/numPivots,
+    * so pivots grow with N (FAISS-style rule: √N centroids). x12 declares
+    * the 16-pivot default and x12b an 8-pivot variant — the parameter is
+    * wired end-to-end.
     */
-  def x12AnnIvf(s: SparkSession, d: String): DataFrame = {
+  private def annIvf(numPivots: Int)(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     val w = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val pivots = emb.filter(col("vec_id") < 16)
+    val pivots = emb.filter(col("vec_id") < numPivots)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
     val wAssign = w.partitionBy(col("vec_id"))
       .orderBy(col("pcos").desc, col("p_id"))
@@ -549,7 +567,10 @@ object PipelineOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  val x12Sql: String = {
+  def x12AnnIvf(s: SparkSession, d: String): DataFrame = annIvf(16)(s, d)
+  def x12bAnnIvf8(s: SparkSession, d: String): DataFrame = annIvf(8)(s, d)
+
+  private def x12SqlOf(numPivots: Int): String = {
     val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
@@ -558,7 +579,7 @@ object PipelineOps {
        |    SELECT e.vec_id, p.vec_id AS p_id,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |             ORDER BY $cosEP DESC, p.vec_id) AS rn
-       |    FROM embeddings e JOIN embeddings p ON p.vec_id < 16)
+       |    FROM embeddings e JOIN embeddings p ON p.vec_id < $numPivots)
        |  WHERE rn = 1)
        |SELECT q_id, rk, n_id, sim FROM (
        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
@@ -571,6 +592,9 @@ object PipelineOps {
        |  JOIN embeddings b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id)
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
+
+  val x12Sql: String = x12SqlOf(16)
+  val x12bSql: String = x12SqlOf(8)
 
   // ================= m1/m2: multimodal binary-column plumbing =============
 
@@ -639,10 +663,12 @@ object PipelineOps {
     "x6_langid"          -> (x6Langid _),
     "x7_fingerprint"     -> (x7Fingerprint _),
     "x8_ann_lsh"         -> (x8AnnLsh _),
+    "x8b_ann_lsh6"       -> (x8bAnnLsh6 _),
     "x9_ngram_jaccard"   -> (x9NgramJaccard _),
     "x10_quality"        -> (x10Quality _),
     "x11_tokencount"     -> (x11Tokencount _),
     "x12_ann_ivf"        -> (x12AnnIvf _),
+    "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -657,10 +683,12 @@ object PipelineOps {
     "x6_langid"          -> x6Sql,
     "x7_fingerprint"     -> x7Sql,
     "x8_ann_lsh"         -> x8Sql,
+    "x8b_ann_lsh6"       -> x8bSql,
     "x9_ngram_jaccard"   -> x9Sql,
     "x10_quality"        -> x10Sql,
     "x11_tokencount"     -> x11Sql,
     "x12_ann_ivf"        -> x12Sql,
+    "x12b_ann_ivf8"      -> x12bSql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )

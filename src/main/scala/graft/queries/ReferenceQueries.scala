@@ -119,6 +119,33 @@ object ReferenceQueries {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
+  /** Q4's literal external-script TRANSFORM mechanism: upstream pipes rows
+    * through `python url_count.py` via Hive TRANSFORM (amplab/benchmark
+    * `runner/run_query.py` QUERY_4 + `runner/url_count.py`); the 1:1 Spark
+    * shape is `RDD.pipe` — each partition feeds one external process over
+    * stdin/stdout, the process boundary is real. The piped script is a
+    * url_count.py-like tokenizer (split + emit one token per line); the
+    * re-aggregation stays in Spark, so the oracle is the same wordcount SQL
+    * as q4_wordcount. At 100 TB this runs one OS process per partition —
+    * the same contract as Hive TRANSFORM, no driver involvement.
+    */
+  def q4Pipe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokenizer =
+      "import sys\n" +
+      "for line in sys.stdin:\n" +
+      "    for tok in line.rstrip('\\n').split(' '):\n" +
+      "        print(tok)\n"
+    val tokens = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .rdd.pipe(Seq("python3", "-c", tokenizer))
+    tokens.toDF("token")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
   /** Q4's two-phase CTAS shape: partial counts per (source, token), then
     * re-aggregate per token. Declared as one chained plan for the oracle;
     * the materialized two-step variant lives in unit tests (sink path).
@@ -186,6 +213,7 @@ object ReferenceQueries {
     "q3c_join_topk"   -> (q3c _),
     "q4_wordcount"    -> (q4Wordcount _),
     "q4_ctas"         -> (q4Ctas _),
+    "q4_pipe"         -> (q4Pipe _),
     "q5_star_join"    -> (q5StarJoin _)
   )
 
@@ -201,6 +229,7 @@ object ReferenceQueries {
     "q3c_join_topk"   -> q3Sql("2002-01-01"),
     "q4_wordcount"    -> q4WordcountSql,
     "q4_ctas"         -> q4CtasSql,
+    "q4_pipe"         -> q4WordcountSql, // process boundary differs, result must not
     "q5_star_join"    -> q5Sql
   )
 }

@@ -132,6 +132,56 @@ object RelationalOps {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.us <= p.ts_us
       |ORDER BY event_id""".stripMargin
 
+  // ---- j6: interval (range) join via bucketization ----
+  // Clicks landing inside the 10-minute window before each purchase. The
+  // naive BETWEEN join has no equi-key (BroadcastNestedLoopJoin, O(|L|·|R|));
+  // RangeJoin.pointInInterval buckets both sides on a 600 s band so the join
+  // is an equi-join on the bucket with the exact range as residual — the
+  // shuffle keys on the bucket and scales linearly.
+  private val WindowUs = 600000000L // 10 min in µs
+
+  def j6RangeBucket(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        (col("ts_us") - WindowUs).as("lo"), col("ts_us").as("hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(clicks, purchases, "ts_us", "lo", "hi", WindowUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val j6Sql: String =
+    s"""WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS ts_us
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT event_id AS purchase_id, epoch_us(ts) - $WindowUs AS lo,
+       |             epoch_us(ts) AS hi
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT p.purchase_id, COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+       |FROM p JOIN c ON c.ts_us BETWEEN p.lo AND p.hi
+       |GROUP BY p.purchase_id ORDER BY purchase_id""".stripMargin
+
+  // ---- j7: salted equi-join (deterministic skew mitigation) ----
+  // Result is provably the plain orders⋈customer join — the salt spreads
+  // each hot o_custkey over 8 sub-partitions while customer replicates 8×.
+  def j7SaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.Salting
+      .saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+
+  val j7Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- a1: exact distinct ----
   def a1Distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -444,6 +494,8 @@ object RelationalOps {
     "j3_semijoin"        -> (j3Semijoin _),
     "j4_theta_range"     -> (j4ThetaRange _),
     "j5_asof_join"       -> (j5AsofJoin _),
+    "j6_range_bucket"    -> (j6RangeBucket _),
+    "j7_salted_join"     -> (j7SaltedJoin _),
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
     "a1b_approx_distinct" -> (a1bApproxDistinct _),
@@ -470,6 +522,8 @@ object RelationalOps {
     "j3_semijoin"    -> j3Sql,
     "j4_theta_range" -> j4Sql,
     "j5_asof_join"   -> j5Sql,
+    "j6_range_bucket" -> j6Sql,
+    "j7_salted_join" -> j7Sql,
     "a1_distinct"    -> a1Sql,
     // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check
     // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check
