@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalOps.queries ++
-      WindowOps.queries ++ UserDefined.queries ++ PipelineOps.queries
+      WindowOps.queries ++ UserDefined.queries ++ PipelineOps.queries ++
+      graft.sources.MultiFormat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ RelationalOps.oracles ++
-      WindowOps.oracles ++ UserDefined.oracles ++ PipelineOps.oracles
+      WindowOps.oracles ++ UserDefined.oracles ++ PipelineOps.oracles ++
+      graft.sources.MultiFormat.oracles
 }

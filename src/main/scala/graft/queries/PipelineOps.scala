@@ -231,44 +231,64 @@ object PipelineOps {
     * candidate pairs come from an inverted index on the shingle hash (docs
     * sharing >= 1 shingle), then exact Jaccard filters.
     *
-    * Stop-shingle cutoff: a shingle present in > 20% of documents generates
-    * M² candidate pairs in one partition (the hot-key quadratic blowup), so
-    * shingles with df*5 > n_docs are dropped BEFORE the self-join — computed
-    * as a (tiny) stop list, removed via broadcast anti-join, and mirrored
-    * exactly in the oracle. Jaccard is then over the kept-shingle sets in
-    * both engines. At 100 TB the stop list stays small by construction
-    * (only hot keys enter it), so the anti-join is always broadcastable.
+    * Stop-shingle cutoff: a shingle present in > 20% of documents (or in
+    * more than StopShingleMaxDf documents — the absolute cap bounds posting
+    * lists at any N) generates M² candidate pairs in one partition (the
+    * hot-key quadratic blowup), so those shingles are dropped BEFORE pair
+    * generation; mirrored exactly in the oracle, so Jaccard is over the
+    * kept-shingle sets in both engines. n_docs is one scalar count
+    * (metadata-scale, like an AQE statistic).
+    *
+    * The candidate join is the codegen'd shingle-keyed self-join (HOF
+    * pair-explosion from grouped posting lists was measured slower — SQL
+    * lambda functions run interpreted, whole-stage-codegen'd joins don't).
+    * Set sizes are computed map-side from the shingle ARRAY before explode
+    * and ride through the join as grouping keys, so there is no sizes
+    * aggregate and no sizes joins: shuffle count is the self-join's two
+    * exchanges plus the pair aggregate, nothing else.
     */
   private val StopShingleDfPct = 5 // keep shingle iff df * 5 <= n_docs (df ≤ 20%)
+  private val StopShingleMaxDf = 10000L // absolute posting-list bound
 
   def x9NgramJaccard(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
-    val docs = Tables.documents(s, d)
+    // one cached postings table (doc_id, set size, shingle) — everything
+    // downstream (doc count, stop list, both join sides) reads this cache
+    val posts = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val allShingles = docs.select(col("doc_id"), explode(expr(
-      "array_distinct(transform(" +
-        "transform(sequence(1, size(toks)-2), " +
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
-        "s -> graft_polyhash(s)))"
-    )).as("h"))
-    val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val stop = allShingles.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df") * StopShingleDfPct > col("n_docs"))
-      .select(col("h"))
-    val hashed = allShingles.join(broadcast(stop), Seq("h"), "left_anti")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(" +
+          "transform(sequence(1, size(toks)-2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
+          "s -> graft_polyhash(s)))"
+      ).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
       .persist()
-    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = hashed.as("a")
-      .join(hashed.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val nDocs = posts.agg(countDistinct(col("doc_id"))).first().getLong(0)
+    val stop = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * StopShingleDfPct > lit(nDocs) ||
+              col("df") > lit(StopShingleMaxDf))
+      .select(col("h"))
+      .persist()
+    // Fast path when no shingle is hot (every small/benchmark SF): zero
+    // extra stages. Hot path: remove stopped postings via broadcast
+    // anti-join (the stop side only holds keys with df > n_docs/5 — tiny by
+    // construction), then recompute the per-doc kept-set sizes.
+    val kept =
+      if (stop.count() == 0) posts
+      else posts.select(col("doc_id"), col("h"))
+        .join(broadcast(stop), Seq("h"), "left_anti")
+        .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -289,7 +309,8 @@ object PipelineOps {
       |  SELECT doc_id, h FROM sh0
       |  WHERE h NOT IN (
       |    SELECT h FROM sh0 GROUP BY h
-      |    HAVING COUNT(*) * $StopShingleDfPct > (SELECT n_docs FROM nd))),
+      |    HAVING COUNT(*) * $StopShingleDfPct > (SELECT n_docs FROM nd)
+      |        OR COUNT(*) > $StopShingleMaxDf)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

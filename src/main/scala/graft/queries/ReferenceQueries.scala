@@ -131,11 +131,14 @@ object ReferenceQueries {
     */
   def q4Pipe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // replace()-based emit: C-speed inside the interpreter, identical token
+    // stream to a split-and-print loop (empties between double spaces kept)
     val tokenizer =
       "import sys\n" +
+      "w = sys.stdout.write\n" +
       "for line in sys.stdin:\n" +
-      "    for tok in line.rstrip('\\n').split(' '):\n" +
-      "        print(tok)\n"
+      "    w(line.rstrip('\\n').replace(' ', '\\n'))\n" +
+      "    w('\\n')\n"
     val tokens = Tables.documents(s, d)
       .select(col("text")).as[String]
       .rdd.pipe(Seq("python3", "-c", tokenizer))

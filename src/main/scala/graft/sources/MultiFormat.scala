@@ -58,4 +58,37 @@ object MultiFormat {
         .option("inferSchema", "true").csv(path)
       case f => spark.read.format(f).load(path)
     }
+
+  /** Declared non-parquet-source key: round-trip customer through gzip CSV
+    * (the reference's text/deflate external-table shape) and aggregate from
+    * the CSV scan. The read uses an EXPLICIT schema — inferSchema would be a
+    * second full scan, and exact dtypes are part of the oracle contract.
+    * Double → CSV → double round-trips exactly (shortest-representation
+    * printing), so the aggregate hash-matches the parquet-side oracle.
+    */
+  def src1CsvScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src1_csv_$tag"
+    val cust = graft.Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    write(cust, "csv", path, Some("gzip"))
+    spark.read
+      .schema("c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+      .csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val src1Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("src1_csv_scan" -> (src1CsvScan _))
+
+  val oracles: Map[String, String] =
+    Map("src1_csv_scan" -> src1Sql)
 }
