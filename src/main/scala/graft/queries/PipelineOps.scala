@@ -547,6 +547,69 @@ object PipelineOps {
   val x8Sql: String = x8SqlOf(8)
   val x8bSql: String = x8SqlOf(6)
 
+  // ===== x13: embedding-cosine near-dup dedup ==========
+
+  private val EmbedDupThreshold = 0.40
+
+  /** Embedding-space near-duplicate marking — the vector sibling of x2/x3:
+    * every vector that has a sufficiently-cosine-similar LOWER-id vector in
+    * its LSH bucket is marked a duplicate of the lowest such id. Candidate
+    * generation is the bucket equi-join (sub-quadratic, same path as x8);
+    * the threshold comparison runs on the unrounded cosine, which is
+    * bit-identical cross-engine (same left-to-right fold). On real data the
+    * threshold would sit near 0.99; the synthetic embeddings' similarity
+    * ceiling is ~0.51, so the declared key uses 0.40 to exercise the
+    * pipeline with a non-trivial result.
+    */
+  def x13EmbedDedup(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    graft.functions.VectorLshBucket.register(s)
+    val sig = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("graft_lsh_bucket(embedding)").as("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("graft_cosine(a.embedding, b.embedding)") >= EmbedDupThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"), count(lit(1)).as("n_matches"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x13Sql: String = {
+    val bucket = (0 until 8).map { j =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of, COUNT(*) AS n_matches
+       |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosineSqlOf("a", "b")} >= $EmbedDupThreshold
+       |GROUP BY b.vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ===== x14: deterministic hash sampling (training-data selection) ========
+
+  /** Bernoulli-by-hash sampling at 5%: the data-selection primitive of a
+    * training pipeline. Hash-mod sampling (vs rand()) is reproducible across
+    * engines, stable across reruns, and consistent per document — the same
+    * doc is in or out of the sample regardless of partitioning, executor
+    * count, or engine. Pure map-side: no shuffle except the output sort.
+    */
+  def x14HashSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .filter(pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(100)) < 5)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x14Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE list_reduce(list_transform(regexp_split_to_array(
+      |        CAST(doc_id AS VARCHAR), ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) % 100 < 5
+      |ORDER BY doc_id""".stripMargin
+
   // ===== x12: IVF ANN (coarse quantization; the other 100 TB ANN path) ====
 
   /** IVF-flat: assign every vector to its nearest of `numPivots`
@@ -690,6 +753,8 @@ object PipelineOps {
     "x11_tokencount"     -> (x11Tokencount _),
     "x12_ann_ivf"        -> (x12AnnIvf _),
     "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
+    "x13_embed_dedup"    -> (x13EmbedDedup _),
+    "x14_hash_sample"    -> (x14HashSample _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -710,6 +775,8 @@ object PipelineOps {
     "x11_tokencount"     -> x11Sql,
     "x12_ann_ivf"        -> x12Sql,
     "x12b_ann_ivf8"      -> x12bSql,
+    "x13_embed_dedup"    -> x13Sql,
+    "x14_hash_sample"    -> x14Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )

@@ -274,6 +274,56 @@ object RelationalOps {
        |FROM events GROUP BY 1 ORDER BY day_ms""".stripMargin
   }
 
+  // ---- a6: unpivot (wide measures -> long (measure, value) rows) ----
+  // The inverse of a4's pivot: aggregate wide, then stack() to long form —
+  // stack is the built-in Generator, so the unpivot is map-side only.
+  def a6Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+           sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+           sum(money6(col("l_discount"))).cast("double").as("sum_disc"))
+      .select(col("l_returnflag"), expr(
+        "stack(3, 'qty', sum_qty, 'price', sum_price, 'disc', sum_disc) as (measure, value)"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val a6Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'qty' AS measure, sum_qty AS value FROM wide
+      |  UNION ALL SELECT l_returnflag, 'price', sum_price FROM wide
+      |  UNION ALL SELECT l_returnflag, 'disc', sum_disc FROM wide)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ---- f10: lateral correlated subquery (top-2 per key via LATERAL) ----
+  // The LATERAL join surface: per-nation top-2 customers by balance.
+  // Catalyst plans the correlated limited subquery via DomainJoin rewrite —
+  // no per-row re-scan.
+  def f10Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_f10")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_f10")
+    s.sql(
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM graft_nation_f10 n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer_f10
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  val f10Sql: String =
+    """SELECT n.n_name, c.c_custkey, c.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
   // ---- f6: moment statistics from exact decimal sums ----
   // stddev/variance over doubles are aggregation-order-dependent; deriving
   // them from exact decimal moments (Σx, Σx²) makes them deterministic and
@@ -502,6 +552,8 @@ object RelationalOps {
     "a2_rollup"          -> (a2Rollup _),
     "a3_cube"            -> (a3Cube _),
     "a4_pivot"           -> (a4Pivot _),
+    "a6_unpivot"         -> (a6Unpivot _),
+    "f10_lateral"        -> (f10Lateral _),
     "f6_moments"         -> (f6Moments _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "f8_correlated"      -> (f8Correlated _),
@@ -530,6 +582,8 @@ object RelationalOps {
     "a2_rollup"      -> a2Sql,
     "a3_cube"        -> a3Sql,
     "a4_pivot"       -> a4Sql,
+    "a6_unpivot"     -> a6Sql,
+    "f10_lateral"    -> f10Sql,
     "f6_moments"     -> f6Sql,
     "f7_scalar_subquery" -> f7Sql,
     "f8_correlated"  -> f8Sql,
