@@ -532,6 +532,49 @@ object PipelineOps {
   def x8AnnLsh(s: SparkSession, d: String): DataFrame = annLsh(8)(s, d)
   def x8bAnnLsh6(s: SparkSession, d: String): DataFrame = annLsh(6)(s, d)
 
+  /** Multi-table LSH — the recall mechanism: two INDEPENDENT bucketings
+    * (table 1 = planes 0-7; table 2 = planes 8-13, extracted as the high
+    * bits of a 14-plane signature), candidates unioned then deduped. A true
+    * near-neighbor missed by one table's sign pattern is caught by the
+    * other; candidate generation stays bucket-keyed and sub-quadratic in
+    * each table. The union is a distinct over (pair, sim) — sim is
+    * deterministic, so the dedup key is exact.
+    */
+  def x8cAnnLshMulti(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    graft.functions.VectorLshBucket.register(s)
+    val sig = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("graft_lsh_bucket(embedding, 8)").as("b1"),
+        expr("graft_lsh_bucket(embedding, 14) div 256").as("b2"))
+    def cands(k: String) = sig.as("a").join(sig.as("b"),
+        col(s"a.$k") === col(s"b.$k") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
+    cands("b1").union(cands("b2"))
+      .distinct()
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val x8cSql: String = {
+    def bucketOf(planes: Int): String = (0 until planes).map { j =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, ${bucketOf(8)} AS b1,
+       |         (${bucketOf(14)}) // 256 AS b2 FROM embeddings)
+       |SELECT vec_a, vec_b, sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
+       |  FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
+       |  FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.vec_id < b.vec_id)
+       |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
   private def x8SqlOf(planes: Int): String = {
     val bucket = (0 until planes).map { j =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
@@ -748,6 +791,7 @@ object PipelineOps {
     "x7_fingerprint"     -> (x7Fingerprint _),
     "x8_ann_lsh"         -> (x8AnnLsh _),
     "x8b_ann_lsh6"       -> (x8bAnnLsh6 _),
+    "x8c_ann_lsh_multi"  -> (x8cAnnLshMulti _),
     "x9_ngram_jaccard"   -> (x9NgramJaccard _),
     "x10_quality"        -> (x10Quality _),
     "x11_tokencount"     -> (x11Tokencount _),
@@ -770,6 +814,7 @@ object PipelineOps {
     "x7_fingerprint"     -> x7Sql,
     "x8_ann_lsh"         -> x8Sql,
     "x8b_ann_lsh6"       -> x8bSql,
+    "x8c_ann_lsh_multi"  -> x8cSql,
     "x9_ngram_jaccard"   -> x9Sql,
     "x10_quality"        -> x10Sql,
     "x11_tokencount"     -> x11Sql,

@@ -55,6 +55,14 @@ class Round2Spec extends SparkSpec {
     assert(lshTop >= lsh8Top)
   }
 
+  test("x8c multi-table LSH recall >= single-table: top sim at least x8's") {
+    val multiTop = run("x8c_ann_lsh_multi", sf001).head().getDouble(2)
+    val singleTop = run("x8_ann_lsh", sf001).head().getDouble(2)
+    assert(multiTop >= singleTop)
+    val exactTop = run("x1_cosine_topk", sf001).head().getDouble(2)
+    assert(multiTop <= exactTop)
+  }
+
   test("x12b 8-pivot IVF returns full top-3 lists for every query vector") {
     val rows = run("x12b_ann_ivf8", sf001).collect()
     assert(rows.length === 30) // 10 query vectors x top-3
