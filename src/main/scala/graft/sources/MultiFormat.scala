@@ -86,9 +86,41 @@ object MultiFormat {
       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Declared partition-pruning key: events re-laid-out day-partitioned
+    * (the layout a 100 TB event store uses), then read back with a
+    * single-day filter — the scan lists only that day's directory
+    * (PartitionFilters prune before any file is opened; asserted
+    * structurally in PruningCachingSpec, verified by value here).
+    */
+  def src2PartitionedScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src2_part_$tag"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      graft.Tables.events(spark, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(path)
+    }
+    val part = spark.read.parquet(path)
+    val firstDay = part.agg(min(col("day"))).first().getDate(0)
+    part.filter(col("day") === lit(firstDay))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val src2Sql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE date_trunc('day', ts) = (SELECT MIN(date_trunc('day', ts)) FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("src1_csv_scan" -> (src1CsvScan _))
+    Map("src1_csv_scan" -> (src1CsvScan _),
+        "src2_partitioned_scan" -> (src2PartitionedScan _))
 
   val oracles: Map[String, String] =
-    Map("src1_csv_scan" -> src1Sql)
+    Map("src1_csv_scan" -> src1Sql,
+        "src2_partitioned_scan" -> src2Sql)
 }
