@@ -78,8 +78,12 @@ object Bench {
           val times = subset.flatMap { name =>
             SparkEntry.queries.get(name).map { fn =>
               val t0 = System.nanoTime()
-              try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-              "\"" + name + "\":" + (System.nanoTime() - t0) / 1e9
+              val ok = try { fn(spark, sfDir).count(); true }
+                       catch { case _: Throwable => false }
+              // -1 marks a failure — a cached-path regression must not
+              // masquerade as a fast timing
+              val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+              "\"" + name + "\":" + secs
             }
           }
           tables.foreach(_.unpersist(blocking = true))

@@ -14,7 +14,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val big = s"/tmp/graft_scale_v2_$n"
-    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+    // sentinel written LAST: an interrupted generation run must regenerate,
+    // not be mistaken for a complete dataset
+    val done = new java.io.File(s"$big/_GRAFT_DONE")
+    if (!done.exists()) {
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       val rep = spark.range(n).crossJoin(li)
         .withColumn("l_orderkey", col("l_orderkey") + col("id") * 10000000L)
@@ -39,6 +42,7 @@ object ScaleProbe {
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
           .parquet(s"$big/$t.parquet")
       }
+      done.createNewFile()
     }
     def time(name: String, dir: String): Unit = {
       val fn = SparkEntry.queries(name)

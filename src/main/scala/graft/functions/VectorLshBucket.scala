@@ -101,11 +101,14 @@ object VectorLshBucket {
       "graft_lsh_bucket", exprs => {
         val planes = exprs match {
           case Seq(_) => DefaultPlanes
-          case Seq(_, p) => p.eval(null) match {
+          case Seq(_, p) if p.foldable => p.eval(null) match {
             case i: Int => i
+            case l: Long => l.toInt
             case other => throw new IllegalArgumentException(
               s"graft_lsh_bucket plane count must be an integer literal, got $other")
           }
+          case Seq(_, _) => throw new IllegalArgumentException(
+            "graft_lsh_bucket plane count must be a foldable literal, not a column")
           case _ => throw new IllegalArgumentException(
             "graft_lsh_bucket takes (embedding[, numPlanes])")
         }

@@ -145,8 +145,13 @@ case class CosineTopKExec(
     val kk = k
     val idOrd = idOrdinal
     val embOrd = embOrdinal
+    // NaN sims (zero-norm vectors) must rank HIGHEST — Spark's descending
+    // sort orders NaN above every double, so the declarative plan lists NaN
+    // pairs first and this exec must agree. rank() maps NaN to +Inf for
+    // ordering while the emitted sim stays NaN.
+    def rank(s: Double): Double = if (s.isNaN) Double.PositiveInfinity else s
     val worstFirst: Ordering[(Double, Long, Long)] =
-      Ordering.by(t => (-t._1, t._2, t._3))
+      Ordering.by(t => (-rank(t._1), t._2, t._3))
 
     // 1. Extract (id, vec, norm) once, copying out of the reused UnsafeRow.
     val data: RDD[(Long, Array[Float], Double)] =
@@ -189,10 +194,13 @@ case class CosineTopKExec(
           def offer(sim: Double, a: Long, b: Long): Unit = {
             // fast path: rounded(sim) <= sim + 5e-7, so anything more than
             // half a rounding grid below the kept worst can't displace it —
-            // skip the (allocating) BigDecimal round for ~all pairs
-            if (heap.size < kk || sim >= heap.head._1 - 5e-7) {
-              val simR = new JBigDecimal(sim)
-                .setScale(6, RoundingMode.HALF_UP).doubleValue()
+            // skip the (allocating) BigDecimal round for ~all pairs. NaN
+            // always enters (it ranks highest, and BigDecimal would throw).
+            if (heap.size < kk || sim.isNaN ||
+                sim >= rank(heap.head._1) - 5e-7) {
+              val simR = if (sim.isNaN) sim
+                else new JBigDecimal(sim)
+                  .setScale(6, RoundingMode.HALF_UP).doubleValue()
               val cand = (simR, math.min(a, b), math.max(a, b))
               if (heap.size < kk) heap.enqueue(cand)
               else if (worstFirst.compare(cand, heap.head) < 0) {

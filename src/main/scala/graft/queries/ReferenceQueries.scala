@@ -128,6 +128,14 @@ object ReferenceQueries {
     * re-aggregation stays in Spark, so the oracle is the same wordcount SQL
     * as q4_wordcount. At 100 TB this runs one OS process per partition —
     * the same contract as Hive TRANSFORM, no driver involvement.
+    *
+    * Precondition (inherent to any line-oriented TRANSFORM, including the
+    * reference's): document text must not contain newline/CR characters —
+    * the pipe protocol is one row per line, so embedded newlines would
+    * split a document into several rows and diverge from split(text, ' ').
+    * The synthetic corpus is newline-free; real crawl data would be
+    * escaped (e.g. base64 or \\n-escaping) at ingest, exactly as Hive
+    * TRANSFORM pipelines do.
     */
   def q4Pipe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -59,6 +59,17 @@ object MultiFormat {
       case f => spark.read.format(f).load(path)
     }
 
+  /** Re-layout cache guard: rebuild the /tmp copy when it's missing OR
+    * older than the source parquet — a stale copy must never survive a
+    * testdata regeneration (the oracle always reads the fresh source).
+    */
+  private def ensureLayout(sourceFile: java.io.File, outPath: String)
+                          (build: => Unit): Unit = {
+    val success = new java.io.File(outPath, "_SUCCESS")
+    if (!success.exists() || success.lastModified() < sourceFile.lastModified())
+      build
+  }
+
   /** Declared non-parquet-source key: round-trip customer through gzip CSV
     * (the reference's text/deflate external-table shape) and aggregate from
     * the CSV scan. The read uses an EXPLICIT schema — inferSchema would be a
@@ -69,9 +80,11 @@ object MultiFormat {
   def src1CsvScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val path = s"/tmp/graft_src1_csv_$tag"
-    val cust = graft.Tables.customer(spark, d)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
-    write(cust, "csv", path, Some("gzip"))
+    ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
+      val cust = graft.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      write(cust, "csv", path, Some("gzip"))
+    }
     spark.read
       .schema("c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
       .csv(path)
@@ -95,7 +108,7 @@ object MultiFormat {
   def src2PartitionedScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val path = s"/tmp/graft_src2_part_$tag"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    ensureLayout(new java.io.File(s"$d/events.parquet"), path) {
       graft.Tables.events(spark, d)
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").mode("overwrite").parquet(path)

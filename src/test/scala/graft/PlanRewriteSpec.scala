@@ -26,6 +26,36 @@ class PlanRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("NaN sims (zero-norm vectors) rank first, matching the declarative plan") {
+    GraftPlanner.install(spark)
+    graft.functions.VectorCosine.register(spark)
+    import spark.implicits._
+    // two zero vectors: their pair (and their pairs with others) is NaN
+    val rows = (0L until 20L).map { i =>
+      val v = if (i < 2) Array.fill(4)(0.0f)
+              else Array.tabulate(4)(j => (i + j).toFloat)
+      (i, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def topk(e: org.apache.spark.sql.DataFrame) =
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(5)
+    val fastDf = topk(emb)
+    assert(fastDf.queryExecution.executedPlan.toString.contains("CosineTopK"))
+    val fast = fastDf.collect()
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try {
+      val naive = topk(emb).collect()
+      assert(fast.sameElements(naive),
+        s"NaN ordering diverged:\nfast=${fast.mkString(",")}\nnaive=${naive.mkString(",")}")
+      assert(fast.head.getDouble(2).isNaN, "NaN pairs must rank first")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("rewrite leaves non-matching topk plans untouched") {
     GraftPlanner.install(spark)
     graft.functions.VectorCosine.register(spark)
