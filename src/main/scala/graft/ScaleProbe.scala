@@ -10,6 +10,10 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is timestamp[ns]; the raw copy below needs the same
+      // legacy shim graft.Tables uses (ts stays a plain int64 in the copy,
+      // which Tables.events handles identically)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"

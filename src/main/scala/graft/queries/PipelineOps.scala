@@ -590,6 +590,63 @@ object PipelineOps {
   val x8Sql: String = x8SqlOf(8)
   val x8bSql: String = x8SqlOf(6)
 
+  // ===== x15: dedup clusters (connected components over near-dup pairs) ===
+
+  /** The step after pair detection in a real dedup pipeline: union the x3
+    * near-dup pairs into clusters and assign every member its canonical id
+    * (= the minimum doc_id in its component). Implemented as distributed
+    * min-label propagation — each iteration is one join + one keyed min
+    * aggregate, the classic Spark connected-components loop (driver only
+    * coordinates the fixpoint check; all data movement is shuffles on the
+    * node key). Near-dup components are tiny by construction (near-dups of
+    * near-dups), so the iteration count is the component diameter — single
+    * digits; a 20-iteration guard bounds the plan in any case. The DuckDB
+    * oracle replays the same closure with WITH RECURSIVE.
+    */
+  def x15DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = x3MinhashNeardup(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges.join(labels, edges("doc_b") === labels("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+      val updated = labels.select(col("node"), col("label"))
+        .union(neighborMin)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      val changes = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
+  val x15Sql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM (${x3Sql.replace("\n", "\n|")}) t),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
+       |SELECT node AS doc_id, MIN(r) AS cluster FROM reach
+       |GROUP BY node ORDER BY doc_id""".stripMargin
+
   // ===== x13: embedding-cosine near-dup dedup ==========
 
   private val EmbedDupThreshold = 0.40
@@ -799,6 +856,7 @@ object PipelineOps {
     "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
     "x13_embed_dedup"    -> (x13EmbedDedup _),
     "x14_hash_sample"    -> (x14HashSample _),
+    "x15_dedup_clusters" -> (x15DedupClusters _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -822,6 +880,7 @@ object PipelineOps {
     "x12b_ann_ivf8"      -> x12bSql,
     "x13_embed_dedup"    -> x13Sql,
     "x14_hash_sample"    -> x14Sql,
+    "x15_dedup_clusters" -> x15Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )
