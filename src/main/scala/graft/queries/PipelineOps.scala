@@ -611,22 +611,32 @@ object PipelineOps {
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
+    // Convergence via label checksum: labels only ever DECREASE (min of
+    // self and neighbors), so an unchanged sum is a fixpoint — one scalar
+    // aggregate per iteration instead of a compare-join. Decimal sum can't
+    // overflow at any N.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    def step(l: DataFrame): DataFrame = {
+      val neighborMin = edges.join(l, edges("doc_b") === l("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+      l.select(col("node"), col("label"))
+        .union(neighborMin)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+    // ONE hop per materialization: step() consumes its input twice (union
+    // branch + join side), so chaining unmaterialized steps re-executes the
+    // inner step — measured slower than paying one action per hop.
+    var prev = checksum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
-      val neighborMin = edges.join(labels, edges("doc_b") === labels("node"))
-        .select(edges("doc_a").as("node"), col("label"))
-      val updated = labels.select(col("node"), col("label"))
-        .union(neighborMin)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
-      val changes = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.label") =!= col("l.label"))
-        .count()
+      val updated = step(labels).persist()
+      val cur = checksum(updated)
       labels.unpersist()
       labels = updated
-      converged = changes == 0
+      converged = cur.compareTo(prev) == 0
+      prev = cur
       iter += 1
     }
     val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))

@@ -538,6 +538,32 @@ object RelationalOps {
       |       CAST(embedding[64] AS DOUBLE) AS e_last, label
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- f11: higher-order array functions (lambda surface) ----
+  // transform / filter / aggregate / zip_with over the embedding column —
+  // the SQL-lambda surface a user reaches for before writing a UDF. Folds
+  // run left-to-right over doubles in both engines (0.0 + x is exact), so
+  // even the float sums hash-match unrounded.
+  def f11Hof(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))")
+          .as("sum_e"),
+        expr("size(filter(embedding, x -> x > 0.0F))").cast("long").as("n_pos"),
+        expr("CAST(element_at(transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 1) AS DOUBLE)")
+          .as("first_x2"),
+        expr("aggregate(zip_with(embedding, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("self_dot"))
+      .orderBy(col("vec_id"))
+
+  val f11Sql: String =
+    """SELECT vec_id,
+      |       list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE)), (a, b) -> a + b) AS sum_e,
+      |       len(list_filter(embedding, x -> x > 0.0)) AS n_pos,
+      |       (embedding[1]::DOUBLE * 2.0) AS first_x2,
+      |       list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS self_dot
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast"       -> (j1Broadcast _),
     "j2_antijoin"        -> (j2Antijoin _),
@@ -554,6 +580,7 @@ object RelationalOps {
     "a4_pivot"           -> (a4Pivot _),
     "a6_unpivot"         -> (a6Unpivot _),
     "f10_lateral"        -> (f10Lateral _),
+    "f11_hof"            -> (f11Hof _),
     "f6_moments"         -> (f6Moments _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "f8_correlated"      -> (f8Correlated _),
@@ -584,6 +611,7 @@ object RelationalOps {
     "a4_pivot"       -> a4Sql,
     "a6_unpivot"     -> a6Sql,
     "f10_lateral"    -> f10Sql,
+    "f11_hof"        -> f11Sql,
     "f6_moments"     -> f6Sql,
     "f7_scalar_subquery" -> f7Sql,
     "f8_correlated"  -> f8Sql,

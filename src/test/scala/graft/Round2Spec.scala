@@ -68,6 +68,20 @@ class Round2Spec extends SparkSpec {
     assert(rows.length === 30) // 10 query vectors x top-3
   }
 
+  test("x15 clusters are consistent: every near-dup pair shares a cluster") {
+    val labels = run("x15_dedup_clusters", sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = run("x3_minhash_neardup", sf001)
+      .select(col("doc_a"), col("doc_b")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+    // canonical id is the cluster minimum and is its own label
+    labels.values.toSet.foreach { (c: Long) => assert(labels(c) == c) }
+  }
+
   test("src1 CSV roundtrip aggregate equals the parquet-side aggregate") {
     val parquetSide = Tables.customer(spark, sf0001)
       .groupBy(col("c_mktsegment"))
