@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import java.sql.Timestamp
@@ -81,6 +82,31 @@ object Streams {
           state.update((c, v))
           (user, c, v)
       }
+  }
+
+  /** Spark 4's transformWithState — the modern arbitrary-state API (typed
+    * composable state variables, TTL, timers; requires the RocksDB state
+    * store): per-user running event count in a ValueState. Functionally the
+    * counter half of runningUserTotals, expressed through the API that
+    * supersedes mapGroupsWithState for new pipelines.
+    */
+  class UserEventCounter extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val c = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(c)
+      Iterator((user, c))
+    }
+  }
+
+  def runningCountsTws(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserEventCounter, TimeMode.None(),
+        OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
   }
 
   /** flatMapGroupsWithState: emit an alert row exactly once, when a user's

@@ -100,6 +100,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 API) keeps running counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Streams.runningCountsTws(mem.toDS())
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(ev(1, 0, user = 9), ev(2, 1, user = 9), ev(3, 1, user = 4))
+      q.processAllAvailable()
+      mem.addData(ev(4, 2, user = 9))
+      q.processAllAvailable()
+      val out = spark.table("tws_test")
+      assert(out.filter(col("user_id") === 9L).agg(max("n")).head().getLong(0) === 3L)
+      assert(out.filter(col("user_id") === 4L).agg(max("n")).head().getLong(0) === 1L)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits the threshold alert exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
