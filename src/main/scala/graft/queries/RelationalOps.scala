@@ -274,6 +274,26 @@ object RelationalOps {
        |FROM events GROUP BY 1 ORDER BY day_ms""".stripMargin
   }
 
+  // ---- a7: explicit GROUPING SETS (the general form rollup/cube sugar) ----
+  def a7GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_a7")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+        |FROM graft_orders_a7
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val a7Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---- a6: unpivot (wide measures -> long (measure, value) rows) ----
   // The inverse of a4's pivot: aggregate wide, then stack() to long form —
   // stack is the built-in Generator, so the unpivot is map-side only.
@@ -579,6 +599,7 @@ object RelationalOps {
     "a3_cube"            -> (a3Cube _),
     "a4_pivot"           -> (a4Pivot _),
     "a6_unpivot"         -> (a6Unpivot _),
+    "a7_grouping_sets"   -> (a7GroupingSets _),
     "f10_lateral"        -> (f10Lateral _),
     "f11_hof"            -> (f11Hof _),
     "f6_moments"         -> (f6Moments _),
@@ -610,6 +631,7 @@ object RelationalOps {
     "a3_cube"        -> a3Sql,
     "a4_pivot"       -> a4Sql,
     "a6_unpivot"     -> a6Sql,
+    "a7_grouping_sets" -> a7Sql,
     "f10_lateral"    -> f10Sql,
     "f11_hof"        -> f11Sql,
     "f6_moments"     -> f6Sql,
