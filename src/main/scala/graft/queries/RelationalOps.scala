@@ -101,7 +101,11 @@ object RelationalOps {
   // window carrying the running "last matching event" — one shuffle on
   // user_id, no range self-join, no N² band expansion. The DuckDB oracle
   // uses its native ASOF LEFT JOIN, proving operator-level equivalence.
-  def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+  /** Core of j5 over any (event_id, user_id, event_type, ts_us) frame —
+    * separated so the same-µs tie semantics are spec-testable with
+    * constructed collisions (the generated testdata has none).
+    */
+  def j5Core(events: DataFrame): DataFrame = {
     // Order clicks BEFORE purchases at equal ts_us (type_rank tie-break) so a
     // same-microsecond click is inside the purchase's running-max frame —
     // matching the oracle's inclusive ASOF condition c.us <= p.ts_us.
@@ -110,9 +114,8 @@ object RelationalOps {
       .orderBy(col("ts_us"), col("type_rank"), col("event_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.events(s, d)
+    events
       .filter(col("event_type").isin("purchase", "click"))
-      .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("type_rank",
         when(col("event_type") === "click", lit(0)).otherwise(lit(1)))
       .withColumn("click_us",
@@ -122,6 +125,9 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
       .orderBy(col("event_id"))
   }
+
+  def j5AsofJoin(s: SparkSession, d: String): DataFrame =
+    j5Core(Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))))
 
   val j5Sql: String =
     """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events

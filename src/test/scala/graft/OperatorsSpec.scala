@@ -24,6 +24,25 @@ class OperatorsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("j5 tie semantics: a same-microsecond click matches (inclusive ASOF)") {
+    import spark.implicits._
+    // click event_id LARGER than the purchase's, same user, same ts_us —
+    // the case the oracle's c.us <= p.ts_us includes and a bare
+    // (ts_us, event_id) ordering would miss
+    val events = Seq(
+      (1L, 42L, "purchase", 1000000L),
+      (2L, 42L, "click", 1000000L),
+      (3L, 42L, "click", 500000L),
+      (4L, 99L, "purchase", 2000000L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = graft.queries.RelationalOps.j5Core(events).collect()
+    val purchase42 = out.find(_.getLong(0) == 1L).get
+    assert(purchase42.getLong(3) === 1000000L,
+      "same-µs click must be visible to the purchase")
+    val purchase99 = out.find(_.getLong(0) == 4L).get
+    assert(purchase99.isNullAt(3), "user 99 has no clicks at all")
+  }
+
   test("a5 approx percentile within 2% of exact") {
     val approx = SparkEntry.queries("a5_approx_percentile")(spark, TestSpark.sf001)
       .selectExpr("l_returnflag", "approx_p50 AS p50")
