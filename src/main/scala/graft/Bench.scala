@@ -53,8 +53,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // -1 marks a failed trial — a crash must not report its
+        // time-to-failure as a (fast) valid timing
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
       name -> times(times.length / 2)
     }

@@ -103,9 +103,11 @@ object VectorLshBucket {
           case Seq(_) => DefaultPlanes
           case Seq(_, p) if p.foldable => p.eval(null) match {
             case i: Int => i
-            case l: Long => l.toInt
+            // validate BEFORE toInt — silent truncation of an out-of-range
+            // Long (e.g. 2^32+8 -> 8) must not produce a valid-looking count
+            case l: Long if l >= 1 && l <= 30 => l.toInt
             case other => throw new IllegalArgumentException(
-              s"graft_lsh_bucket plane count must be an integer literal, got $other")
+              s"graft_lsh_bucket plane count must be an integer literal in [1, 30], got $other")
           }
           case Seq(_, _) => throw new IllegalArgumentException(
             "graft_lsh_bucket plane count must be a foldable literal, not a column")

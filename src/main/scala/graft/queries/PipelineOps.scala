@@ -615,8 +615,12 @@ object PipelineOps {
     // self and neighbors), so an unchanged sum is a fixpoint — one scalar
     // aggregate per iteration instead of a compare-join. Decimal sum can't
     // overflow at any N.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an EMPTY frame is null (zero pairs found): normalize so the
+      // loop converges immediately instead of NPE-ing on compareTo
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
     def step(l: DataFrame): DataFrame = {
       val neighborMin = edges.join(l, edges("doc_b") === l("node"))
         .select(edges("doc_a").as("node"), col("label"))
@@ -639,6 +643,16 @@ object PipelineOps {
       prev = cur
       iter += 1
     }
+    if (!converged)
+      // diameter > guard: labels are an under-propagated snapshot, not the
+      // component minimum — surface it instead of silently diverging
+      System.err.println(
+        s"[graft] x15_dedup_clusters: NOT converged after $iter iterations; " +
+          "labels may be non-canonical (component diameter exceeds the guard)")
+    // `labels` stays persisted deliberately: the returned (unexecuted) plan
+    // reads it — unpersisting here would lazily re-run the whole iteration
+    // chain at the caller's first action. One small cached label set per
+    // session is the cost of handing back a lazy result.
     val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))
     edges.unpersist()

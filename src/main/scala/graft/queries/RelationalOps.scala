@@ -587,7 +587,7 @@ object RelationalOps {
       |       list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE)), (a, b) -> a + b) AS sum_e,
       |       len(list_filter(embedding, x -> x > 0.0)) AS n_pos,
       |       (embedding[1]::DOUBLE * 2.0) AS first_x2,
-      |       list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS self_dot
+      |       list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS self_dot
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

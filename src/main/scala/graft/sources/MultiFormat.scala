@@ -59,15 +59,24 @@ object MultiFormat {
       case f => spark.read.format(f).load(path)
     }
 
-  /** Re-layout cache guard: rebuild the /tmp copy when it's missing OR
-    * older than the source parquet — a stale copy must never survive a
-    * testdata regeneration (the oracle always reads the fresh source).
+  /** Re-layout cache guard: rebuild the /tmp copy unless a stamp of the
+    * source's (mtime, length) matches — a stale copy must never survive a
+    * testdata regeneration (the oracle always reads the fresh source), and
+    * mtime-preserving restores (tar / rsync -a) or same-second rewrites
+    * would slip past a bare mtime-ordering check.
     */
   private def ensureLayout(sourceFile: java.io.File, outPath: String)
                           (build: => Unit): Unit = {
-    val success = new java.io.File(outPath, "_SUCCESS")
-    if (!success.exists() || success.lastModified() < sourceFile.lastModified())
+    val marker = new java.io.File(outPath, "_GRAFT_SRC_STAMP")
+    val stamp = s"${sourceFile.lastModified()}:${sourceFile.length()}"
+    val current =
+      if (marker.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath))
+      else ""
+    if (current != stamp) {
       build
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+    }
   }
 
   /** Declared non-parquet-source key: round-trip customer through gzip CSV
