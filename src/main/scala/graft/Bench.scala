@@ -63,7 +63,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1 sentinels mark failures; summing them would make a partially
+    // failing run report a better-looking total than a clean one.
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
 
     // Shark-`_cached` parity numbers in every run: re-time a representative
     // subset with the fact tables persisted columnar (memory, then disk) —
@@ -94,7 +97,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache":$cacheJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"cache":$cacheJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,7 +102,7 @@ object VectorLshBucket {
         val planes = exprs match {
           case Seq(_) => DefaultPlanes
           case Seq(_, p) if p.foldable => p.eval(null) match {
-            case i: Int => i
+            case i: Int if i >= 1 && i <= 30 => i
             // validate BEFORE toInt — silent truncation of an out-of-range
             // Long (e.g. 2^32+8 -> 8) must not produce a valid-looking count
             case l: Long if l >= 1 && l <= 30 => l.toInt

@@ -68,7 +68,16 @@ object MultiFormat {
   private def ensureLayout(sourceFile: java.io.File, outPath: String)
                           (build: => Unit): Unit = {
     val marker = new java.io.File(outPath, "_GRAFT_SRC_STAMP")
-    val stamp = s"${sourceFile.lastModified()}:${sourceFile.length()}"
+    // Stamp the DATA FILES, not the directory entry: an in-place rewrite of
+    // identically-named part files need not bump the directory's mtime, and
+    // directory length is filesystem-dependent.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val files = walk(sourceFile)
+    val stamp =
+      if (files.isEmpty) "absent"
+      else s"${files.map(_.lastModified()).max}:${files.map(_.length()).sum}"
     val current =
       if (marker.exists())
         new String(java.nio.file.Files.readAllBytes(marker.toPath))

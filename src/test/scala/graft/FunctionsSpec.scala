@@ -68,6 +68,23 @@ class FunctionsSpec extends SparkSpec {
     assert(rows === Set((1L, 0, "a"), (1L, 1, "b"), (1L, 3, "c"), (3L, 0, "solo")))
   }
 
+  test("graft_lsh_bucket rejects out-of-range Int literals with the descriptive error") {
+    import spark.implicits._
+    graft.functions.VectorLshBucket.register(spark)
+    Seq((1L, Array(0.1f, 0.2f))).toDF("id", "v").createOrReplaceTempView("lsh_lit")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // Int literal (SQL integer) and Long literal (BIGINT cast) must both hit
+    // the range check, not fall through to the bare case-class require.
+    Seq("31", "0", "CAST(31 AS BIGINT)").foreach { lit =>
+      val ex = intercept[Throwable] {
+        spark.sql(s"SELECT graft_lsh_bucket(v, $lit) FROM lsh_lit").collect()
+      }
+      assert(messages(ex).exists(_.contains("[1, 30]")), s"literal $lit")
+    }
+    assert(spark.sql("SELECT graft_lsh_bucket(v, 30) FROM lsh_lit").collect().length === 1)
+  }
+
   test("money cast is exact and associative under partition reordering") {
     import spark.implicits._
     val values = Gen.listOfN(500, Gen.chooseNum(0.01, 99999.99)).sample.get
