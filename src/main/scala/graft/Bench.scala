@@ -50,7 +50,14 @@ object Bench {
 
     // Reference parity: run_query.py --num-trials N reports the median.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=x9_ngram_jaccard,x15_dedup_clusters times a
+    // subset without paying for the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None       => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         // -1 marks a failed trial — a crash must not report its

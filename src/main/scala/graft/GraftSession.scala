@@ -38,6 +38,7 @@ object GraftSession {
     StringPolyHash.register(spark)
     VectorCosine.register(spark)
     VectorLshBucket.register(spark)
+    SortedIntersectCount.register(spark)
     TokenizePos.register(spark)
     TopKTokensAgg.register(spark)
     WeightedSum.register(spark)

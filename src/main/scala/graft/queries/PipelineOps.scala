@@ -227,66 +227,85 @@ object PipelineOps {
 
   // ===== x9: n-gram Jaccard all-pairs (inverted-index blocking) ==========
 
-  /** Direct n-gram-Jaccard near-dup detection — the non-LSH sibling of x3:
-    * candidate pairs come from an inverted index on the shingle hash (docs
-    * sharing >= 1 shingle), then exact Jaccard filters.
+  /** Direct n-gram-Jaccard near-dup detection — the non-LSH sibling of x3 —
+    * via PREFIX-FILTERED candidate generation (the AllPairs/PPJoin family:
+    * Bayardo et al., WWW'07; Xiao et al., WWW'08).
+    *
+    * Under any global token order, two sets with J(A,B) >= t must share an
+    * element inside each set's first |x| - ceil(t*|x|) + 1 elements, so the
+    * inverted index only posts that PREFIX of each document's sorted shingle
+    * list. A full-index self-join emits every pair sharing even one random
+    * shingle (measured at sf0.1: 1.16M distinct pairs into the aggregate,
+    * of which 256 survive); the prefix index emits ~16% of that, and the
+    * blowup is what grows quadratically at 100 TB. The prefix length here is
+    * |x| - floor(t*|x|) + 1 — one element LONGER than the tight bound, so
+    * rounding can only add candidates, never lose a true pair; the exact
+    * Jaccard filter downstream makes the pruning lossless end-to-end, which
+    * is why the DuckDB oracle can keep its plain full-index formulation.
+    *
+    * Verification joins the candidate pairs back to the cached per-doc
+    * sorted arrays and counts the intersection with the codegen'd
+    * two-pointer merge (SortedIntersectCount) — no per-pair hash set, no
+    * wide aggregate; the only wide shuffles left are the prefix self-join
+    * and the candidate distinct.
     *
     * Stop-shingle cutoff: a shingle present in > 20% of documents (or in
     * more than StopShingleMaxDf documents — the absolute cap bounds posting
-    * lists at any N) generates M² candidate pairs in one partition (the
-    * hot-key quadratic blowup), so those shingles are dropped BEFORE pair
-    * generation; mirrored exactly in the oracle, so Jaccard is over the
-    * kept-shingle sets in both engines. n_docs is one scalar count
-    * (metadata-scale, like an AQE statistic).
-    *
-    * The candidate join is the codegen'd shingle-keyed self-join (HOF
-    * pair-explosion from grouped posting lists was measured slower — SQL
-    * lambda functions run interpreted, whole-stage-codegen'd joins don't).
-    * Set sizes are computed map-side from the shingle ARRAY before explode
-    * and ride through the join as grouping keys, so there is no sizes
-    * aggregate and no sizes joins: shuffle count is the self-join's two
-    * exchanges plus the pair aggregate, nothing else.
+    * lists at any N) would put M docs in one posting list and M² candidate
+    * pairs in one partition, so those shingles are removed from the SETS
+    * before prefixing; mirrored exactly in the oracle, so Jaccard is over
+    * the kept-shingle sets in both engines. The corpus size for the relative
+    * cutoff is the table count (parquet row-group metadata, no data scan).
     */
   private val StopShingleDfPct = 5 // keep shingle iff df * 5 <= n_docs (df ≤ 20%)
   private val StopShingleMaxDf = 10000L // absolute posting-list bound
 
   def x9NgramJaccard(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
-    // one cached postings table (doc_id, set size, shingle) — everything
-    // downstream (doc count, stop list, both join sides) reads this cache
-    val posts = Tables.documents(s, d)
+    graft.functions.SortedIntersectCount.register(s)
+    // one cached doc-level table (doc_id, sorted distinct shingle hashes,
+    // set size) — stop list, prefix index, and verify side all read this
+    // cache; nothing persists the exploded postings (500k rows at sf0.1,
+    // quadratically more at scale — cache the 5k docs, not the postings)
+    val docs0 = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
-        "array_distinct(transform(" +
+        "sort_array(array_distinct(transform(" +
           "transform(sequence(1, size(toks)-2), " +
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
-          "s -> graft_polyhash(s)))"
+          "s -> graft_polyhash(s))))"
       ).as("hs"))
-      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .persist()
-    val nDocs = posts.agg(countDistinct(col("doc_id"))).first().getLong(0)
-    val stop = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).count()
+    val stop = docs0.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") * StopShingleDfPct > lit(nDocs) ||
               col("df") > lit(StopShingleMaxDf))
       .select(col("h"))
       .persist()
     // Fast path when no shingle is hot (every small/benchmark SF): zero
-    // extra stages. Hot path: remove stopped postings via broadcast
-    // anti-join (the stop side only holds keys with df > n_docs/5 — tiny by
-    // construction), then recompute the per-doc kept-set sizes.
-    val kept =
-      if (stop.count() == 0) posts
-      else posts.select(col("doc_id"), col("h"))
+    // extra stages. Hot path: drop stopped postings via broadcast anti-join
+    // (the stop side only holds keys with df > n_docs/5 — tiny by
+    // construction) and rebuild the sorted kept-set arrays.
+    val docs =
+      if (stop.count() == 0) docs0
+      else docs0.select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(stop), Seq("h"), "left_anti")
-        .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
-        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
-    kept.as("a")
-      .join(kept.as("b"),
+        .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    // prefix postings: first n - floor(0.6n) + 1 sorted hashes per doc
+    val pre = docs.select(col("doc_id"),
+      explode(expr("slice(hs, 1, size(hs) - (size(hs)*3) div 5 + 1)")).as("h"))
+    val cand = pre.as("a").join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-               col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_common", expr("graft_sorted_intersect_count(hs_a, hs_b)"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.6)
@@ -304,7 +323,7 @@ object PipelineOps {
       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
       |      (a, b) -> (a * 31 + b) % 1000003) AS h
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-      |nd AS (SELECT COUNT(*) AS n_docs FROM toks),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
       |sh AS (
       |  SELECT doc_id, h FROM sh0
       |  WHERE h NOT IN (
@@ -543,15 +562,25 @@ object PipelineOps {
   def x8cAnnLshMulti(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
+    // ONE self-join keyed (table, bucket) instead of one join per table:
+    // each vector emits a row per hash table and the shuffle partitions by
+    // the composite key, so adding tables adds rows (linear), not join
+    // stages. A pair sharing buckets in both tables surfaces twice with the
+    // same deterministic sim; distinct() collapses it — identical result set
+    // to the union-of-joins formulation the oracle uses.
     val sig = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr("graft_lsh_bucket(embedding, 8)").as("b1"),
-        expr("graft_lsh_bucket(embedding, 14) div 256").as("b2"))
-    def cands(k: String) = sig.as("a").join(sig.as("b"),
-        col(s"a.$k") === col(s"b.$k") && col("a.vec_id") < col("b.vec_id"))
+        explode(array(
+          struct(lit(1).as("t"), expr("graft_lsh_bucket(embedding, 8)").as("bkt")),
+          struct(lit(2).as("t"), expr("graft_lsh_bucket(embedding, 14) div 256").as("bkt"))
+        )).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    sig.as("a").join(sig.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
-    cands("b1").union(cands("b2"))
       .distinct()
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
@@ -608,8 +637,14 @@ object PipelineOps {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seeded init: label(v) = min(v, min incident neighbor) — the same one
+    // shuffle an identity init would pay (groupBy node vs distinct node),
+    // but it folds the first propagation hop in for free. Near-dup
+    // components are near-cliques, so the seed alone is usually the
+    // fixpoint and the loop runs once to confirm.
+    var labels = edges.groupBy(col("doc_a").as("node"))
+      .agg(min(col("doc_b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .persist()
     // Convergence via label checksum: labels only ever DECREASE (min of
     // self and neighbors), so an unchanged sum is a fixpoint — one scalar

@@ -68,6 +68,26 @@ class FunctionsSpec extends SparkSpec {
     assert(rows === Set((1L, 0, "a"), (1L, 1, "b"), (1L, 3, "c"), (3L, 0, "solo")))
   }
 
+  test("SortedIntersectCount matches array_intersect cardinality on sorted distinct arrays") {
+    import spark.implicits._
+    graft.functions.SortedIntersectCount.register(spark)
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 60L))
+    val rows = (1 to 60).map { i =>
+      (i.toLong, gen.sample.get.distinct.sorted.toArray,
+        gen.sample.get.distinct.sorted.toArray)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.selectExpr("id",
+        "graft_sorted_intersect_count(a, b) AS fast",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref")
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
+    // empty-array edges
+    val edge = Seq((Array.empty[Long], Array(1L, 2L))).toDF("a", "b")
+      .selectExpr("graft_sorted_intersect_count(a, b) AS c").head()
+    assert(edge.getLong(0) === 0L)
+  }
+
   test("graft_lsh_bucket rejects out-of-range Int literals with the descriptive error") {
     import spark.implicits._
     graft.functions.VectorLshBucket.register(spark)
