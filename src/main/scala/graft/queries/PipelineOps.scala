@@ -769,6 +769,50 @@ object PipelineOps {
       |      (a, b) -> (a * 31 + b) % 1000003) % 100 < 5
       |ORDER BY doc_id""".stripMargin
 
+  // ===== x16: passage-level (sub-document) dedup ==========
+
+  private val PassageTokens = 20
+
+  /** Passage-level dedup — the sub-document sibling of x2: boilerplate
+    * repeats across otherwise-distinct documents (headers, license blocks,
+    * templated paragraphs), so a training pipeline dedups PASSAGES, not just
+    * whole docs. The corpus has no paragraph structure, so passages are
+    * fixed 20-token windows (the common choice when structure is absent);
+    * each window keys on its sha-256 digest — never the passage text — so
+    * the groupBy keys stay constant-width at any document size and
+    * collision-free at any corpus size (the x2 digest-key rule applied one
+    * level down; both engines emit identical lowercase-hex digests).
+    * Output: every passage occurring more than once, with its copy count,
+    * how many docs it spans, and the earliest doc carrying it.
+    */
+  def x16PassageDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks)-1) div $PassageTokens), " +
+          s"i -> sha2(concat_ws(' ', slice(toks, i*$PassageTokens+1, $PassageTokens)), 256))"
+      )).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("h"))
+
+  val x16Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 1),
+       |passages AS (
+       |  SELECT doc_id,
+       |    sha256(array_to_string(t[i*$PassageTokens+1 : i*$PassageTokens+$PassageTokens], ' ')) AS h
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(0, (len(t)-1)//$PassageTokens + 1)) AS i FROM toks))
+       |SELECT h, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
+       |       MIN(doc_id) AS first_doc
+       |FROM passages GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin
+
   // ===== x12: IVF ANN (coarse quantization; the other 100 TB ANN path) ====
 
   /** IVF-flat: assign every vector to its nearest of `numPivots`
@@ -916,6 +960,7 @@ object PipelineOps {
     "x13_embed_dedup"    -> (x13EmbedDedup _),
     "x14_hash_sample"    -> (x14HashSample _),
     "x15_dedup_clusters" -> (x15DedupClusters _),
+    "x16_passage_dedup"  -> (x16PassageDedup _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -940,6 +985,7 @@ object PipelineOps {
     "x13_embed_dedup"    -> x13Sql,
     "x14_hash_sample"    -> x14Sql,
     "x15_dedup_clusters" -> x15Sql,
+    "x16_passage_dedup" -> x16Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )

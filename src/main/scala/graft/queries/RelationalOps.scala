@@ -188,6 +188,40 @@ object RelationalOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- j8: co-located join over bucketed tables ----
+  // The pre-shuffle strategy for REPEATED fact-fact joins: both sides are
+  // written bucketBy(orderkey) into the warehouse once, and every subsequent
+  // join on that key plans WITHOUT an Exchange on either side (asserted
+  // structurally in BucketingSpec) — at 100 TB that's shuffling once at
+  // ingest instead of once per pipeline run. The one-time bucketed write is
+  // stamp-guarded against testdata regeneration and keyed by SF dir; the
+  // oracle is the plain join, since bucketing must not change results.
+  def j8BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+    val missing = !s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/lineitem.parquet"), s"/tmp/graft_j8_stamp_$tag",
+      force = missing) {
+      Seq(ot, lt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Tables.orders(s, d).write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+      Tables.lineitem(s, d).write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+    }
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val j8Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- a1: exact distinct ----
   def a1Distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -598,6 +632,7 @@ object RelationalOps {
     "j5_asof_join"       -> (j5AsofJoin _),
     "j6_range_bucket"    -> (j6RangeBucket _),
     "j7_salted_join"     -> (j7SaltedJoin _),
+    "j8_bucketed_join"   -> (j8BucketedJoin _),
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
     "a1b_approx_distinct" -> (a1bApproxDistinct _),
@@ -630,6 +665,7 @@ object RelationalOps {
     "j5_asof_join"   -> j5Sql,
     "j6_range_bucket" -> j6Sql,
     "j7_salted_join" -> j7Sql,
+    "j8_bucketed_join" -> j8Sql,
     "a1_distinct"    -> a1Sql,
     // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check
     // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check

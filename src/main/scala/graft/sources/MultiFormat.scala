@@ -65,8 +65,8 @@ object MultiFormat {
     * mtime-preserving restores (tar / rsync -a) or same-second rewrites
     * would slip past a bare mtime-ordering check.
     */
-  private def ensureLayout(sourceFile: java.io.File, outPath: String)
-                          (build: => Unit): Unit = {
+  def ensureLayout(sourceFile: java.io.File, outPath: String, force: Boolean = false)
+                  (build: => Unit): Unit = {
     val marker = new java.io.File(outPath, "_GRAFT_SRC_STAMP")
     // Stamp the DATA FILES, not the directory entry: an in-place rewrite of
     // identically-named part files need not bump the directory's mtime, and
@@ -82,8 +82,11 @@ object MultiFormat {
       if (marker.exists())
         new String(java.nio.file.Files.readAllBytes(marker.toPath))
       else ""
-    if (current != stamp) {
+    if (force || current != stamp) {
       build
+      // the build may or may not create outPath itself (bucketed-table
+      // builds write into the warehouse, not here)
+      marker.getParentFile.mkdirs()
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
     }
   }
@@ -147,11 +150,39 @@ object MultiFormat {
       |WHERE date_trunc('day', ts) = (SELECT MIN(date_trunc('day', ts)) FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Declared columnar-container key: round-trip orders through zlib ORC
+    * (the reference's SequenceFile/RCFile columnar-container role) and
+    * aggregate from the ORC scan. ORC stores the source types natively, so
+    * the scan-side aggregate hash-matches the parquet-side oracle with no
+    * parsing caveats.
+    */
+  def src3OrcScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src3_orc_$tag"
+    ensureLayout(new java.io.File(s"$d/orders.parquet"), path) {
+      val ord = graft.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      write(ord, "orc", path, Some("zlib"))
+    }
+    spark.read.orc(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val src3Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
-        "src2_partitioned_scan" -> (src2PartitionedScan _))
+        "src2_partitioned_scan" -> (src2PartitionedScan _),
+        "src3_orc_scan" -> (src3OrcScan _))
 
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
-        "src2_partitioned_scan" -> src2Sql)
+        "src2_partitioned_scan" -> src2Sql,
+        "src3_orc_scan" -> src3Sql)
 }

@@ -15,6 +15,13 @@ import java.sql.Timestamp
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                  event_type: String, value: Double, props: String)
 
+/** Typed records for the streaming embedding-dedup surface. */
+case class VecIn(vec_id: Long, embedding: Array[Float])
+case class BucketedVec(vec_id: Long, embedding: Array[Float], bucket: Int)
+case class SeenVec(vec_id: Long, embedding: Array[Float])
+case class BucketState(vecs: Seq[SeenVec])
+case class EmbedMark(vec_id: Long, dup_of: Long, is_dup: Boolean)
+
 /** Structured Streaming operators — the streaming twins of the batch
   * s1/s2/s3 queries plus the stateful/dedup/sink surface the reference
   * world had no answer to (amplab/benchmark is batch-only; streams are a
@@ -143,6 +150,60 @@ object Streams {
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_key")
       .drop("content_key")
+
+  /** Streaming twin of x14 hash sampling: the same doc_id-hash Bernoulli
+    * filter, STATELESS by design — a document is in or out of the sample
+    * regardless of arrival order, micro-batch boundaries, or whether the
+    * corpus is replayed in batch, so the streamed sample is bit-identical
+    * to the batch one over the same rows. Expects a doc_id column.
+    */
+  def sampleDocuments(docs: DataFrame, pct: Int = 5): DataFrame = {
+    graft.functions.StringPolyHash.register(docs.sparkSession)
+    docs.filter(
+      pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(100)) < pct)
+  }
+
+  /** Streaming twin of x13 embedding near-dup marking: state is keyed by
+    * the vector's LSH bucket (same 8-plane bucketing as the batch path), so
+    * an arriving vector compares only against prior vectors in ITS bucket —
+    * the streaming form of the sub-quadratic candidate join. Per-bucket
+    * state is a bounded FIFO of the last `maxPerBucket` vectors: at 100 TB
+    * the bucket count scales with the plane knob and each bucket's memory
+    * stays constant, at the cost of missing dups farther apart than the
+    * window — the standard recall/state trade of streaming dedup.
+    * Within a micro-batch, rows process in vec_id order for determinism.
+    */
+  def dedupEmbeddings(vecs: DataFrame, threshold: Double,
+                      maxPerBucket: Int = 256): Dataset[EmbedMark] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorLshBucket.register(spark)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs
+      .withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
+      .as[BucketedVec]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[BucketedVec], state: GroupState[BucketState]) =>
+          var seen = state.getOption.getOrElse(BucketState(Seq.empty)).vecs
+          val out = scala.collection.mutable.ArrayBuffer.empty[EmbedMark]
+          it.toSeq.sortBy(_.vec_id).foreach { v =>
+            val hit = seen.find(p => cosine(p.embedding, v.embedding) >= threshold)
+            out += EmbedMark(v.vec_id, hit.map(_.vec_id).getOrElse(-1L), hit.isDefined)
+            seen = (seen :+ SeenVec(v.vec_id, v.embedding)).takeRight(maxPerBucket)
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+  }
 
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to same-user purchases within the following hour.

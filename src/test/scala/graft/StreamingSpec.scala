@@ -172,6 +172,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hash sample equals the batch filter over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = Streams.sampleDocuments(mem.toDF().withColumnRenamed("value", "doc_id"))
+      .writeStream.format("memory").queryName("sample_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(0L until 200L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_test")
+        .select("doc_id").as[Long].collect().sorted
+      val batch = Streams.sampleDocuments((0L until 200L).toDF("doc_id"))
+        .select("doc_id").as[Long].collect().sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("streaming embedding dedup marks same-bucket duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val b = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val mem = MemoryStream[graft.streaming.VecIn]
+    val q = Streams.dedupEmbeddings(mem.toDF(), threshold = 0.999)
+      .writeStream.format("memory").queryName("embdedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two originals + one exact dup of a (cosine 1.0, same bucket)
+      mem.addData(graft.streaming.VecIn(0L, a), graft.streaming.VecIn(1L, b),
+        graft.streaming.VecIn(2L, a))
+      q.processAllAvailable()
+      // batch 2: dup of b — state must survive the batch boundary
+      mem.addData(graft.streaming.VecIn(3L, b))
+      q.processAllAvailable()
+      val rows = spark.table("embdedup_test")
+        .orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.toSeq === Seq(
+        (0L, -1L, false), (1L, -1L, false), (2L, 0L, true), (3L, 1L, true)))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches clicks to purchases within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
