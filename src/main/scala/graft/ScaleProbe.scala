@@ -55,10 +55,15 @@ object ScaleProbe {
       fn(spark, dir).count()
       println(f"$name%-18s $dir%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
     }
-    for (q <- Seq("q1c_scan_filter", "q2c_substr_agg", "f4_math", "f6_moments",
-                  "x2_dedup_exact", "x11_tokencount", "x4_textstats",
-                  "x1_cosine_topk"))
-      { time(q, src); time(q, big) }
+    // args: [replication-factor] [query keys...] — default is the headline
+    // scan/agg/join set; pass keys to probe a specific family (e.g. the
+    // dedup pipeline at 20x documents)
+    val qs =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1c_scan_filter", "q2c_substr_agg", "f4_math", "f6_moments",
+               "x2_dedup_exact", "x11_tokencount", "x4_textstats",
+               "x1_cosine_topk")
+    for (q <- qs) { time(q, src); time(q, big) }
     spark.stop()
   }
 }
