@@ -39,6 +39,7 @@ object GraftSession {
     VectorCosine.register(spark)
     VectorLshBucket.register(spark)
     SortedIntersectCount.register(spark)
+    ZOrderCode.register(spark)
     TokenizePos.register(spark)
     TopKTokensAgg.register(spark)
     WeightedSum.register(spark)

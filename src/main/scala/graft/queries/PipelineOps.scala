@@ -769,6 +769,38 @@ object PipelineOps {
       |      (a, b) -> (a * 31 + b) % 1000003) % 100 < 5
       |ORDER BY doc_id""".stripMargin
 
+  // ===== x17: stratified (per-language) hash sampling — data mixing =======
+
+  /** Stratified deterministic sampling — the mixture-weighting primitive of
+    * a pretraining pipeline: each language stratum samples at its OWN rate
+    * (here: downsample the dominant 'en' to 10%, keep 50% of everything
+    * else — the up/down-weighting a data-mixture recipe prescribes). Same
+    * doc_id-hash Bernoulli trick as x14, so membership is reproducible
+    * across engines, reruns, and partitionings; the per-stratum rate is a
+    * CASE over the stratum column, so the whole thing stays one map-side
+    * filter — no shuffle before the reporting aggregate.
+    */
+  def x17StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .filter(pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(100)) <
+        when(col("lang") === "en", lit(10)).otherwise(lit(50)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(expr("CAST(n_chars AS DECIMAL(18,0))")).cast("double").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val x17Sql: String =
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sum_chars
+      |FROM documents
+      |WHERE list_reduce(list_transform(regexp_split_to_array(
+      |        CAST(doc_id AS VARCHAR), ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) % 100
+      |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ===== x16: passage-level (sub-document) dedup ==========
 
   private val PassageTokens = 20
@@ -961,6 +993,7 @@ object PipelineOps {
     "x14_hash_sample"    -> (x14HashSample _),
     "x15_dedup_clusters" -> (x15DedupClusters _),
     "x16_passage_dedup"  -> (x16PassageDedup _),
+    "x17_stratified_sample" -> (x17StratifiedSample _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -986,6 +1019,7 @@ object PipelineOps {
     "x14_hash_sample"    -> x14Sql,
     "x15_dedup_clusters" -> x15Sql,
     "x16_passage_dedup" -> x16Sql,
+    "x17_stratified_sample" -> x17Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )

@@ -203,7 +203,18 @@ object RelationalOps {
     graft.sources.MultiFormat.ensureLayout(
       new java.io.File(s"$d/lineitem.parquet"), s"/tmp/graft_j8_stamp_$tag",
       force = missing) {
-      Seq(ot, lt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      // the default in-memory catalog forgets tables across JVMs while their
+      // warehouse directories persist — drop BOTH, or saveAsTable rejects
+      // the orphaned location
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = if (f.exists()) {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(wh, t))
+      }
       Tables.orders(s, d).write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
       Tables.lineitem(s, d).write.bucketBy(8, "l_orderkey")
@@ -221,6 +232,39 @@ object RelationalOps {
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- l1: Z-order (Morton) clustering key for 2-D data layout ----
+  // The OPTIMIZE-ZORDER primitive: interleave (user bucket, minute-of-day)
+  // so sort-and-write by z makes any aligned 2-D rectangle near-contiguous
+  // on disk — a (user range × time range) predicate then prunes row groups
+  // by min/max stats instead of scanning a whole 1-D sort dimension. The
+  // locality property itself is asserted in FunctionsSpec (an aligned 8×8
+  // tile has dilation exactly 1.0 under z order vs ~7× under row-major);
+  // this key oracle-checks the bit arithmetic end-to-end over events.
+  def l1ZorderCluster(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ZOrderCode.register(s)
+    Tables.events(s, d)
+      .withColumn("x", pmod(col("user_id"), lit(1024L)))
+      .withColumn("y", pmod(expr("unix_micros(ts) div 60000000"), lit(1440L)))
+      .withColumn("z", expr("graft_zorder(x, y)"))
+      .withColumn("zbucket", expr("z div 4096"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("zbucket"))
+  }
+
+  val l1Sql: String =
+    """WITH e AS (
+      |  SELECT user_id % 1024 AS x,
+      |         (epoch_us(ts) // 60000000) % 1440 AS y FROM events),
+      |zc AS (
+      |  SELECT list_reduce(list_transform(range(0, 21),
+      |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))),
+      |    (a, b) -> a + b) AS z
+      |  FROM e)
+      |SELECT z // 4096 AS zbucket, COUNT(*) AS cnt,
+      |       MIN(z) AS min_z, MAX(z) AS max_z
+      |FROM zc GROUP BY zbucket ORDER BY zbucket""".stripMargin
 
   // ---- a1: exact distinct ----
   def a1Distinct(s: SparkSession, d: String): DataFrame =
@@ -633,6 +677,7 @@ object RelationalOps {
     "j6_range_bucket"    -> (j6RangeBucket _),
     "j7_salted_join"     -> (j7SaltedJoin _),
     "j8_bucketed_join"   -> (j8BucketedJoin _),
+    "l1_zorder_cluster"  -> (l1ZorderCluster _),
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
     "a1b_approx_distinct" -> (a1bApproxDistinct _),
@@ -666,6 +711,7 @@ object RelationalOps {
     "j6_range_bucket" -> j6Sql,
     "j7_salted_join" -> j7Sql,
     "j8_bucketed_join" -> j8Sql,
+    "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,
     // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check
     // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check

@@ -205,6 +205,25 @@ object Streams {
       }
   }
 
+  /** Streaming twin of x16 passage dedup: incoming documents explode into
+    * 20-token passages keyed by sha-256 digest; dropDuplicatesWithinWatermark
+    * on the digest emits only the FIRST occurrence of each passage — the
+    * incremental form of boilerplate removal. State holds one 32-byte digest
+    * per distinct passage inside the watermark, independent of passage text
+    * size, and ages out with event time. Expects (doc_id, text, ingest_ts).
+    */
+  def dedupPassages(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ingest_ts"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("ingest_ts"), posexplode(expr(
+        "transform(sequence(0, (size(toks)-1) div 20), " +
+          "i -> sha2(concat_ws(' ', slice(toks, i*20+1, 20)), 256))"
+      )).as(Seq("passage_idx", "h")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to same-user purchases within the following hour.
     * Both watermarks + the range bound let Spark expire join state — the

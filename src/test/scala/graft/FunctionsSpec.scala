@@ -105,6 +105,31 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_lsh_bucket(v, 30) FROM lsh_lit").collect().length === 1)
   }
 
+  test("ZOrderCode: aligned 2-D tiles are exactly contiguous in z order; row-major is not") {
+    import spark.implicits._
+    graft.functions.ZOrderCode.register(spark)
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = grid.toDF("x", "y").selectExpr("x", "y", "graft_zorder(x, y) AS z")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("z")
+    val ranked = df.withColumn("rk", row_number().over(w))
+    val sq = ranked.filter(col("x") >= 16 && col("x") < 24 &&
+                           col("y") >= 32 && col("y") < 40)
+      .agg(min("rk"), max("rk"), count(lit(1))).head()
+    val (lo, hi, n) = (sq.getInt(0), sq.getInt(1), sq.getLong(2))
+    assert(n === 64L)
+    // an 8-aligned 8x8 tile is ONE contiguous z-range: dilation exactly 1
+    assert(hi - lo + 1 === 64, s"z-order dilation ${(hi - lo + 1) / 64.0}")
+    // row-major (y*64+x) spreads the same tile across ~7x its size
+    assert((39 * 64 + 23) - (32 * 64 + 16) + 1 > 5 * 64)
+    // out-of-range input must raise, not silently mask
+    val ex = intercept[Throwable] {
+      Seq((1L << 21, 0L)).toDF("x", "y").selectExpr("graft_zorder(x, y)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("2^21")))
+  }
+
   test("money cast is exact and associative under partition reordering") {
     import spark.implicits._
     val values = Gen.listOfN(500, Gen.chooseNum(0.01, 99999.99)).sample.get

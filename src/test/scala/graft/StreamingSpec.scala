@@ -172,6 +172,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming passage dedup keeps only the first copy of shared boilerplate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val common = (1 to 20).map(i => s"w$i").mkString(" ")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.dedupPassages(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.format("memory").queryName("passdedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, s"$common a b c", ts(0)))
+      q.processAllAvailable()
+      // doc 2 shares the 20-token boilerplate passage, differs in its tail
+      mem.addData((2L, s"$common x y z", ts(1)))
+      q.processAllAvailable()
+      val kept = spark.table("passdedup_test")
+        .select("doc_id", "passage_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(kept === Set((1L, 0), (1L, 1), (2L, 1)))
+    } finally q.stop()
+  }
+
   test("streaming hash sample equals the batch filter over the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
