@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -21,7 +21,16 @@ import org.apache.spark.sql.types._
   * aggregate it replaces.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // The eval/codegen bodies read elements with getLong: a globally-registered
+  // function called with array<int> would read misaligned bytes and return
+  // garbage silently. Declaring the input types makes misuse fail at analysis
+  // (or coerce: array<int> implicit-casts to array<bigint>, which is correct).
+  // AbstractDataType is private[sql]; Seq is covariant so the override can
+  // narrow to the accessible Seq[DataType]
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = LongType
 

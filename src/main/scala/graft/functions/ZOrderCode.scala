@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -18,7 +18,14 @@ import org.apache.spark.sql.types._
   * and quietly destroy the locality property the caller is buying.
   */
 case class ZOrderCode(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // eval casts to Long while codegen emits raw long ops: int inputs would
+  // throw interpreted but "work" under codegen (eval/codegen divergence).
+  // Declared types close that hole — ints coerce to bigint at analysis.
+  // AbstractDataType is private[sql]; Seq is covariant so the override can
+  // narrow to the accessible Seq[DataType]
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def dataType: DataType = LongType
 

@@ -48,6 +48,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   */
 case class CosineTopK(
     k: Int,
+    scale: Int,
     override val output: Seq[Attribute],
     idOrdinal: Int,
     embOrdinal: Int,
@@ -95,11 +96,15 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    // projection: [idA as vec_a, idB as vec_b, round(cosine(embA, embB), 6) as sim]
-    val simAlias = projList.collectFirst {
-      case al @ Alias(Round(VectorCosine(ea: Attribute, eb: Attribute), Lit(6), _), _)
-          if left.outputSet.contains(ea) && right.outputSet.contains(eb) &&
-             isFloatArray(ea) && isFloatArray(eb) => al
+    // projection: [idA as vec_a, idB as vec_b, round(cosine(embA, embB), s)
+    // as sim] — ANY literal scale in [0, 9] plans the fused operator (the
+    // exec's rounding and its fast-path margin are parameterized on it);
+    // out-of-range scales fall back to the declarative plan
+    val (simAlias, scale) = projList.collectFirst {
+      case al @ Alias(Round(VectorCosine(ea: Attribute, eb: Attribute), Lit(sc), _), _)
+          if sc >= 0 && sc <= 9 &&
+             left.outputSet.contains(ea) && right.outputSet.contains(eb) &&
+             isFloatArray(ea) && isFloatArray(eb) => (al, sc)
     }.getOrElse(return None)
     // the exec emits rows as (idA, idB, sim) — require the projection in
     // exactly that order so output attributes line up positionally
@@ -122,20 +127,21 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
     if (idOrdinal < 0 || embOrdinal < 0) return None
     // output attrs in the project's order, with the project's exprIds
     val out = projList.map(_.toAttribute)
-    Some(CosineTopK(k, out, idOrdinal, embOrdinal, left))
+    Some(CosineTopK(k, scale, out, idOrdinal, embOrdinal, left))
   }
 }
 
 object CosineTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case CosineTopK(k, out, idOrd, embOrd, child) =>
-      CosineTopKExec(k, out, idOrd, embOrd, planLater(child)) :: Nil
+    case CosineTopK(k, scale, out, idOrd, embOrd, child) =>
+      CosineTopKExec(k, scale, out, idOrd, embOrd, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 case class CosineTopKExec(
     k: Int,
+    scale: Int,
     override val output: Seq[Attribute],
     idOrdinal: Int,
     embOrdinal: Int,
@@ -143,6 +149,10 @@ case class CosineTopKExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
+    val sc = scale
+    // half of the rounding grid at this scale: anything further below the
+    // kept worst can't displace it even after rounding up (fast-path bound)
+    val halfGrid = 0.5 * math.pow(10.0, -sc)
     val idOrd = idOrdinal
     val embOrd = embOrdinal
     // NaN sims (zero-norm vectors) must rank HIGHEST — Spark's descending
@@ -192,15 +202,15 @@ case class CosineTopKExec(
           .empty[(Double, Long, Long)](worstFirst)
         tasks.foreach { case ((bi, bj), rows) =>
           def offer(sim: Double, a: Long, b: Long): Unit = {
-            // fast path: rounded(sim) <= sim + 5e-7, so anything more than
-            // half a rounding grid below the kept worst can't displace it —
-            // skip the (allocating) BigDecimal round for ~all pairs. NaN
+            // fast path: rounded(sim) <= sim + halfGrid, so anything more
+            // than half a rounding grid below the kept worst can't displace
+            // it — skip the (allocating) BigDecimal round for ~all pairs. NaN
             // always enters (it ranks highest, and BigDecimal would throw).
             if (heap.size < kk || sim.isNaN ||
-                sim >= rank(heap.head._1) - 5e-7) {
+                sim >= rank(heap.head._1) - halfGrid) {
               val simR = if (sim.isNaN) sim
                 else new JBigDecimal(sim)
-                  .setScale(6, RoundingMode.HALF_UP).doubleValue()
+                  .setScale(sc, RoundingMode.HALF_UP).doubleValue()
               val cand = (simR, math.min(a, b), math.max(a, b))
               if (heap.size < kk) heap.enqueue(cand)
               else if (worstFirst.compare(cand, heap.head) < 0) {

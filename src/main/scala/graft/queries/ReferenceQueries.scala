@@ -70,6 +70,31 @@ object ReferenceQueries {
       |       COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY key_prefix""".stripMargin
 
+  /** Q2's true group-cardinality stress — the reference's defining axis for
+    * this family (upstream 2c: SUBSTR(sourceIP,1,12) ≈ hundreds of millions
+    * of groups). q2c caps at ~10⁴ groups; this variant keys on an 8-char
+    * prefix of a Knuth-hashed orderkey, which is near-injective at test SFs
+    * (~1.5×10⁵ groups at sf0.1, growing linearly with SF) — the partial→final
+    * hash-agg path runs under real group-count pressure: per-partition
+    * partial maps overflow their fixed budget and fall back to sort-based
+    * merge, the exact behavior a ~10⁸-group run exercises per-executor at
+    * 100 TB. All-integer key arithmetic (o_orderkey ≤ 6×10⁶ even at sf10, so
+    * the product stays ≤ 1.6×10¹⁶ ≪ 2⁶³) replays exactly in DuckDB.
+    */
+  def q2d(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(substring(((col("o_orderkey") * lit(2654435761L)) % lit(1000000007L))
+        .cast("string"), 1, 8).as("key_prefix"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("key_prefix"))
+
+  val q2dSql: String =
+    """SELECT substr(CAST((o_orderkey * 2654435761) % 1000000007 AS VARCHAR), 1, 8) AS key_prefix,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY key_prefix""".stripMargin
+
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -219,6 +244,7 @@ object ReferenceQueries {
     "q2a_substr_agg"  -> (q2a _),
     "q2b_substr_agg"  -> (q2b _),
     "q2c_substr_agg"  -> (q2c _),
+    "q2d_substr_agg"  -> (q2d _),
     "q3a_join_topk"   -> (q3a _),
     "q3b_join_topk"   -> (q3b _),
     "q3c_join_topk"   -> (q3c _),
@@ -235,6 +261,7 @@ object ReferenceQueries {
     "q2a_substr_agg"  -> q2Sql(1),
     "q2b_substr_agg"  -> q2Sql(3),
     "q2c_substr_agg"  -> q2cSql,
+    "q2d_substr_agg"  -> q2dSql,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),

@@ -200,8 +200,11 @@ object RelationalOps {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     val missing = !s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)
+    // stamp the whole dataset dir, not just lineitem: the build snapshots
+    // BOTH orders and lineitem, so a regeneration touching only orders must
+    // also invalidate the bucketed tables
     graft.sources.MultiFormat.ensureLayout(
-      new java.io.File(s"$d/lineitem.parquet"), s"/tmp/graft_j8_stamp_$tag",
+      new java.io.File(d), s"/tmp/graft_j8_stamp_$tag",
       force = missing) {
       // the default in-memory catalog forgets tables across JVMs while their
       // warehouse directories persist — drop BOTH, or saveAsTable rejects
@@ -253,10 +256,16 @@ object RelationalOps {
       .orderBy(col("zbucket"))
   }
 
+  // Sign-safe cross-engine arithmetic: Spark's pmod is always non-negative
+  // and `div` truncates toward zero, while DuckDB's % follows the dividend
+  // and // floors — replay Spark's semantics explicitly so negative user_id
+  // or pre-epoch ts cannot diverge (latent with current data, but a trap).
   val l1Sql: String =
     """WITH e AS (
-      |  SELECT user_id % 1024 AS x,
-      |         (epoch_us(ts) // 60000000) % 1440 AS y FROM events),
+      |  SELECT ((user_id % 1024) + 1024) % 1024 AS x,
+      |         (((CASE WHEN epoch_us(ts) >= 0 THEN epoch_us(ts) // 60000000
+      |                 ELSE -((-epoch_us(ts)) // 60000000) END) % 1440) + 1440) % 1440 AS y
+      |  FROM events),
       |zc AS (
       |  SELECT list_reduce(list_transform(range(0, 21),
       |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))),

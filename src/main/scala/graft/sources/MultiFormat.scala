@@ -122,9 +122,16 @@ object MultiFormat {
 
   /** Declared partition-pruning key: events re-laid-out day-partitioned
     * (the layout a 100 TB event store uses), then read back with a
-    * single-day filter — the scan lists only that day's directory
-    * (PartitionFilters prune before any file is opened; asserted
-    * structurally in PruningCachingSpec, verified by value here).
+    * single-day filter — the scan lists only that day's directory.
+    *
+    * The min-day lookup is a SCALAR SUBQUERY inside the returned plan, not a
+    * build-time action: this fn returns a lazy plan like every other query
+    * fn (no job runs until the caller acts), and the subquery still prunes —
+    * Spark treats subquery partition filters as execution-time pruning
+    * (FileSourceScanLike routes any PlanExpression partition filter through
+    * dynamicallySelectedPartitions: the one-row min-day subquery runs first,
+    * then only that day's directory is listed). Asserted structurally in
+    * PruningCachingSpec; verified by value via the oracle.
     */
   def src2PartitionedScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -134,13 +141,14 @@ object MultiFormat {
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").mode("overwrite").parquet(path)
     }
-    val part = spark.read.parquet(path)
-    val firstDay = part.agg(min(col("day"))).first().getDate(0)
-    part.filter(col("day") === lit(firstDay))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-           sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double").as("sum_value"))
-      .orderBy(col("event_type"))
+    val view = s"graft_src2_part_$tag"
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM $view
+         |WHERE day = (SELECT MIN(day) FROM $view)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   val src2Sql: String =

@@ -56,6 +56,39 @@ class PlanRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("rewrite fires for any literal k and round scale (k=25, scale=4)") {
+    GraftPlanner.install(spark)
+    graft.functions.VectorCosine.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    def topk(k: Int, scale: Int) =
+      emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(expr("graft_cosine(a.embedding, b.embedding)"), scale).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(k)
+    val df = topk(25, 4)
+    val exec = df.queryExecution.executedPlan.collectFirst {
+      case e: CosineTopKExec => e
+    }
+    assert(exec.isDefined, "k=25/scale=4 variant did not plan CosineTopKExec:\n" +
+      df.queryExecution.executedPlan)
+    assert(exec.get.k === 25 && exec.get.scale === 4)
+    // result parity at the widened parameters
+    val fast = df.collect()
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try {
+      val naive = topk(25, 4).collect()
+      assert(fast.sameElements(naive),
+        s"k=25/scale=4 diverged:\nfast=${fast.mkString(",")}\nnaive=${naive.mkString(",")}")
+    } finally spark.experimental.extraOptimizations = saved
+    // out-of-range scale: no rewrite, still a safe declarative plan
+    val wild = topk(5, 12)
+    assert(!wild.queryExecution.executedPlan.toString.contains("CosineTopKExec"))
+    assert(wild.count() === 5L)
+  }
+
   test("rewrite leaves non-matching topk plans untouched") {
     GraftPlanner.install(spark)
     graft.functions.VectorCosine.register(spark)
