@@ -17,7 +17,27 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_scale_v2_$n"
+    val big = s"/tmp/graft_scale_v3_$n"
+
+    // Convergence probe (`chain` arg): a 1000-node chain is the adversarial
+    // shape for label propagation (diameter = N, where near-dup corpora are
+    // near-cliques of diameter ~1); the pointer-jumping CC loop must close
+    // it inside the 20-round guard with every node labeled by the component
+    // min (node 0). Run BEFORE any dataset generation — needs none.
+    if (args.contains("chain")) {
+      import spark.implicits._
+      val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val t0 = System.nanoTime()
+      val labels = graft.queries.PipelineOps
+        .connectedComponents(spark, pairs, "chainprobe")
+      val rows = labels.collect()
+      val ok = rows.length == 1000 && rows.forall(_.getLong(1) == 0L)
+      println(f"chain-1000: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"nodes=${rows.length}, allLabeledMin=$ok")
+      assert(ok, "chain labels not fully propagated inside the round guard")
+      spark.stop()
+      return
+    }
     // sentinel written LAST: an interrupted generation run must regenerate,
     // not be mistaken for a complete dataset
     val done = new java.io.File(s"$big/_GRAFT_DONE")
@@ -35,10 +55,15 @@ object ScaleProbe {
         .drop("id")
         .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
       // embeddings: replicate Nx with distinct vec_ids — drives the exact
-      // pairwise kernel (x1) at N² work with zero driver materialization
+      // pairwise kernel (x1) at N² work with zero driver materialization.
+      // Each replica is PERTURBED deterministically (per-replica, per-dim
+      // offset ≤ 1.2e-2): identical copies would make every ANN probe
+      // degenerate into N-1 exact-duplicate hits per vector.
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       spark.range(n).crossJoin(emb)
         .withColumn("vec_id", col("vec_id") + col("id") * 10000000L)
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CAST(x + ((id * 7 + i) % 13) * 1e-3 AS FLOAT))"))
         .drop("id")
         .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
       Seq("orders", "customer", "events",
@@ -55,6 +80,29 @@ object ScaleProbe {
       fn(spark, dir).count()
       println(f"$name%-18s $dir%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
     }
+    // ANN probe (`ann` arg): time the bucketed similarity family at 1x vs
+    // Nx embeddings and print LSH bucket occupancy at the default 8 planes
+    // and at the log2(N)-grown 12 planes — the evidence that the plane knob
+    // restores per-bucket cost as the corpus grows.
+    if (args.contains("ann")) {
+      graft.functions.VectorLshBucket.register(spark)
+      def occupancy(dir: String, planes: Int): Unit = {
+        val occ = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(expr(s"graft_lsh_bucket(embedding, $planes)").as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"),
+               avg(col("n")).as("mean"), max(col("n")).as("max")).head()
+        println(f"occupancy $dir%-28s planes=$planes%-3d " +
+          f"buckets=${occ.getLong(0)}%5d mean=${occ.getDouble(1)}%9.1f max=${occ.getLong(2)}%6d")
+      }
+      Seq(8, 12).foreach { p => occupancy(src, p); occupancy(big, p) }
+      for (q <- Seq("x8_ann_lsh", "x12_ann_ivf", "x13_embed_dedup")) {
+        time(q, src); time(q, big)
+      }
+      spark.stop()
+      return
+    }
+
     // args: [replication-factor] [query keys...] — default is the headline
     // scan/agg/join set; pass keys to probe a specific family (e.g. the
     // dedup pipeline at 20x documents)

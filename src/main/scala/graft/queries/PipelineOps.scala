@@ -176,7 +176,7 @@ object PipelineOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
 
-    inter
+    val out = inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
@@ -185,6 +185,10 @@ object PipelineOps {
       .filter(col("jaccard") >= JaccThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    // hashed is consumed three times inside `out`'s single plan; release it
+    // once the caller's first action completes (no cross-query leak)
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
+    out
   }
 
   val x3Sql: String = {
@@ -289,8 +293,10 @@ object PipelineOps {
     // extra stages. Hot path: drop stopped postings via broadcast anti-join
     // (the stop side only holds keys with df > n_docs/5 — tiny by
     // construction) and rebuild the sorted kept-set arrays.
+    val stopEmpty = stop.count() == 0
+    if (stopEmpty) stop.unpersist() // not referenced by the returned plan
     val docs =
-      if (stop.count() == 0) docs0
+      if (stopEmpty) docs0
       else docs0.select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(stop), Seq("h"), "left_anti")
         .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
@@ -302,7 +308,7 @@ object PipelineOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val out = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")), "doc_b")
       .withColumn("n_common", expr("graft_sorted_intersect_count(hs_a, hs_b)"))
@@ -311,6 +317,11 @@ object PipelineOps {
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    // docs0 (and stop, on the hot path) feed multiple consumers of `out`'s
+    // plan; release them once the caller's first action completes
+    graft.ScopedCache.releaseAfterNextAction(s,
+      if (stopEmpty) Seq(docs0) else Seq(docs0, stop))
+    out
   }
 
   val x9Sql: String =
@@ -623,56 +634,76 @@ object PipelineOps {
 
   /** The step after pair detection in a real dedup pipeline: union the x3
     * near-dup pairs into clusters and assign every member its canonical id
-    * (= the minimum doc_id in its component). Implemented as distributed
-    * min-label propagation — each iteration is one join + one keyed min
-    * aggregate, the classic Spark connected-components loop (driver only
-    * coordinates the fixpoint check; all data movement is shuffles on the
-    * node key). Near-dup components are tiny by construction (near-dups of
-    * near-dups), so the iteration count is the component diameter — single
-    * digits; a 20-iteration guard bounds the plan in any case. The DuckDB
-    * oracle replays the same closure with WITH RECURSIVE.
+    * (= the minimum doc_id in its component).
     */
-  def x15DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = x3MinhashNeardup(s, d).select(col("doc_a"), col("doc_b"))
+  def x15DedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(s, x3MinhashNeardup(s, d).select(col("doc_a"), col("doc_b")),
+      d.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** Distributed connected components over undirected (doc_a, doc_b) pairs:
+    * min-label propagation PLUS per-round pointer jumping
+    * (label ← label(label)) — each iteration is two joins + one keyed min
+    * aggregate, all shuffles on the node key (the driver only coordinates
+    * the fixpoint check). The jump halves the remaining label-chain depth
+    * every round, so convergence is O(log diameter) — a 1000-node chain
+    * closes in ~10 rounds (probed in ScaleProbe `chain`) — while near-dup
+    * components (near-cliques) still close in 1–2 rounds from the seeded
+    * init. The 20-round guard therefore covers diameters up to ~2^20; the
+    * non-convergence warning stays as a tripwire.
+    *
+    * Checkpoint discipline: every hop is materialized to a /tmp parquet and
+    * re-read, so the per-hop logical plan stays CONSTANT-size — the step
+    * consumes its input three times, and chaining unmaterialized (or even
+    * persisted) hops grows the logical plan 3^i, which is a driver OOM by
+    * round ~10 (persist truncates execution, not the plan). Iterative graph
+    * loops checkpoint for exactly this reason. Bonus: no block-manager
+    * entry outlives the call — only `edges` is persisted, released before
+    * return; the two alternating hop paths are overwritten per invocation.
+    * Labels only ever decrease, so an unchanged decimal label-sum is a
+    * fixpoint (the hop write doubles as the action that computes it).
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession, pairs: DataFrame, tag: String): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    // Seeded init: label(v) = min(v, min incident neighbor) — the same one
-    // shuffle an identity init would pay (groupBy node vs distinct node),
-    // but it folds the first propagation hop in for free. Near-dup
-    // components are near-cliques, so the seed alone is usually the
-    // fixpoint and the loop runs once to confirm.
-    var labels = edges.groupBy(col("doc_a").as("node"))
-      .agg(min(col("doc_b")).as("nmin"))
-      .select(col("node"), least(col("node"), col("nmin")).as("label"))
-      .persist()
-    // Convergence via label checksum: labels only ever DECREASE (min of
-    // self and neighbors), so an unchanged sum is a fixpoint — one scalar
-    // aggregate per iteration instead of a compare-join. Decimal sum can't
-    // overflow at any N.
+    def spill(df: DataFrame, path: String): DataFrame = {
+      df.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    }
     def checksum(df: DataFrame): java.math.BigDecimal = {
       // sum over an EMPTY frame is null (zero pairs found): normalize so the
       // loop converges immediately instead of NPE-ing on compareTo
       val v = df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
+    // Seeded init: label(v) = min(v, min incident neighbor) — the same one
+    // shuffle an identity init would pay, with the first hop folded in free.
+    val hopPath = (i: Int) => s"/tmp/graft_x15_hop_${tag}_${i % 2}"
+    var labels = spill(
+      edges.groupBy(col("doc_a").as("node"))
+        .agg(min(col("doc_b")).as("nmin"))
+        .select(col("node"), least(col("node"), col("nmin")).as("label")),
+      hopPath(0))
     def step(l: DataFrame): DataFrame = {
       val neighborMin = edges.join(l, edges("doc_b") === l("node"))
         .select(edges("doc_a").as("node"), col("label"))
+      // pointer jump: label values are always node ids (mins of node ids),
+      // and every node is a key in l, so the inner self-join is total over
+      // the rows it matches; the union with l itself keeps every node alive
+      val jump = l.as("a").join(l.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
       l.select(col("node"), col("label"))
         .union(neighborMin)
+        .union(jump)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
     }
-    // ONE hop per materialization: step() consumes its input twice (union
-    // branch + join side), so chaining unmaterialized steps re-executes the
-    // inner step — measured slower than paying one action per hop.
     var prev = checksum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
-      val updated = step(labels).persist()
+      val updated = spill(step(labels), hopPath(iter + 1))
       val cur = checksum(updated)
-      labels.unpersist()
       labels = updated
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -682,16 +713,16 @@ object PipelineOps {
       // diameter > guard: labels are an under-propagated snapshot, not the
       // component minimum — surface it instead of silently diverging
       System.err.println(
-        s"[graft] x15_dedup_clusters: NOT converged after $iter iterations; " +
+        s"[graft] connectedComponents($tag): NOT converged after $iter iterations; " +
           "labels may be non-canonical (component diameter exceeds the guard)")
-    // `labels` stays persisted deliberately: the returned (unexecuted) plan
-    // reads it — unpersisting here would lazily re-run the whole iteration
-    // chain at the caller's first action. One small cached label set per
-    // session is the cost of handing back a lazy result.
-    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-      .orderBy(col("doc_id"))
+    // Final labels land on their own stable path: the alternating hop paths
+    // get overwritten by the next invocation while the returned lazy plan
+    // may still be unread.
+    val out = spill(
+      labels.select(col("node").as("doc_id"), col("label").as("cluster")),
+      s"/tmp/graft_x15_labels_$tag")
     edges.unpersist()
-    out
+    out.orderBy(col("doc_id"))
   }
 
   val x15Sql: String =
