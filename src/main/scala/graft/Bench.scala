@@ -1,6 +1,34 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.storage.StorageLevel
+
+/** Plan-shape telemetry: stage count + shuffle-write bytes per query, so a
+  * plan regression (extra exchange, lost broadcast) is visible in the bench
+  * JSON even when sf0.1 wall-clock noise hides it. Counters accumulate on
+  * the async listener bus; readers use `settled()` to wait for a quiescent
+  * snapshot rather than racing the bus.
+  */
+private class PlanTelemetry extends SparkListener {
+  private val stages = new java.util.concurrent.atomic.AtomicLong(0)
+  private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    stages.incrementAndGet()
+    shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+  def settled(): (Long, Long) = {
+    var prev = (stages.get, shuffleBytes.get)
+    var spins = 0
+    while (spins < 50) { // bounded: 50 x 100 ms
+      Thread.sleep(100)
+      val cur = (stages.get, shuffleBytes.get)
+      if (cur == prev) return cur
+      prev = cur
+      spins += 1
+    }
+    prev
+  }
+}
 
 /** Benchmark main: times every declared query once (steady-state) and
   * prints ONE JSON line for the driver.
@@ -57,8 +85,15 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None       => SparkEntry.queries
     }
+    val telemetry = new PlanTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    val planInfo = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = selected.map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
+      // plan-shape delta measured over the LAST trial only (steady state:
+      // AQE has settled, layout caches are built)
+      var mark = (0L, 0L)
+      val times = (1 to trials).map { i =>
+        if (i == trials) mark = telemetry.settled()
         val t0 = System.nanoTime()
         // -1 marks a failed trial — a crash must not report its
         // time-to-failure as a (fast) valid timing
@@ -66,10 +101,15 @@ object Bench {
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
+      val end = telemetry.settled()
+      planInfo(name) = (end._1 - mark._1, end._2 - mark._2)
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val planJson = planInfo.map { case (k, (st, by)) =>
+      f""""$k":{"stages":$st,"shuffle_mb":${by / 1048576.0}%.3f}"""
+    }.mkString("{", ",", "}")
     // -1 sentinels mark failures; summing them would make a partially
     // failing run report a better-looking total than a clean one.
     val total = results.values.filter(_ >= 0).sum
@@ -104,7 +144,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"cache":$cacheJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -184,13 +184,64 @@ object MultiFormat {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Declared SequenceFile key — the LITERAL container the reference
+    * harness provisions (amplab/benchmark `runner/prepare_benchmark.py`,
+    * the `sequence/` and `sequence-snappy/` s3 prefixes): round-trip
+    * customer through a snappy-compressed SequenceFile via the classic
+    * `saveAsSequenceFile`/`sequenceFile` Hadoop path (LongWritable key,
+    * Text value — the Hive external-table shape), then aggregate from the
+    * scan. The value payload is a pipe-joined text record; Double.toString
+    * emits the shortest round-trip representation, so parse-back is exact
+    * and the aggregate hash-matches the parquet-side oracle. SequenceFiles
+    * are block-splittable under snappy — the reason the reference used the
+    * container for its compressed variant — so the scan parallelizes at
+    * any size; Hadoop's input listing ignores the `_`-prefixed stamp file.
+    */
+  def src4SequencefileScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src4_seq_$tag"
+    ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
+      // saveAsSequenceFile refuses an existing output dir — clear the stale
+      // layout (including the old stamp) before rebuilding
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      graft.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+        .as[(Long, Long, String, Double)]
+        .rdd.map { case (k, nk, seg, bal) => (k, s"$nk|$seg|$bal") }
+        .saveAsSequenceFile(path,
+          Some(classOf[org.apache.hadoop.io.compress.SnappyCodec]))
+    }
+    spark.sparkContext.sequenceFile[Long, String](path)
+      .toDF("c_custkey", "rec")
+      .select(col("c_custkey"), split(col("rec"), "\\|").as("f"))
+      .select(col("c_custkey"),
+        element_at(col("f"), 1).cast("bigint").as("c_nationkey"),
+        element_at(col("f"), 3).cast("double").as("c_acctbal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("sum_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val src4Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
         "src2_partitioned_scan" -> (src2PartitionedScan _),
-        "src3_orc_scan" -> (src3OrcScan _))
+        "src3_orc_scan" -> (src3OrcScan _),
+        "src4_sequencefile_scan" -> (src4SequencefileScan _))
 
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
         "src2_partitioned_scan" -> src2Sql,
-        "src3_orc_scan" -> src3Sql)
+        "src3_orc_scan" -> src3Sql,
+        "src4_sequencefile_scan" -> src4Sql)
 }

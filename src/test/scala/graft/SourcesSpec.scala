@@ -37,6 +37,24 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("src4 sequencefile roundtrip: snappy container, parquet-exact aggregate") {
+    val got = MultiFormat.src4SequencefileScan(spark, TestSpark.sf0001).collect()
+    val want = Tables.customer(spark, TestSpark.sf0001)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("sum_acctbal"))
+      .orderBy(col("c_nationkey")).collect()
+    assert(got.sameElements(want))
+    // the container really is a snappy SequenceFile: the header names the
+    // codec class (SEQ magic + key/value classes + codec)
+    val dir = new java.io.File("/tmp/graft_src4_seq__root_testdata_sf0_001")
+    val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(300)
+    val headStr = new String(head.filter(b => b >= 32 && b < 127).map(_.toChar))
+    assert(new String(head.take(3)) === "SEQ", "not a SequenceFile container")
+    assert(headStr.contains("SnappyCodec"), s"codec missing from header: $headStr")
+  }
+
   test("documents-as-text-lines: reference Q4 input shape") {
     val p = tmp("text")
     MultiFormat.write(docs.select("text"), "text", p, Some("gzip"))
