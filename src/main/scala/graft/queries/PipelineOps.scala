@@ -1003,6 +1003,265 @@ object PipelineOps {
       |            k -> ascii(substring(text, CAST(1 + 16 * k AS INTEGER), 1))), 'sum') AS BIGINT) AS frame_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== x18: repetition-ratio quality filter (Gopher-style) ==============
+
+  /** Repetition ratios — the Gopher/MassiveText repetition rules adapted to
+    * the line-less fixture corpus: top-word fraction, top-2-gram fraction,
+    * and duplicate-2-gram fraction, plus a keep flag at thresholds that
+    * split this corpus non-trivially (median top-word ≈ 0.09, median
+    * dup-2-gram ≈ 0.06 at sf0.01).
+    *
+    * Scale: both branches are explode → two-level hash aggregate, so the
+    * map side combines (doc, gram) counts locally and the shuffle carries
+    * one row per distinct gram per doc — bounded by document length, never
+    * corpus size. The join re-keys on doc_id only. No windows, no driver
+    * state.
+    */
+  def x18Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val uni = toks
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_word_cnt"))
+    val big = toks
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2gram"), max(col("c")).as("top_2gram_cnt"),
+           sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_2gram_cnt"))
+    uni.join(big, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        (col("top_word_cnt").cast("double") / col("n_tok")).as("top_word_frac"),
+        (col("top_2gram_cnt").cast("double") / col("n_2gram")).as("top_2gram_frac"),
+        (col("dup_2gram_cnt").cast("double") / col("n_2gram")).as("dup_2gram_frac"))
+      .withColumn("keep",
+        (col("top_word_frac") < 0.10) && (col("dup_2gram_frac") < 0.10))
+      .orderBy(col("doc_id"))
+  }
+
+  val x18Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, MAX(c) AS top_word_cnt FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |big AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2gram, MAX(c) AS top_2gram_cnt,
+      |         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_2gram_cnt FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id,
+      |             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |      FROM toks) GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT u.doc_id AS doc_id, n_tok,
+      |       CAST(top_word_cnt AS DOUBLE) / n_tok AS top_word_frac,
+      |       CAST(top_2gram_cnt AS DOUBLE) / n_2gram AS top_2gram_frac,
+      |       CAST(dup_2gram_cnt AS DOUBLE) / n_2gram AS dup_2gram_frac,
+      |       (CAST(top_word_cnt AS DOUBLE) / n_tok < 0.10
+      |         AND CAST(dup_2gram_cnt AS DOUBLE) / n_2gram < 0.10) AS keep
+      |FROM uni u JOIN big b ON u.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ===== x19: BM25 relevance scoring ======================================
+
+  /** BM25 scoring of the corpus against a fixed term set — the retrieval /
+    * data-selection primitive (e.g. DSIR-style importance sampling scores).
+    * Two phases: one global stats row (N, Σdl, per-term df — all exact
+    * integer-valued sums, so aggregation order is irrelevant) broadcast
+    * into a per-doc map-side score. The idf uses the rational form
+    * (N − df + ½)/(df + ½) rather than its log: every operation is then
+    * IEEE-exact arithmetic on identical inputs, which keeps the score
+    * bit-identical across engines (ln is only 1-ulp-bounded and differs
+    * between libm and the JVM). Term frequencies come from array `filter`
+    * sizes — no explode, no per-term shuffle.
+    *
+    * Scale: stats is a single-row global aggregate (map-side partials, one
+    * 1-row shuffle); the scoring pass is embarrassingly parallel with the
+    * stats row broadcast; top-k is TakeOrdered, never a global sort.
+    */
+  def x19Bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "query")
+    val k1 = "1.2"; val b = "0.75"
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i", size(filter(col("toks"), x => x === lit(t))).cast("double"))
+    }.drop("toks")
+    val aggs = Seq(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = tf.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"(tf$i * ($k1 + 1.0) / (tf$i + $k1 * (1.0 - $b + $b * dl * n_docs / sum_dl)))"
+    }.mkString(" + ")
+    tf.crossJoin(broadcast(stats))
+      .withColumn("score", expr(score))
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val x19Sql: String = {
+    val terms = Seq("spark", "join", "query")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n|         ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"(tf$i * (1.2 + 1.0) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl * n_docs / sum_dl)))"
+    }.mkString("\n|         + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+       |         $tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl, $dfCols
+       |  FROM tf)
+       |SELECT doc_id, score FROM (
+       |  SELECT doc_id,
+       |         $score AS score
+       |  FROM tf, stats)
+       |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  // ===== x20: test-set decontamination (n-gram overlap) ===================
+
+  private val DecontamW = 4
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * `DecontamW`-token shingle with a held-out test set (here the
+    * deterministic pseudo-split doc_id % 97 = 0; in production the test
+    * side is the eval benchmark). Sliding shingles are digested to sha-256
+    * so the join key is constant-width (the x2/x16 digest-key rule); both
+    * sides dedupe (doc, shingle) before the join so a repeated passage
+    * inside one doc can't multiply candidates.
+    *
+    * Scale: one shuffle keyed on the digest. The test side is tiny by
+    * construction (an eval set), so AQE turns the join broadcast at
+    * runtime; output is one row per contaminated train doc. W=4 on the
+    * 31-word fixture vocabulary plays the role 8–13-gram windows play on
+    * real text (at W=8 the synthetic corpus has zero collisions).
+    */
+  def x20Decontam(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= DecontamW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${DecontamW - 1}), " +
+          s"i -> sha2(concat_ws(' ', slice(toks, i, $DecontamW)), 256))")).as("h"))
+      .distinct()
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(sh))
+    val test = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("test_doc"), col("h"))
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    train.join(test, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shingles"),
+           countDistinct(col("test_doc")).as("n_test_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x20Sql: String = {
+    val w = DecontamW
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $w),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sha256(array_to_string(t[i:i+${w - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i FROM toks)),
+       |test AS (SELECT doc_id AS test_doc, h FROM sh WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT train.doc_id AS doc_id, COUNT(DISTINCT h) AS n_shingles,
+       |       COUNT(DISTINCT test_doc) AS n_test_docs
+       |FROM train JOIN test USING (h)
+       |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ===== x21: apply near-dup dedup (materialize the kept corpus) ==========
+
+  /** The "apply" step the dedup family feeds: keep one canonical document
+    * per x15 near-dup cluster (the cluster-min) plus every unclustered
+    * document — i.e. the actual deduplicated training corpus, with a flag
+    * recording which survivors had duplicates removed.
+    *
+    * Scale: the cluster map is vanishingly small next to the corpus (only
+    * docs that collided in LSH buckets appear), so the left join broadcasts;
+    * the filter keeps `cluster IS NULL OR cluster = doc_id`. One pass over
+    * the corpus, no extra shuffle beyond x15's own.
+    */
+  def x21DedupApply(s: SparkSession, d: String): DataFrame = {
+    val clusters = x15DedupClusters(s, d)
+      .select(col("doc_id").as("c_doc"), col("cluster"))
+    Tables.documents(s, d)
+      .join(broadcast(clusters), col("doc_id") === col("c_doc"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("cluster").isNotNull.as("had_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x21Sql: String =
+    s"""WITH labels AS (${x15Sql.replace("\n", "\n|")})
+       |SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+       |       (l.doc_id IS NOT NULL) AS had_dups
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL OR l.cluster = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ===== x22: per-label embedding centroids ===============================
+
+  /** Per-label embedding centroids via the VectorSumLong DeclarativeAggregate:
+    * floats are scaled to exact 10⁻⁶ long units on the map side, summed
+    * element-wise by the aggregate (one shuffled row per (partition, label)
+    * — d× fewer shuffle rows than explode→groupBy(label, dim)), and divided
+    * back out after a posexplode into (label, dim) rows. All-integer
+    * accumulation makes the result independent of partitioning and
+    * bit-identical to the DuckDB replay.
+    */
+  def x22Centroid(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorSumLong.register(s)
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        expr("transform(embedding, v -> cast(round(cast(v as double) * 1000000) as long))")
+          .as("scaled"))
+      .groupBy(col("label"))
+      .agg(expr("graft_vecsum_long(scaled)").as("vsum"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"), posexplode(col("vsum")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        ((col("col").cast("double") / lit(1000000.0)) / col("n_vecs")).as("centroid"),
+        col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val x22Sql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |         unnest(range(0, len(embedding))) AS dim,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT label, dim,
+      |         CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,
+      |         COUNT(*) AS n_vecs
+      |  FROM ex GROUP BY label, dim)
+      |SELECT label, dim, (CAST(sv AS DOUBLE) / 1000000.0) / n_vecs AS centroid, n_vecs
+      |FROM s ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
@@ -1025,6 +1284,11 @@ object PipelineOps {
     "x15_dedup_clusters" -> (x15DedupClusters _),
     "x16_passage_dedup"  -> (x16PassageDedup _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
+    "x18_repetition"     -> (x18Repetition _),
+    "x19_bm25"           -> (x19Bm25 _),
+    "x20_decontam"       -> (x20Decontam _),
+    "x21_dedup_apply"    -> (x21DedupApply _),
+    "x22_centroid"       -> (x22Centroid _),
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _)
   )
@@ -1051,6 +1315,11 @@ object PipelineOps {
     "x15_dedup_clusters" -> x15Sql,
     "x16_passage_dedup" -> x16Sql,
     "x17_stratified_sample" -> x17Sql,
+    "x18_repetition"     -> x18Sql,
+    "x19_bm25"           -> x19Sql,
+    "x20_decontam"       -> x20Sql,
+    "x21_dedup_apply"    -> x21Sql,
+    "x22_centroid"       -> x22Sql,
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql
   )
