@@ -88,23 +88,33 @@ object Bench {
     val telemetry = new PlanTelemetry
     spark.sparkContext.addSparkListener(telemetry)
     val planInfo = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
-    val results = selected.map { case (name, fn) =>
-      // plan-shape delta measured over the LAST trial only (steady state:
+    // Trials are INTERLEAVED (sweep every query once, then again ×trials)
+    // rather than back-to-back per query: a transient load burst on the
+    // host then poisons at most one sample per query instead of all of a
+    // query's samples, so the per-query median actually rejects it. Sweep 1
+    // doubles as steady-state warmup for sweeps 2+.
+    val names = selected.keys.toSeq
+    val samples = names.map(n => n -> Array.ofDim[Double](trials)).toMap
+    for (t <- 0 until trials; name <- names) {
+      val fn = selected(name)
+      // plan-shape delta measured over the LAST sweep only (steady state:
       // AQE has settled, layout caches are built)
-      var mark = (0L, 0L)
-      val times = (1 to trials).map { i =>
-        if (i == trials) mark = telemetry.settled()
-        val t0 = System.nanoTime()
-        // -1 marks a failed trial — a crash must not report its
-        // time-to-failure as a (fast) valid timing
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }.sorted
-      val end = telemetry.settled()
-      planInfo(name) = (end._1 - mark._1, end._2 - mark._2)
-      name -> times(times.length / 2)
+      val mark = if (t == trials - 1) telemetry.settled() else (0L, 0L)
+      val t0 = System.nanoTime()
+      // -1 marks a failed trial — a crash must not report its
+      // time-to-failure as a (fast) valid timing
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      samples(name)(t) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (t == trials - 1) {
+        val end = telemetry.settled()
+        planInfo(name) = (end._1 - mark._1, end._2 - mark._2)
+      }
     }
+    val results = names.map { name =>
+      val times = samples(name).sorted
+      name -> times(times.length / 2)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val planJson = planInfo.map { case (k, (st, by)) =>

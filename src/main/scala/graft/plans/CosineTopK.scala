@@ -279,6 +279,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(CosineTopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CosineTopKRewrite
+    if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
     if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ CosineTopKStrategy

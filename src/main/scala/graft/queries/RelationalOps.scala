@@ -677,8 +677,38 @@ object RelationalOps {
       |       list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS self_dot
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- j9: full outer join (null-completing shuffle join) ----
+  // The one outer-join shape the j-family lacked. Both sides are filtered
+  // to force non-empty null-completion in BOTH directions (negative-balance
+  // customers without big orders; big-order customers without negative
+  // balance). Full outer can never broadcast — this key deliberately pins
+  // the shuffle-join path with null generation on both sides; the
+  // coalesced key keeps the contract total order unique.
+  def j9FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_big_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  val j9Sql: String =
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      |       c.c_acctbal AS c_acctbal, o.n_big_orders AS n_big_orders
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+      |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders
+      |                 FROM orders WHERE o_totalprice > 450000
+      |                 GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast"       -> (j1Broadcast _),
+    "j9_full_outer"      -> (j9FullOuter _),
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
     "j4_theta_range"     -> (j4ThetaRange _),
@@ -720,6 +750,7 @@ object RelationalOps {
     "j6_range_bucket" -> j6Sql,
     "j7_salted_join" -> j7Sql,
     "j8_bucketed_join" -> j8Sql,
+    "j9_full_outer" -> j9Sql,
     "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,
     // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check

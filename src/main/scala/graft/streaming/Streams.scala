@@ -224,6 +224,39 @@ object Streams {
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming twin of x20 decontamination: each arriving document's
+    * 4-token shingles (sha-256 digested — the batch x20 contract) are
+    * joined against a STATIC benchmark-shingle table. Stream-static joins
+    * keep no stream-side state at all: the static side is re-resolved per
+    * micro-batch and broadcast, so the operator scales with the eval-set
+    * size (small by construction), not the stream. Emits one row per
+    * (arriving doc, matched shingle, test doc) — the flag-and-route
+    * primitive an ingest pipeline puts in front of training storage.
+    * Expects stream columns (doc_id, text); static columns (test_doc, h).
+    */
+  def decontamStream(docs: DataFrame, testShingles: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 3), " +
+          "i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))")).as("h"))
+      .join(broadcast(testShingles), "h")
+      .select(col("doc_id"), col("h"), col("test_doc"))
+
+  /** Static-side builder for [[decontamStream]]: the distinct digested
+    * shingles of the held-out split, same digesting as batch x20.
+    */
+  def testSetShingles(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("test_doc"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("test_doc"), explode(expr(
+        "transform(sequence(1, size(toks) - 3), " +
+          "i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))")).as("h"))
+      .distinct()
+
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to same-user purchases within the following hour.
     * Both watermarks + the range bound let Spark expire join state — the

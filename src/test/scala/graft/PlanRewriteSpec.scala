@@ -89,6 +89,45 @@ class PlanRewriteSpec extends SparkSpec {
     assert(wild.count() === 5L)
   }
 
+  test("ApproxDistinctRewrite: flag on plans HLL++ within 5%, flag off stays exact") {
+    GraftPlanner.install(spark)
+    val events = Tables.events(spark, TestSpark.sf0001)
+    def q() = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val exact = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+    try {
+      val approxDf = q()
+      val optimized = approxDf.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("approx_count_distinct") ||
+        optimized.contains("hyperloglog"),
+        s"flag did not rewrite the aggregate:\n$optimized")
+      approxDf.collect().foreach { r =>
+        val e = exact(r.getString(0)).toDouble
+        assert(math.abs(r.getLong(1) - e) / e <= 0.05,
+          s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $e")
+      }
+    } finally spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "false")
+    // flag back off: exact again
+    val again = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === exact)
+  }
+
+  test("ApproxDistinctRewrite leaves multi-column and filtered distincts exact") {
+    GraftPlanner.install(spark)
+    val events = Tables.events(spark, TestSpark.sf0001)
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+    try {
+      val df = events.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id"), col("event_id")).as("n"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("approx_count_distinct") &&
+        !optimized.contains("hyperloglog"),
+        s"multi-column distinct must stay exact:\n$optimized")
+      assert(df.count() > 0)
+    } finally spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "false")
+  }
+
   test("rewrite leaves non-matching topk plans untouched") {
     GraftPlanner.install(spark)
     graft.functions.VectorCosine.register(spark)

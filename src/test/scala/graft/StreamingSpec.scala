@@ -212,6 +212,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags exactly the batch x20 train docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val static = Streams.testSetShingles(docs)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.decontamStream(mem.toDF().toDF("doc_id", "text"), static)
+      .writeStream.format("memory").queryName("decontam_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val train = docs.filter(col("doc_id") % 97 =!= 0).as[(Long, String)].collect()
+      // two micro-batches: the stream-static join must be batch-boundary-blind
+      mem.addData(train.take(train.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(train.drop(train.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      val flagged = spark.table("decontam_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = SparkEntry.queries("x20_decontam")(spark, TestSpark.sf0001)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged === batch)
+    } finally q.stop()
+  }
+
   test("streaming embedding dedup marks same-bucket duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
