@@ -58,6 +58,105 @@ object Media {
     }
   }
 
+  /** Wrap payload bytes in a 24-bit uncompressed BMP container — pure
+    * header construction, little-endian, rows padded to the 4-byte rule
+    * (width 16 → 48-byte rows, already aligned). The payload becomes the
+    * pixel array verbatim; trailing bytes of the last row are zero.
+    */
+  def encodeBmp(payload: Array[Byte], width: Int = 16): Array[Byte] = {
+    val rowBytes = width * 3
+    val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+    val dataSize = rowBytes * h
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)                   // BITMAPFILEHEADER
+    b.putInt(40).putInt(width).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)                                  // BITMAPINFOHEADER
+    b.put(payload)
+    b.array()
+  }
+
+  /** REAL-codec decode: the BMP container above read back through the
+    * JDK's ImageIO BMP plugin (an actual image decoder, no external libs)
+    * into a BufferedImage, then pixel features. Features are deliberately
+    * pixel-order-independent (channel sum / max over the whole raster), so
+    * they are invariant to BMP's bottom-up row order and BGR channel order
+    * — which is what lets an engine-independent oracle replay them as
+    * plain byte arithmetic and hash-match the decoded values exactly.
+    */
+  def decodeImages(records: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodeBmp(payload)))
+        var sum = 0L; var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val bb = rgb & 0xff
+            sum += r + g + bb
+            if (r > mx) mx = r
+            if (g > mx) mx = g
+            if (bb > mx) mx = bb
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth.toLong, img.getHeight.toLong, sum, mx.toLong)
+      }
+    }.toDF("doc_id", "img_w", "img_h", "channel_sum", "channel_max")
+  }
+
+  /** Wrap payload bytes as an 8-bit unsigned PCM mono WAV (44-byte RIFF
+    * header + samples verbatim) — the audio sibling of [[encodeBmp]].
+    */
+  def encodeWav(payload: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val n = payload.length
+    val b = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate)         // byte rate = rate × 1 × 1
+      .putShort(1).putShort(8)                       // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(n).put(payload)
+    b.array()
+  }
+
+  /** REAL-codec audio decode: the WAV above read back through the JDK's
+    * javax.sound.sampled codec (AudioSystem), then sample statistics.
+    * 8-bit unsigned PCM decodes to the original byte values, so sum/max
+    * over samples are replayable as byte arithmetic by an oracle — same
+    * verification trick as [[decodeImages]].
+    */
+  def decodeAudio(records: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(encodeWav(payload)))
+        val fmt = in.getFormat
+        val samples = in.readAllBytes()
+        var sum = 0L; var mx = 0
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i) & 0xff
+          sum += v; if (v > mx) mx = v
+          i += 1
+        }
+        (id, samples.length.toLong, fmt.getSampleRate.toLong, sum, mx.toLong)
+      }
+    }.toDF("doc_id", "n_samples", "sample_rate", "sample_sum", "sample_max")
+  }
+
   /** Frame sampling: every `stride`-th byte as a "frame", typed output. */
   def sampleFrames(records: Dataset[MediaRecord], stride: Int): DataFrame = {
     import records.sparkSession.implicits._

@@ -1262,6 +1262,58 @@ object PipelineOps {
       |SELECT label, dim, (CAST(sv AS DOUBLE) / 1000000.0) / n_vecs AS centroid, n_vecs
       |FROM s ORDER BY label, dim""".stripMargin
 
+  // ===== m3: REAL-codec image decode (JDK ImageIO BMP path) ===============
+
+  /** Unlike m1/m2's declared stub, this is a REAL decode: fixture bytes are
+    * wrapped in a 24-bit BMP container (pure construction) and decoded
+    * through the JDK's ImageIO BMP reader into a raster; features are
+    * pixel-order-independent channel aggregates, so the DuckDB oracle
+    * replays them as byte arithmetic — hash-matching the values that came
+    * OUT of the codec validates the full encode→decode→feature path.
+    * Same mapPartitions batch shape a GPU/codec UDF would use at 100 TB.
+    */
+  def m3ImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Media.decodeImages(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+      .orderBy(col("doc_id"))
+  }
+
+  val m3Sql: String =
+    """SELECT doc_id, CAST(16 AS BIGINT) AS img_w,
+      |       GREATEST(1, (strlen(text) + 47) // 48) AS img_h,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'sum'), 0) AS BIGINT) AS channel_sum,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS channel_max
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ===== m4: REAL-codec audio decode (JDK javax.sound WAV path) ===========
+
+  /** Audio sibling of m3: fixture bytes wrapped as 8-bit unsigned PCM WAV
+    * and decoded through AudioSystem — the JDK's real audio codec. 8-bit
+    * PCM decodes samples to the original byte values, so the oracle
+    * replays the decoded statistics as byte arithmetic.
+    */
+  def m4AudioDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Media.decodeAudio(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+      .orderBy(col("doc_id"))
+  }
+
+  val m4Sql: String =
+    """SELECT doc_id, strlen(text) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'sum'), 0) AS BIGINT) AS sample_sum,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS sample_max
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
@@ -1290,7 +1342,9 @@ object PipelineOps {
     "x21_dedup_apply"    -> (x21DedupApply _),
     "x22_centroid"       -> (x22Centroid _),
     "m1_media_features"  -> (m1MediaFeatures _),
-    "m2_frame_sample"    -> (m2FrameSample _)
+    "m2_frame_sample"    -> (m2FrameSample _),
+    "m3_image_decode"    -> (m3ImageDecode _),
+    "m4_audio_decode"    -> (m4AudioDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1321,6 +1375,8 @@ object PipelineOps {
     "x21_dedup_apply"    -> x21Sql,
     "x22_centroid"       -> x22Sql,
     "m1_media_features"  -> m1Sql,
-    "m2_frame_sample"    -> m2Sql
+    "m2_frame_sample"    -> m2Sql,
+    "m3_image_decode"    -> m3Sql,
+    "m4_audio_decode"    -> m4Sql
   )
 }

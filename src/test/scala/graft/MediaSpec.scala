@@ -26,6 +26,54 @@ class MediaSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("BMP container round-trips through the JDK ImageIO codec exactly") {
+    // a crafted payload: decoded raster features must equal byte arithmetic
+    val payload = "abc xyz".getBytes("UTF-8")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Media.encodeBmp(payload)))
+    assert(img != null, "ImageIO must decode the constructed BMP")
+    assert(img.getWidth === 16 && img.getHeight === 1)
+    var sum = 0L; var mx = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      val ch = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      sum += ch.sum; mx = math.max(mx, ch.max)
+    }
+    assert(sum === payload.map(_ & 0xff).map(_.toLong).sum)
+    assert(mx === payload.map(_ & 0xff).max)
+  }
+
+  test("m3 real decode agrees with m1's stub byte accounting") {
+    val m3 = SparkEntry.queries("m3_image_decode")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+      .withColumnRenamed("doc_id", "m1_doc")
+    val bad = m3.join(m1, col("doc_id") === col("m1_doc"))
+      .filter(col("channel_sum") =!= col("byte_sum") ||
+        col("img_h") =!= greatest(lit(1L), ceil(col("n_bytes") / 48.0).cast("long")))
+    assert(bad.count() === 0L)
+  }
+
+  test("WAV container round-trips through the JDK audio codec exactly") {
+    val payload = "hello audio".getBytes("UTF-8")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Media.encodeWav(payload)))
+    assert(in.getFormat.getSampleSizeInBits === 8)
+    assert(in.getFormat.getChannels === 1)
+    val samples = in.readAllBytes()
+    assert(samples.length === payload.length)
+    assert(samples.map(_ & 0xff).sum === payload.map(_ & 0xff).sum)
+  }
+
+  test("m4 real audio decode agrees with m1's byte accounting") {
+    val m4 = SparkEntry.queries("m4_audio_decode")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+      .withColumnRenamed("doc_id", "m1_doc")
+    val bad = m4.join(m1, col("doc_id") === col("m1_doc"))
+      .filter(col("sample_sum") =!= col("byte_sum") ||
+        col("n_samples") =!= col("n_bytes"))
+    assert(bad.count() === 0L)
+  }
+
   test("frame sampling emits ceil(n/stride) frames per doc") {
     val recs = Media.fromDocuments(spark, TestSpark.sf0001)
     val frames = Media.sampleFrames(recs, 16)
