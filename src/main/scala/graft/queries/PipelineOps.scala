@@ -1199,16 +1199,20 @@ object PipelineOps {
     * document — i.e. the actual deduplicated training corpus, with a flag
     * recording which survivors had duplicates removed.
     *
-    * Scale: the cluster map is vanishingly small next to the corpus (only
-    * docs that collided in LSH buckets appear), so the left join broadcasts;
-    * the filter keeps `cluster IS NULL OR cluster = doc_id`. One pass over
-    * the corpus, no extra shuffle beyond x15's own.
+    * Scale: the join side is the cluster map (only docs that collided in
+    * LSH buckets appear). On clean corpora it is tiny and AQE broadcasts
+    * it at runtime; on heavily-duplicated web corpora it can be a large
+    * fraction of the corpus, so the broadcast decision is deliberately
+    * LEFT TO THE OPTIMIZER (no broadcast() hint — a forced broadcast is
+    * exactly the thing that OOMs at 100 TB). The filter keeps
+    * `cluster IS NULL OR cluster = doc_id`. One pass over the corpus, no
+    * extra shuffle beyond x15's own.
     */
   def x21DedupApply(s: SparkSession, d: String): DataFrame = {
     val clusters = x15DedupClusters(s, d)
       .select(col("doc_id").as("c_doc"), col("cluster"))
     Tables.documents(s, d)
-      .join(broadcast(clusters), col("doc_id") === col("c_doc"), "left")
+      .join(clusters, col("doc_id") === col("c_doc"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("cluster").isNotNull.as("had_dups"))
