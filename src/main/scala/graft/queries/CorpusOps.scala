@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.StringPolyHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the last mile of a pretraining data
+  * pipeline, after cleaning/dedup (PipelineOps) has decided WHAT to keep:
+  * how the surviving documents are sharded, packed, mixed, capped, and
+  * scrubbed on their way into training shards.
+  *
+  * Cross-engine determinism follows the PipelineOps rules: every hash is
+  * StringPolyHash arithmetic the DuckDB oracle replays literally; the one
+  * floating-point step (x24's sqrt temperature weight) is snapped to
+  * integer micro-units immediately after the correctly-rounded IEEE ops,
+  * so both engines carry exact integers through every division.
+  *
+  * Scale design (100 TB):
+  *  - x23 packs WITHIN hash-shards: the window sort is per-shard, so
+  *    parallelism = shard count (a knob; thousands at real scale) and no
+  *    global sort ever happens.
+  *  - x24's global window runs over the per-stratum aggregate (dozens of
+  *    rows), never the corpus; the rate join back is a broadcast.
+  *  - x25 is a pure map-side scan (regex counts + replace) — embarrassingly
+  *    parallel, zero shuffle before the final ORDER BY.
+  *  - x26 is one window + one aggregate, both partitioned by source.
+  */
+object CorpusOps {
+
+  // ===== x23: shard assignment + fixed-budget sequence packing ===========
+
+  private val PackShards = 8     // local stand-in for the shard-count knob
+  private val PackBudget = 512L  // tokens per packed sequence
+
+  /** Training-shard packing: deterministically assign each doc to a shard
+    * (polyhash of doc_id — reproducible across engines and reruns), then
+    * greedily pack docs into fixed token-budget sequences in doc_id order
+    * within each shard. `seq_id = floor(tokens_before / budget)` is the
+    * contiguous first-fit bin: a doc starts in the bin its cumulative
+    * offset falls in (docs may straddle bins — the standard "document
+    * boundary noise" trade of contiguous packing).
+    *
+    * The window sort is PER SHARD: at 100 TB the shard count scales with
+    * the cluster and no global ordering is ever materialized. Output is
+    * one row per (shard, seq) with its doc count and token sum.
+    */
+  def x23PackShards(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(PackShards))
+        .cast("long").as("shard"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_toks) div $PackBudget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  private val polyhashSqlOf = (c: String) =>
+    s"""list_reduce(list_transform(regexp_split_to_array(CAST($c AS VARCHAR), ''),
+       |        c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003)""".stripMargin
+
+  val x23Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(${polyhashSqlOf("doc_id")} % $PackShards AS BIGINT) AS shard,
+       |         CAST(len(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, n_toks,
+       |         SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM t)
+       |SELECT shard, CAST((cum - n_toks) // $PackBudget AS BIGINT) AS seq_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+       |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
+  // ===== x24: temperature-weighted mixture sampling =======================
+
+  /** Data-mixture reweighting with a temperature exponent (alpha = 0.5,
+    * the multilingual-sampling convention): stratum s is sampled at a rate
+    * proportional to count(s)^alpha, which up-weights tail languages and
+    * down-weights the head relative to natural frequency. The per-stratum
+    * sqrt weight is snapped to integer micro-units right after the IEEE
+    * sqrt (correctly rounded in both engines), so the normalization and
+    * the per-myriad rate are exact integer arithmetic — bit-identical
+    * cross-engine. Membership is the x14 doc_id-hash Bernoulli trick.
+    *
+    * The `sum over ()` window runs on the per-stratum aggregate (a few
+    * dozen rows at any corpus size); the rate table joins back broadcast.
+    */
+  def x24MixtureSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d)
+    val rates = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS LONG)"))
+      .withColumn("rate_pm", expr("(10000 * w_micro) div (sum(w_micro) over ())"))
+      .select(col("lang"), col("n_docs"), col("rate_pm"))
+    docs.select(col("lang"),
+        pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(10000)).as("hpm"))
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"), col("rate_pm"))
+      .agg(count(when(col("hpm") < col("rate_pm"), 1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val x24Sql: String =
+    s"""WITH w AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+       |  FROM documents GROUP BY lang),
+       |r AS (
+       |  SELECT lang, n_docs,
+       |         CAST((10000 * w_micro) // CAST((SELECT SUM(w_micro) FROM w) AS BIGINT) AS BIGINT) AS rate_pm
+       |  FROM w),
+       |h AS (
+       |  SELECT lang, ${polyhashSqlOf("doc_id")} % 10000 AS hpm FROM documents)
+       |SELECT r.lang, r.n_docs, r.rate_pm,
+       |       COUNT(*) FILTER (WHERE h.hpm < r.rate_pm) AS n_sampled
+       |FROM r JOIN h USING (lang)
+       |GROUP BY r.lang, r.n_docs, r.rate_pm ORDER BY r.lang""".stripMargin
+
+  // ===== x25: PII scan + redaction ========================================
+
+  // Regex subset valid and identical in Java regex (Spark) and RE2 (DuckDB):
+  // no lookaround, no backrefs.
+  private val EmailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re   = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val LongNumRe = "\\d{8,}"
+
+  /** PII scan and redaction counts. The fixture corpus is lowercase prose
+    * with no contact data, so each doc is augmented with a DETERMINISTIC
+    * contact line derived from doc_id (email, IPv4, long numeric id) that
+    * both engines synthesize identically — giving the regex machinery
+    * known positives to find while still scanning the real text around
+    * them. Reports per-doc match counts and the length delta after
+    * redacting emails (Spark regexp_replace replaces all matches; the
+    * oracle passes the 'g' flag for the same semantics).
+    */
+  def x25PiiScan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("aug", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail"), pmod(col("doc_id"), lit(7)), lit(".com from 10."),
+        pmod(col("doc_id"), lit(256)), lit(".0.1 ref "),
+        (col("doc_id") * 9973 + 10000000L)))
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("aug"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+        regexp_count(col("aug"), lit(LongNumRe)).cast("long").as("n_longnum"),
+        (length(col("aug")) - length(regexp_replace(col("aug"), EmailRe, "<EMAIL>")))
+          .cast("long").as("redact_delta"))
+      .orderBy(col("doc_id"))
+
+  val x25Sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+       |         '.com from 10.' || (doc_id % 256) || '.0.1 ref ' ||
+       |         (doc_id * 9973 + 10000000) AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+       |       CAST(len(regexp_extract_all(aug, '$LongNumRe')) AS BIGINT) AS n_longnum,
+       |       CAST(length(aug) - length(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g')) AS BIGINT)
+       |         AS redact_delta
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  // ===== x26: per-source document cap =====================================
+
+  private val SourceCap = 10
+
+  /** Per-domain cap — the web-pipeline guard against any one source
+    * dominating the corpus: keep at most N docs per source (first N by
+    * doc_id — deterministic, not "first seen"), report what survived.
+    * One source-partitioned window + one aggregate; no global ordering.
+    */
+  def x26CapPerSource(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(expr("CAST(n_chars AS DECIMAL(18,0))")).cast("double").as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  val x26Sql: String =
+    s"""SELECT source, COUNT(*) AS n_kept,
+       |       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sum_chars
+       |FROM (SELECT source, n_chars,
+       |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |      FROM documents)
+       |WHERE rk <= $SourceCap GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x23_pack_shards"    -> (x23PackShards _),
+    "x24_mixture_sample" -> (x24MixtureSample _),
+    "x25_pii_scan"       -> (x25PiiScan _),
+    "x26_cap_per_source" -> (x26CapPerSource _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x23_pack_shards"    -> x23Sql,
+    "x24_mixture_sample" -> x24Sql,
+    "x25_pii_scan"       -> x25Sql,
+    "x26_cap_per_source" -> x26Sql
+  )
+}

@@ -677,6 +677,35 @@ object RelationalOps {
       |       list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS self_dot
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- f12: recursive CTE (date spine + left join) ----
+  // Spark 4's WITH RECURSIVE (UnionLoop) against DuckDB's: generate a
+  // 60-day date spine by recursion, left-join daily order counts so
+  // zero-order days survive as 0 — the calendar-densification query that
+  // needs recursion (or a generator) in any engine. The recursion depth
+  // (60) sits well inside spark.sql.cteRecursionLevelLimit's default.
+  def f12RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_f12")
+    s.sql(
+      """WITH RECURSIVE days AS (
+        |  SELECT DATE'1995-01-01' AS d
+        |  UNION ALL
+        |  SELECT date_add(d, 1) AS d FROM days WHERE d < DATE'1995-03-01'
+        |)
+        |SELECT CAST(d AS STRING) AS day, COUNT(o_orderkey) AS n_orders
+        |FROM days LEFT JOIN orders_f12 ON CAST(o_orderdate AS DATE) = d
+        |GROUP BY d ORDER BY d""".stripMargin)
+  }
+
+  val f12Sql: String =
+    """WITH RECURSIVE days AS (
+      |  SELECT DATE '1995-01-01' AS d
+      |  UNION ALL
+      |  SELECT d + 1 FROM days WHERE d < DATE '1995-03-01'
+      |)
+      |SELECT CAST(d AS VARCHAR) AS day, COUNT(o_orderkey) AS n_orders
+      |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+      |GROUP BY d ORDER BY d""".stripMargin
+
   // ---- j9: full outer join (null-completing shuffle join) ----
   // The one outer-join shape the j-family lacked. Both sides are filtered
   // to force non-empty null-completion in BOTH directions (negative-balance
@@ -727,6 +756,7 @@ object RelationalOps {
     "a7_grouping_sets"   -> (a7GroupingSets _),
     "f10_lateral"        -> (f10Lateral _),
     "f11_hof"            -> (f11Hof _),
+    "f12_recursive_cte"  -> (f12RecursiveCte _),
     "f6_moments"         -> (f6Moments _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "f8_correlated"      -> (f8Correlated _),
@@ -762,6 +792,7 @@ object RelationalOps {
     "a7_grouping_sets" -> a7Sql,
     "f10_lateral"    -> f10Sql,
     "f11_hof"        -> f11Sql,
+    "f12_recursive_cte" -> f12Sql,
     "f6_moments"     -> f6Sql,
     "f7_scalar_subquery" -> f7Sql,
     "f8_correlated"  -> f8Sql,
