@@ -94,15 +94,23 @@ object CorpusOps {
     * The `sum over ()` window runs on the per-stratum aggregate (a few
     * dozen rows at any corpus size); the rate table joins back broadcast.
     */
-  def x24MixtureSample(s: SparkSession, d: String): DataFrame = {
-    StringPolyHash.register(s)
-    val docs = Tables.documents(s, d)
-    val rates = docs.groupBy(col("lang"))
+  /** Per-stratum sampling-rate table: count^alpha temperature weights,
+    * snapped to integer micro-units, normalized to per-myriad rates.
+    * Shared by batch x24 and the streaming mixture twin (the stream
+    * broadcasts this as its static side). Columns: lang, n_docs, rate_pm.
+    */
+  def mixtureRates(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w_micro",
         expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS LONG)"))
       .withColumn("rate_pm", expr("(10000 * w_micro) div (sum(w_micro) over ())"))
       .select(col("lang"), col("n_docs"), col("rate_pm"))
+
+  def x24MixtureSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d)
+    val rates = mixtureRates(docs)
     docs.select(col("lang"),
         pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(10000)).as("hpm"))
       .join(broadcast(rates), Seq("lang"))

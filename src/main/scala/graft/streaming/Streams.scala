@@ -257,6 +257,24 @@ object Streams {
           "i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))")).as("h"))
       .distinct()
 
+  /** Streaming twin of x24 mixture sampling: arriving docs broadcast-join
+    * a STATIC per-stratum rate table (built once from the reference corpus
+    * by [[graft.queries.CorpusOps.mixtureRates]]) and pass the same
+    * doc_id-hash Bernoulli filter as batch x24 — STATELESS, so membership
+    * is independent of arrival order and micro-batch boundaries, and the
+    * streamed mixture is bit-identical to the batch one over the same
+    * rows. This is the "weighted ingest" primitive: a data-mixture recipe
+    * applied at the door instead of in a nightly batch job.
+    * Expects stream columns (doc_id, lang); static columns (lang, rate_pm).
+    */
+  def mixtureSampleStream(docs: DataFrame, rates: DataFrame): DataFrame = {
+    graft.functions.StringPolyHash.register(docs.sparkSession)
+    docs.join(broadcast(rates.select("lang", "rate_pm")), "lang")
+      .filter(pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(10000))
+        < col("rate_pm"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to same-user purchases within the following hour.
     * Both watermarks + the range bound let Spark expire join state — the

@@ -236,6 +236,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mixture sample matches batch x24 membership across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.StringPolyHash.register(spark)
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "lang")
+    val rates = graft.queries.CorpusOps.mixtureRates(
+      Tables.documents(spark, TestSpark.sf0001))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.mixtureSampleStream(mem.toDF().toDF("doc_id", "lang"), rates)
+      .writeStream.format("memory").queryName("mixture_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val all = docs.as[(Long, String)].collect()
+      // two micro-batches: membership must be batch-boundary-blind
+      mem.addData(all.take(all.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(all.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mixture_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch membership replayed directly: same rate table, same hash
+      val batch = docs.join(broadcast(rates), "lang")
+        .filter(pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(10000))
+          < col("rate_pm"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < all.length)
+    } finally q.stop()
+  }
+
   test("streaming embedding dedup marks same-bucket duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
