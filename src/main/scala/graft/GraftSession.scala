@@ -43,6 +43,7 @@ object GraftSession {
     TokenizePos.register(spark)
     TopKTokensAgg.register(spark)
     WeightedSum.register(spark)
+    VectorSumLong.register(spark)
     GraftPlanner.install(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CosineTopKRewrite)
+    // flag-gated (spark.graft.approxDistinct) — a no-op unless opted in
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectPlannerStrategy(_ => CosineTopKStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_polyhash"),
