@@ -157,6 +157,60 @@ object Media {
     }.toDF("doc_id", "n_samples", "sample_rate", "sample_sum", "sample_max")
   }
 
+  /** Encode payload bytes as an 8-bit grayscale PNG through ImageIO's PNG
+    * writer. Unlike the header-only BMP/WAV wrappers, this runs a REAL
+    * compression pipeline (PNG row filters + DEFLATE). PNG is lossless,
+    * so decoded pixels equal the payload bytes no matter what filter or
+    * compression level the encoder picked — the property that keeps an
+    * engine-independent oracle possible across a compressed codec.
+    * Unset trailing pixels of the last row are zero (same padding rule as
+    * [[encodeBmp]]).
+    */
+  def encodePng(payload: Array[Byte], width: Int = 16): Array[Byte] = {
+    val h = math.max(1, (payload.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < payload.length) {
+      raster.setSample(i % width, i / width, 0, payload(i) & 0xff)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL compressed-codec decode: payload → PNG (DEFLATE) → ImageIO read
+    * → pixel features. The full filter+inflate path runs per record inside
+    * mapPartitions; features are pixel-order-independent sums/maxima so
+    * the oracle replays them as byte arithmetic, exactly as with
+    * [[decodeImages]] — but here the bytes crossed a real entropy coder
+    * both ways.
+    */
+  def decodePng(records: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng(payload)))
+        val raster = img.getRaster
+        var sum = 0L; var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth.toLong, img.getHeight.toLong, sum, mx.toLong)
+      }
+    }.toDF("doc_id", "img_w", "img_h", "gray_sum", "gray_max")
+  }
+
   /** Frame sampling: every `stride`-th byte as a "frame", typed output. */
   def sampleFrames(records: Dataset[MediaRecord], stride: Int): DataFrame = {
     import records.sparkSession.implicits._

@@ -1318,6 +1318,34 @@ object PipelineOps {
       |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS sample_max
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== m5: REAL compressed-codec decode (PNG / DEFLATE path) ===========
+
+  /** The compressed sibling of m3: payload bytes round-trip a grayscale
+    * PNG — PNG row filters + DEFLATE on encode, inflate + defilter on
+    * decode, both through the JDK's ImageIO PNG plugin. PNG is lossless,
+    * so the decoded raster equals the payload regardless of the encoder's
+    * filter/level choices, and the oracle replays the pixel aggregates as
+    * byte arithmetic. m3 proved container parsing; this proves the
+    * features survive a real entropy coder both ways.
+    */
+  def m5PngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Media.decodePng(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+      .orderBy(col("doc_id"))
+  }
+
+  val m5Sql: String =
+    """SELECT doc_id, CAST(16 AS BIGINT) AS img_w,
+      |       GREATEST(1, (strlen(text) + 15) // 16) AS img_h,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'sum'), 0) AS BIGINT) AS gray_sum,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS gray_max
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
@@ -1348,7 +1376,8 @@ object PipelineOps {
     "m1_media_features"  -> (m1MediaFeatures _),
     "m2_frame_sample"    -> (m2FrameSample _),
     "m3_image_decode"    -> (m3ImageDecode _),
-    "m4_audio_decode"    -> (m4AudioDecode _)
+    "m4_audio_decode"    -> (m4AudioDecode _),
+    "m5_png_decode"      -> (m5PngDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1381,6 +1410,7 @@ object PipelineOps {
     "m1_media_features"  -> m1Sql,
     "m2_frame_sample"    -> m2Sql,
     "m3_image_decode"    -> m3Sql,
-    "m4_audio_decode"    -> m4Sql
+    "m4_audio_decode"    -> m4Sql,
+    "m5_png_decode"      -> m5Sql
   )
 }

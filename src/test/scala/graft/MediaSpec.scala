@@ -53,6 +53,30 @@ class MediaSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("PNG round-trips every byte value through DEFLATE exactly") {
+    // all 256 byte values in one payload: the compressed path must be
+    // lossless for the full alphabet, including 0x00 and 0xff
+    val payload = Array.tabulate[Byte](256)(i => i.toByte)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Media.encodePng(payload)))
+    assert(img != null, "ImageIO must decode the encoded PNG")
+    assert(img.getWidth === 16 && img.getHeight === 16)
+    val raster = img.getRaster
+    val decoded = for (y <- 0 until 16; x <- 0 until 16)
+      yield raster.getSample(x, y, 0)
+    assert(decoded === (0 until 256))
+  }
+
+  test("m5 png decode agrees with m1's stub byte accounting") {
+    val m5 = SparkEntry.queries("m5_png_decode")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+      .withColumnRenamed("doc_id", "m1_doc")
+    val bad = m5.join(m1, col("doc_id") === col("m1_doc"))
+      .filter(col("gray_sum") =!= col("byte_sum") ||
+        col("img_h") =!= greatest(lit(1L), ceil(col("n_bytes") / 16.0).cast("long")))
+    assert(bad.count() === 0L)
+  }
+
   test("WAV container round-trips through the JDK audio codec exactly") {
     val payload = "hello audio".getBytes("UTF-8")
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
