@@ -233,15 +233,58 @@ object MultiFormat {
       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Declared training-shard SINK key — the output side of the corpus
+    * pipeline: the cleaned corpus written in the layout a training-data
+    * reader consumes. Hash-sharded on the x23 polyhash (so shard
+    * membership is engine-reproducible), one directory per shard
+    * (`partitionBy`), each shard's rows sorted by doc_id
+    * (`repartition(shard)` gives every shard exactly one task, so
+    * `sortWithinPartitions` yields fully-sorted shard files), zstd
+    * parquet. Read-back filters to ONE shard — partition pruning lists
+    * only that shard's directory, which is precisely how a 1000-reader
+    * training job opens its slice without touching the other 999.
+    */
+  def src5ShardSink(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.StringPolyHash.register(spark)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src5_shard_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
+      graft.Tables.documents(spark, d)
+        .withColumn("shard",
+          pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(8)).cast("int"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.partitionBy("shard").option("compression", "zstd")
+        .mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+      .filter(col("shard") === 3)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(expr("CAST(n_chars AS DECIMAL(18,0))")).cast("double").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val src5Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sum_chars
+      |FROM documents
+      |WHERE list_reduce(list_transform(regexp_split_to_array(
+      |        CAST(doc_id AS VARCHAR), ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) % 8 = 3
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
         "src2_partitioned_scan" -> (src2PartitionedScan _),
         "src3_orc_scan" -> (src3OrcScan _),
-        "src4_sequencefile_scan" -> (src4SequencefileScan _))
+        "src4_sequencefile_scan" -> (src4SequencefileScan _),
+        "src5_shard_sink" -> (src5ShardSink _))
 
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
         "src2_partitioned_scan" -> src2Sql,
         "src3_orc_scan" -> src3Sql,
-        "src4_sequencefile_scan" -> src4Sql)
+        "src4_sequencefile_scan" -> src4Sql,
+        "src5_shard_sink" -> src5Sql)
 }

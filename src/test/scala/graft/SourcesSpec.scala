@@ -55,6 +55,28 @@ class SourcesSpec extends SparkSpec {
     assert(headStr.contains("SnappyCodec"), s"codec missing from header: $headStr")
   }
 
+  test("src5 shard sink: 8 sorted shard dirs, pruned single-shard read") {
+    // run the key once to materialize the layout
+    val got = MultiFormat.src5ShardSink(spark, TestSpark.sf0001)
+    assert(got.count() > 0)
+    val dir = new java.io.File("/tmp/graft_src5_shard__root_testdata_sf0_001")
+    val shards = dir.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.toSeq === (0 until 8).map(i => s"shard=$i"))
+    // each shard holds one fully doc_id-sorted file (the training-reader
+    // contract: open your slice, stream it in order)
+    for (s <- Seq(0, 5)) {
+      val rows = spark.read
+        .parquet(s"${dir.getPath}/shard=$s").select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(rows.sameElements(rows.sorted), s"shard $s not sorted")
+    }
+    // the single-shard filter prunes partitions at the scan
+    val scan = MultiFormat.src5ShardSink(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(shard"),
+      "shard filter must reach the scan as a partition filter")
+  }
+
   test("documents-as-text-lines: reference Q4 input shape") {
     val p = tmp("text")
     MultiFormat.write(docs.select("text"), "text", p, Some("gzip"))
