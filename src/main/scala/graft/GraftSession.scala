@@ -48,4 +48,15 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
+
+  /** Register every dataset table as a temp view over `sfDir`, so the whole
+    * surface is reachable from plain `spark.sql` — the SQL-first workflow
+    * the reference harness assumes (its queries are SQL strings over
+    * external tables). Views go through [[Tables.load]], so the events
+    * ns-timestamp shim and session tuning apply identically to SQL users.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    (Tables.relational ++ Seq("events", "documents", "embeddings")).foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
 }

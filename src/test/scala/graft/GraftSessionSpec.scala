@@ -19,4 +19,19 @@ class GraftSessionSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_weighted_sum(1.0, 2.0) FROM gs_probe").count() === 1)
     assert(spark.experimental.extraStrategies.nonEmpty)
   }
+
+  test("registerTables exposes the full dataset to plain spark.sql") {
+    GraftSession.registerTables(spark, TestSpark.sf0001)
+    // a representative SQL-only query across three table kinds: relational,
+    // events (ns-shimmed), documents
+    val joined = spark.sql(
+      """SELECT r_name, COUNT(*) AS n FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(joined.count() === 5)
+    assert(spark.sql("SELECT MAX(ts) FROM events").head().get(0) != null)
+    assert(spark.sql("SELECT COUNT(*) FROM documents").head().getLong(0) > 0)
+    assert(spark.sql("SELECT size(embedding) FROM embeddings LIMIT 1")
+      .head().getInt(0) > 0)
+  }
 }
