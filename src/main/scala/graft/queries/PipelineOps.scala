@@ -1346,6 +1346,149 @@ object PipelineOps {
       |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS gray_max
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== x27: simhash hamming near-dup join (banded, lossless) ===========
+
+  private val SimBits    = 31 // bits of the permuted polyhash used for simhash
+  private val HammingMax = 3  // near-dup threshold (bits differing)
+
+  /** Simhash near-duplicate JOIN — the hamming-distance sibling of x3's
+    * minhash-Jaccard join (Charikar STOC'02; Manku et al. WWW'07 use the
+    * same band trick at web scale on 64-bit fingerprints).
+    *
+    * Each doc gets a 31-bit simhash (per-bit ±1 majority over permuted
+    * token hashes — all-integer, bit-identical cross-engine). Candidate
+    * pairs come from a self-join keyed on (band, band_value) with the
+    * fingerprint cut into 4 bands (8+8+8+7 bits). Pigeonhole makes the
+    * blocking LOSSLESS for the declared threshold: hamming <= 3 differing
+    * bits spread over 4 bands leave at least one band untouched, so every
+    * true pair collides on some band. The DuckDB oracle is therefore the
+    * plain all-pairs formulation — exact agreement proves the pruning
+    * drops nothing. At 100 TB the shuffle is keyed on (band, value):
+    * sub-quadratic candidate volume, no N² anywhere; threshold/band-count
+    * scale together (Manku's 64-bit/k=3 split is the same construction).
+    *
+    * Fingerprints hash 3-token SHINGLES, not unigrams: the fixture docs
+    * share one vocabulary with similar word frequencies, and a unigram
+    * simhash degenerates on such corpora (measured: 743k pairs inside the
+    * sf0.1 hamming-3 ball — 4% of all pairs — vs 1.3k with shingles).
+    * Shingles carry word order, which is exactly the signal that separates
+    * rewordings from near-copies; same reason x3 shingles before minhash.
+    *
+    * The fixture corpus has few natural near-dups, so (x25 precedent) the
+    * corpus is augmented with DETERMINISTIC twins both engines synthesize
+    * identically: an exact copy for every doc_id % 10 == 0 (hamming 0 —
+    * guaranteed positives) and a one-token-appended copy for % 10 == 5
+    * (perturbed fingerprints that may or may not stay inside the ball).
+    */
+  def x27SimhashNeardup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+    val toks = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> graft_polyhash(concat(element_at(toks, i), ' ', " +
+          "element_at(toks, i+1), ' ', element_at(toks, i+2))))")).as("h"))
+      .withColumn("hp", expr(s"(h * 40503L + 11L) % ${P31}L"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(expr(s"CASE WHEN (shiftright(hp, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val shExpr = (0 until SimBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+    val sh = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(shExpr).as("sh"))
+    val bands = sh.select(col("doc_id"), col("sh"), expr(
+      "stack(4, 0, sh & 255L, 1, shiftright(sh, 8) & 255L, " +
+        "2, shiftright(sh, 16) & 255L, 3, shiftright(sh, 24) & 127L) as (band, bv)"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sh").as("sha"),
+        col("y.doc_id").as("doc_b"), col("y.sh").as("shb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val x27Sql: String = {
+    val sums = (0 until SimBits)
+      .map(b => s"SUM(CASE WHEN (hp >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val shSql = (0 until SimBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 20000000, text || ' extra' FROM documents WHERE doc_id % 10 = 5),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |h AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_transform(regexp_split_to_array(
+       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
+       |       (a, b) -> (a * 31 + b) % 1000003) * 40503::BIGINT + 11) % $P31 AS hp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+       |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $shSql AS sh FROM b)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ===== x29: hashed linear quality classifier ===========================
+
+  private val ClsBuckets = 4096L
+
+  /** Fasttext-style hashed linear model for document quality filtering:
+    * each token hashes into one of 4096 weight buckets; the doc score is
+    * the sum of its tokens' bucket weights and `keep` thresholds the score
+    * at zero. Weights are derived deterministically from the bucket id
+    * (Knuth-hash into [-1000, 1000]) so both engines carry the identical
+    * integer model — the plumbing (hash → embed → sum → threshold) is
+    * exactly a trained model's inference path with the learned weights
+    * swapped for reproducible ones.
+    *
+    * Pure map-side + one groupBy(doc_id): at 100 TB this is a single
+    * corpus scan with map-side partial sums; no joins, no broadcast state,
+    * model size is a constant 4096 ints however large the corpus grows.
+    */
+  def x29QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("w",
+        expr(s"((graft_polyhash(token) % ${ClsBuckets}L) * 2654435761L) % 2001L - 1000L"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score_sum"))
+      .withColumn("keep",
+        expr("CASE WHEN score_sum >= 0 THEN 1L ELSE 0L END"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x29Sql: String =
+    s"""SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(w) AS BIGINT) AS score_sum,
+       |       CAST(CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    ((list_reduce(list_transform(regexp_split_to_array(token, ''), c -> ascii(c)),
+       |        (a, b) -> (a * 31 + b) % 1000003) % $ClsBuckets) * 2654435761) % 2001 - 1000 AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> '')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
@@ -1377,7 +1520,9 @@ object PipelineOps {
     "m2_frame_sample"    -> (m2FrameSample _),
     "m3_image_decode"    -> (m3ImageDecode _),
     "m4_audio_decode"    -> (m4AudioDecode _),
-    "m5_png_decode"      -> (m5PngDecode _)
+    "m5_png_decode"      -> (m5PngDecode _),
+    "x27_simhash_neardup" -> (x27SimhashNeardup _),
+    "x29_quality_classifier" -> (x29QualityClassifier _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1411,6 +1556,8 @@ object PipelineOps {
     "m2_frame_sample"    -> m2Sql,
     "m3_image_decode"    -> m3Sql,
     "m4_audio_decode"    -> m4Sql,
-    "m5_png_decode"      -> m5Sql
+    "m5_png_decode"      -> m5Sql,
+    "x27_simhash_neardup" -> x27Sql,
+    "x29_quality_classifier" -> x29Sql
   )
 }

@@ -95,6 +95,33 @@ object ReferenceQueries {
       |       COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY key_prefix""".stripMargin
 
+  /** Q2 sweep endpoint: group-per-row aggregation. The composite
+    * `orderkey-linenumber` key is near-unique over lineitem (~457k groups
+    * for 600k rows at sf0.1 — 3× q2d and the maximum group cardinality the
+    * dataset offers; upstream's ~2.5×10⁸-group run is this same shape at
+    * its SF). Partial aggregation is pure overhead here — every partial map
+    * fills with singleton groups and falls back to sort-based merge — which
+    * is precisely the pathology a 100 TB Q2c run meets per-executor, and
+    * what AQE's partial-agg skipping (spark.sql.aggregate.skipPartialAgg*)
+    * exists to detect. Wider agg list than q2d so the fallback carries
+    * multi-column aggregation buffers, not one counter.
+    */
+  def q2e(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("line_key"))
+      .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
+           sum(money(col("l_quantity"))).cast("double").as("total_qty"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("line_key"))
+
+  val q2eSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_key,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY 1 ORDER BY line_key""".stripMargin
+
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -245,6 +272,7 @@ object ReferenceQueries {
     "q2b_substr_agg"  -> (q2b _),
     "q2c_substr_agg"  -> (q2c _),
     "q2d_substr_agg"  -> (q2d _),
+    "q2e_substr_agg"  -> (q2e _),
     "q3a_join_topk"   -> (q3a _),
     "q3b_join_topk"   -> (q3b _),
     "q3c_join_topk"   -> (q3c _),
@@ -262,6 +290,7 @@ object ReferenceQueries {
     "q2b_substr_agg"  -> q2Sql(3),
     "q2c_substr_agg"  -> q2cSql,
     "q2d_substr_agg"  -> q2dSql,
+    "q2e_substr_agg"  -> q2eSql,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),

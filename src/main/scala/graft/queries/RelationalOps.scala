@@ -735,8 +735,47 @@ object RelationalOps {
       |  ON c.c_custkey = o.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  // ---- f13: URL parsing (web-corpus provenance columns) ----
+
+  /** URL decomposition — host/path/query extraction, the first step of any
+    * web-crawl provenance pipeline (source attribution, per-domain caps,
+    * robots filtering all key on the host). Spark side uses the native
+    * `parse_url` expression (codegen'd, java.net.URI semantics); DuckDB has
+    * no parse_url, so the oracle re-derives each part with RE2 regexes —
+    * agreement proves the extraction semantics, not just the plumbing.
+    * URLs are synthesized deterministically from documents columns (the
+    * fixture corpus carries no real URLs; x25 precedent).
+    */
+  def f13Url(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"), lit("&ref=r"),
+        pmod(col("doc_id"), lit(5))))
+      .select(
+        col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+      .orderBy(col("doc_id"))
+
+  val f13Sql: String =
+    """SELECT doc_id,
+      |       regexp_extract(url, 'https://([^/]+)', 1) AS host,
+      |       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |       regexp_extract(url, '\?(.*)$', 1) AS query,
+      |       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+      |FROM (
+      |  SELECT doc_id,
+      |         'https://' || source || '.example.com/docs/' || doc_id ||
+      |         '?lang=' || lang || '&ref=r' || (doc_id % 5) AS url
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast"       -> (j1Broadcast _),
+    "f13_url"            -> (f13Url _),
     "j9_full_outer"      -> (j9FullOuter _),
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
@@ -772,6 +811,7 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "f13_url"        -> f13Sql,
     "j1_broadcast"   -> j1Sql,
     "j2_antijoin"    -> j2Sql,
     "j3_semijoin"    -> j3Sql,

@@ -1,0 +1,79 @@
+package graft
+
+import graft.TestSpark._
+import org.apache.spark.sql.functions._
+
+/** Round-4 session-3 additions: banded simhash near-dup join (x27),
+  * integer PageRank (x28), hashed linear quality classifier (x29),
+  * group-per-row aggregation stress (q2e), URL parsing (f13).
+  */
+class Round4cSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf0001) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("x27 simhash neardup: banding finds every injected exact twin at hamming 0") {
+    val df = run("x27_simhash_neardup").cache()
+    // every doc_id % 10 == 0 twin (same text => same fingerprint) must appear
+    val twinIds = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val zeroPairs = df.filter(col("hamming") === 0)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twinIds.forall(id => zeroPairs.contains((id, id + 10000000L))),
+      "some exact twin pair missing from the hamming-0 result")
+    // threshold respected; pairs canonically ordered
+    assert(df.filter(col("hamming") > 3 || col("hamming") < 0).count() === 0L)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() === 0L)
+    df.unpersist()
+  }
+
+  test("x28 pagerank: every graph node ranked, ranks bounded and non-uniform") {
+    val df = run("x28_pagerank").cache()
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().cache()
+    val nParts = li.select("l_partkey").distinct().count()
+    val nSupps = li.select("l_suppkey").distinct().count()
+    assert(df.count() === nParts + nSupps)
+    // damping floor: rank >= 0.15 in micro-units; dangling-free graph keeps
+    // total mass near n * 1e6 (integer-division truncation loses a little)
+    assert(df.filter(col("pr") < 150000L).count() === 0L)
+    val total = df.agg(sum("pr")).first().getLong(0)
+    val n = nParts + nSupps
+    assert(total <= n * 1000000L && total > (n * 1000000L * 95) / 100)
+    assert(df.select("pr").distinct().count() > 1, "ranks collapsed to uniform")
+    li.unpersist(); df.unpersist()
+  }
+
+  test("x29 quality classifier: keep thresholds the score; model covers both classes") {
+    val df = run("x29_quality_classifier").cache()
+    assert(df.filter((col("score_sum") >= 0) =!= (col("keep") === 1)).count() === 0L)
+    val kept = df.filter(col("keep") === 1).count()
+    assert(kept > 0 && kept < df.count(), "classifier decision is degenerate")
+    df.unpersist()
+  }
+
+  test("q2e: one output group per distinct composite key") {
+    val df = run("q2e_substr_agg").cache()
+    val distinctKeys = Tables.lineitem(spark, sf0001)
+      .select(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))).distinct().count()
+    assert(df.count() === distinctKeys)
+    assert(df.filter(col("n_lines") < 1).count() === 0L)
+    df.unpersist()
+  }
+
+  test("f13 url: parse_url parts recompose into the synthesized url") {
+    val df = run("f13_url").cache()
+    assert(df.count() > 0)
+    val bad = df.filter(
+      !col("host").endsWith(".example.com") ||
+        !col("path").startsWith("/docs/") ||
+        !col("query").startsWith("lang=") ||
+        (col("lang_param") =!= regexp_extract(col("query"), "lang=([^&]*)", 1)))
+    assert(bad.count() === 0L)
+    df.unpersist()
+  }
+}
