@@ -211,7 +211,123 @@ object CorpusOps {
        |      FROM documents)
        |WHERE rk <= $SourceCap GROUP BY source ORDER BY source""".stripMargin
 
+  // ===== x30: incremental corpus upsert (MERGE semantics) ================
+
+  /** CDC-style corpus refresh — the MERGE INTO shape (update matched,
+    * delete matched, insert unmatched) that keeps a living corpus current
+    * between crawls, expressed as one full-outer join + CASE projection.
+    * The change feed is synthesized deterministically from doc_id classes
+    * (mod-7 partition: 0 → update with revised text, 1 → delete,
+    * 2 → source of a fresh insert) so both engines derive the identical
+    * feed; rows carry their final status for end-to-end verification.
+    *
+    * At 100 TB this is exactly how table formats execute MERGE: one join
+    * of base against changes co-partitioned on the key, then a rewrite of
+    * affected files — no driver-side diffing, one shuffle each side (none
+    * if both are bucketed on doc_id; AQE broadcasts a small change feed).
+    */
+  def x30CorpusUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val changes = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(lit("rev2 "), col("text")).as("new_text"),
+        lit("U").as("op"))
+      .unionByName(base.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), lit(null).cast("string").as("new_text"),
+          lit("D").as("op")))
+      .unionByName(base.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit("fresh doc "), (col("doc_id") + 7000000L).cast("string")).as("new_text"),
+          lit("I").as("op")))
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("op") === "U", lit("updated"))
+          .otherwise(lit("inserted")).as("status"),
+        length(coalesce(col("new_text"), col("text"))).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x30Sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |changes AS (
+      |  SELECT doc_id, 'rev2 ' || text AS new_text, 'U' AS op FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id, NULL, 'D' FROM base WHERE doc_id % 7 = 1
+      |  UNION ALL SELECT doc_id + 7000000, 'fresh doc ' || (doc_id + 7000000), 'I'
+      |    FROM base WHERE doc_id % 7 = 2)
+      |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+      |       CASE WHEN c.op IS NULL THEN 'kept'
+      |            WHEN c.op = 'U' THEN 'updated' ELSE 'inserted' END AS status,
+      |       CAST(length(COALESCE(c.new_text, b.text)) AS BIGINT) AS n_chars
+      |FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY doc_id""".stripMargin
+
+  // ===== p1: composed curation pipeline (langid → quality → cap → dedup) ==
+
+  /** End-to-end curation chain — the composition proof that the pipeline
+    * operators stack the way a real corpus build uses them: language
+    * filter (x6's integer stopword test) → quality-classifier keep (x29's
+    * hashed linear model) → per-source cap (x26, first 10 by doc_id) →
+    * exact dedup (x2, min doc_id per content digest), emitting the final
+    * survivors. One token-explode pass computes BOTH the langid stats and
+    * the classifier score; the cap and dedup are one window each. Every
+    * stage is the scale-safe formulation of its standalone key, so the
+    * chain inherits their 100 TB properties (map-side stats, digest-keyed
+    * dedup, capped windows).
+    */
+  def p1CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d)
+    val stats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("token") === "the" || col("token") === "a", 1)).as("n_stop"),
+        sum(expr("((graft_polyhash(token) % 4096) * 2654435761L) % 2001L - 1000L"))
+          .as("score_sum"))
+    val kept = docs.join(stats, Seq("doc_id"))
+      .filter(col("n_stop") * 20 >= col("n_tok"))     // stage 1: langid = en
+      .filter(col("score_sum") >= 0)                  // stage 2: quality keep
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val capped = kept.withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= 10)                        // stage 3: per-source cap
+    val wDup = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+    capped.withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1)                        // stage 4: exact dedup
+      .select(col("doc_id"), col("source"), col("score_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p1Sql: String =
+    """WITH stats AS (
+      |  SELECT doc_id, COUNT(*) AS n_tok,
+      |         COUNT(CASE WHEN token = 'the' OR token = 'a' THEN 1 END) AS n_stop,
+      |         CAST(SUM(((list_reduce(list_transform(regexp_split_to_array(token, ''),
+      |             c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) % 4096)
+      |             * 2654435761) % 2001 - 1000) AS BIGINT) AS score_sum
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY doc_id),
+      |kept AS (
+      |  SELECT d.doc_id, d.source, d.text, s.score_sum
+      |  FROM documents d JOIN stats s USING (doc_id)
+      |  WHERE s.n_stop * 20 >= s.n_tok AND s.score_sum >= 0),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, source, text, score_sum,
+      |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |    FROM kept) WHERE rk <= 10),
+      |deduped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, source, score_sum,
+      |           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM capped) WHERE rn = 1)
+      |SELECT doc_id, source, score_sum FROM deduped ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_corpus_upsert"  -> (x30CorpusUpsert _),
+    "p1_curation_pipeline" -> (p1CurationPipeline _),
     "x23_pack_shards"    -> (x23PackShards _),
     "x24_mixture_sample" -> (x24MixtureSample _),
     "x25_pii_scan"       -> (x25PiiScan _),
@@ -219,6 +335,8 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x30_corpus_upsert"  -> x30Sql,
+    "p1_curation_pipeline" -> p1Sql,
     "x23_pack_shards"    -> x23Sql,
     "x24_mixture_sample" -> x24Sql,
     "x25_pii_scan"       -> x25Sql,

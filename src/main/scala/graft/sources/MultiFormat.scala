@@ -274,8 +274,41 @@ object MultiFormat {
       |      (a, b) -> (a * 31 + b) % 1000003) % 8 = 3
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Declared JSON-lines source key: round-trip documents through
+    * gzip-compressed JSONL — the interchange format every crawl dump and
+    * dataset release actually ships — and aggregate from the JSON scan
+    * with an EXPLICIT schema (schema inference over JSON is a second full
+    * scan at 100 TB). `sum(length(text))` makes the oracle sensitive to
+    * string-escaping fidelity: any mangling of the text payload through
+    * JSON encode/decode shifts the aggregate.
+    */
+  def src6JsonlScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src6_jsonl_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
+      write(graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        "json", path, Some("gzip"))
+    }
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .json(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text"))).as("sum_text_chars"),
+           min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val src6Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+      |       MIN(doc_id) AS min_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
+        "src6_jsonl_scan" -> (src6JsonlScan _),
         "src2_partitioned_scan" -> (src2PartitionedScan _),
         "src3_orc_scan" -> (src3OrcScan _),
         "src4_sequencefile_scan" -> (src4SequencefileScan _),
@@ -283,6 +316,7 @@ object MultiFormat {
 
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
+        "src6_jsonl_scan" -> src6Sql,
         "src2_partitioned_scan" -> src2Sql,
         "src3_orc_scan" -> src3Sql,
         "src4_sequencefile_scan" -> src4Sql,

@@ -205,6 +205,24 @@ object Streams {
       }
   }
 
+  /** Streaming twin of x29's quality classifier: arriving documents are
+    * scored by the same 4096-bucket hashed linear model and filtered on
+    * the same sign threshold — STATELESS, so a document's keep decision is
+    * independent of arrival order and micro-batch boundaries, and the
+    * streamed survivor set is bit-identical to batch x29's keep set over
+    * the same rows (proven in StreamingSpec). This is the online ingest
+    * filter of a live pipeline: score-at-arrival, no replay needed.
+    * Expects (doc_id, text) columns.
+    */
+  def qualityFilterStream(docs: DataFrame): DataFrame = {
+    graft.functions.StringPolyHash.register(docs.sparkSession)
+    docs
+      .withColumn("score_sum", expr(
+        "aggregate(filter(split(text, ' '), t -> t != ''), 0L, " +
+          "(acc, t) -> acc + ((graft_polyhash(t) % 4096) * 2654435761L) % 2001L - 1000L)"))
+      .filter(col("score_sum") >= 0)
+  }
+
   /** Streaming twin of x16 passage dedup: incoming documents explode into
     * 20-token passages keyed by sha-256 digest; dropDuplicatesWithinWatermark
     * on the digest emits only the FIRST occurrence of each passage — the

@@ -65,6 +65,39 @@ class Round4cSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("x30 upsert: MERGE semantics — delete class absent, statuses match change classes") {
+    val df = run("x30_corpus_upsert").cache()
+    val base = Tables.documents(spark, sf0001).select(col("doc_id")).cache()
+    // deletes (doc_id % 7 == 1) are gone; no other base row is lost
+    assert(df.filter(col("doc_id") % 7 === 1 && col("doc_id") < 7000000L).count() === 0L)
+    val nBase = base.count()
+    val nDel = base.filter(col("doc_id") % 7 === 1).count()
+    val nIns = base.filter(col("doc_id") % 7 === 2).count()
+    assert(df.count() === nBase - nDel + nIns)
+    // status classes line up with the mod-7 feed
+    assert(df.filter(col("status") === "updated").count() ===
+      base.filter(col("doc_id") % 7 === 0).count())
+    assert(df.filter(col("status") === "inserted").count() === nIns)
+    assert(df.filter(col("status") === "inserted" && col("doc_id") < 7000000L).count() === 0L)
+    base.unpersist(); df.unpersist()
+  }
+
+  test("p1 pipeline: every stage's invariant holds on the composed survivors") {
+    val df = run("p1_curation_pipeline").cache()
+    assert(df.count() > 0)
+    // stage 3: per-source cap respected
+    assert(df.groupBy("source").count().filter(col("count") > 10).count() === 0L)
+    // stage 2: survivors all carry non-negative scores
+    assert(df.filter(col("score_sum") < 0).count() === 0L)
+    // stage 4: no two survivors share a text
+    val texts = df.select("doc_id").join(Tables.documents(spark, sf0001), "doc_id")
+      .select("text")
+    assert(texts.count() === texts.distinct().count())
+    // composition is strictly narrowing
+    assert(df.count() < Tables.documents(spark, sf0001).count())
+    df.unpersist()
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)

@@ -236,6 +236,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality filter keeps exactly the batch x29 keep set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.qualityFilterStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      // two micro-batches: the stateless filter must be batch-boundary-blind
+      mem.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = SparkEntry.queries("x29_quality_classifier")(spark, TestSpark.sf0001)
+        .filter(col("keep") === 1).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming mixture sample matches batch x24 membership across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
