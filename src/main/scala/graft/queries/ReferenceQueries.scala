@@ -264,7 +264,28 @@ object ReferenceQueries {
       |JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin
 
+  /** SQL-text parity: ONE ANSI string executed verbatim by BOTH engines —
+    * `spark.sql` over GraftSession.registerTables views on the Spark side,
+    * the identical string as its own DuckDB oracle. This is the reference's
+    * actual usage mode (its queries are SQL strings over external tables):
+    * proof the engine's SQL entry path is first-class, not a DataFrame-only
+    * surface. The query is a dim-joined revenue rollup — broadcast-able
+    * nation dim, keyed agg, decimal-exact money.
+    */
+  val sql1Text: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def sql1ViaSql(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.registerTables(s, d)
+    s.sql(sql1Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql1_text_parity" -> (sql1ViaSql _),
     "q1a_scan_filter" -> (q1a _),
     "q1b_scan_filter" -> (q1b _),
     "q1c_scan_filter" -> (q1c _),
@@ -291,6 +312,7 @@ object ReferenceQueries {
     "q2c_substr_agg"  -> q2cSql,
     "q2d_substr_agg"  -> q2dSql,
     "q2e_substr_agg"  -> q2eSql,
+    "sql1_text_parity" -> sql1Text,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),

@@ -306,9 +306,50 @@ object MultiFormat {
       |       MIN(doc_id) AS min_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Declared corrupt-record-policy key: real crawl dumps carry broken
+    * records, and the ingest contract (skip? fail? quarantine?) is part of
+    * any production source. Documents are written as JSON lines with a
+    * DETERMINISTIC corruption (doc_id % 50 == 0 loses its closing brace —
+    * both engines know exactly which rows die), then read back PERMISSIVE
+    * with `_corrupt_record`: valid rows parse into columns, broken rows
+    * quarantine into the corrupt column instead of killing the job. The
+    * aggregate counts both populations and sums text length over the
+    * valid one; the oracle derives the same split from the parquet side
+    * by the corruption rule. FAILFAST-mode behavior (the same file
+    * aborting the scan) is asserted in SourcesSpec.
+    */
+  def src7CorruptScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src7_corrupt_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
+      graft.Tables.documents(spark, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+        .select(when(col("doc_id") % 50 === 0,
+            expr("substring(j, 1, length(j) - 1)")).otherwise(col("j")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+    }
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(count(col("doc_id")).as("n_valid"),
+           count(col("_corrupt_record")).as("n_corrupt"),
+           sum(length(col("text"))).as("sum_text_chars"))
+  }
+
+  val src7Sql: String =
+    """SELECT COUNT(CASE WHEN doc_id % 50 <> 0 THEN 1 END) AS n_valid,
+      |       COUNT(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS n_corrupt,
+      |       CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN length(text) END) AS BIGINT)
+      |         AS sum_text_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
+        "src7_corrupt_scan" -> (src7CorruptScan _),
         "src2_partitioned_scan" -> (src2PartitionedScan _),
         "src3_orc_scan" -> (src3OrcScan _),
         "src4_sequencefile_scan" -> (src4SequencefileScan _),
@@ -317,6 +358,7 @@ object MultiFormat {
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
         "src6_jsonl_scan" -> src6Sql,
+        "src7_corrupt_scan" -> src7Sql,
         "src2_partitioned_scan" -> src2Sql,
         "src3_orc_scan" -> src3Sql,
         "src4_sequencefile_scan" -> src4Sql,

@@ -77,6 +77,23 @@ class SourcesSpec extends SparkSpec {
       "shard filter must reach the scan as a partition filter")
   }
 
+  test("src7 corrupt-record policy: PERMISSIVE quarantines, FAILFAST aborts") {
+    // run the key once so the corrupted layout exists and counts line up
+    val row = MultiFormat.src7CorruptScan(spark, TestSpark.sf0001).head()
+    val nCorrupt = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(row.getLong(0) === docs.count() - nCorrupt)
+    assert(row.getLong(1) === nCorrupt)
+    // the SAME files under FAILFAST must abort the scan
+    val tag = TestSpark.sf0001.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src7_corrupt_$tag"
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("mode", "FAILFAST").json(path).count()
+    }
+    assert(ex.getMessage.contains("FAILFAST") ||
+      Option(ex.getCause).exists(_.getMessage.contains("FAILFAST")))
+  }
+
   test("documents-as-text-lines: reference Q4 input shape") {
     val p = tmp("text")
     MultiFormat.write(docs.select("text"), "text", p, Some("gzip"))
