@@ -293,6 +293,42 @@ object Streams {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Streaming twin of x30's corpus upsert: a change feed (doc_id,
+    * new_text, op ∈ U/D/I) applied to a versioned parquet corpus state via
+    * foreachBatch — each micro-batch MERGEs into the latest version with
+    * the same full-outer-join + CASE shape as batch x30 and writes the
+    * next version (write-new-then-point, never overwrite-in-place: readers
+    * of version N are unaffected while N+1 lands — the snapshot-isolation
+    * discipline table formats implement, hand-rolled on plain parquet).
+    * State grows by one corpus rewrite per batch; real deployments compact
+    * — the point here is the merge loop, proven batch-equivalent in spec.
+    */
+  def corpusRefreshStream(changes: DataFrame, stateRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val root = new java.io.File(stateRoot)
+        val latest = Option(root.listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .sortBy(_.getName.drop(1).toLong).lastOption
+        val base = latest match {
+          case Some(dir) => s.read.parquet(dir.getPath)
+          case None =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("doc_id", LongType),
+                StructField("text", StringType))))
+        }
+        base.join(batch, Seq("doc_id"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("doc_id"),
+            coalesce(col("new_text"), col("text")).as("text"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .start()
+
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to same-user purchases within the following hour.
     * Both watermarks + the range bound let Spark expire join state — the

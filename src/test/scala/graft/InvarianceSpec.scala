@@ -1,0 +1,30 @@
+package graft
+
+import graft.TestSpark._
+
+/** Physical-plan-knob invariance: results must not depend on adaptive
+  * execution being on (the default) or off — AQE re-plans shuffles,
+  * coalesces partitions, and switches join strategies at runtime, and a
+  * query whose OUTPUT changes under any of that has an order- or
+  * partitioning-dependence bug. Exercised on the shuffle-heaviest new
+  * keys (banded self-join, iterative joins, high-cardinality agg,
+  * composed multi-window pipeline); the thread-count sweep in the verify
+  * loop covers the same property for the rest of the surface.
+  */
+class InvarianceSpec extends SparkSpec {
+
+  private val keys = Seq("x27_simhash_neardup", "x28_pagerank",
+    "q2e_substr_agg", "p1_curation_pipeline")
+
+  test("AQE on/off produces byte-identical results on shuffle-heavy keys") {
+    for (k <- keys) {
+      val on = SparkEntry.queries(k)(spark, sf0001).collect()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(k)(spark, sf0001).collect()
+        assert(on.length === off.length, s"$k row count differs under AQE off")
+        assert(on.sameElements(off), s"$k rows differ under AQE off")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}

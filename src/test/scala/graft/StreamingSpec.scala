@@ -315,6 +315,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus refresh applies insert/update/delete batches like batch MERGE") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_refresh_").toFile.getPath
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.corpusRefreshStream(
+      mem.toDF().toDF("doc_id", "new_text", "op"), root)
+    try {
+      // batch 1: three inserts
+      mem.addData((1L, "alpha", "I"), (2L, "beta", "I"), (3L, "gamma", "I"))
+      q.processAllAvailable()
+      // batch 2: update 1, delete 2, insert 4
+      mem.addData((1L, "alpha v2", "U"), (2L, null, "D"), (4L, "delta", "I"))
+      q.processAllAvailable()
+      val latest = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .sortBy(_.getName.drop(1).toLong).last
+      val state = spark.read.parquet(latest.getPath)
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(state.toSeq === Seq((1L, "alpha v2"), (3L, "gamma"), (4L, "delta")))
+      // prior version untouched (snapshot isolation for concurrent readers)
+      val v0 = spark.read.parquet(s"$root/v0").as[(Long, String)]
+        .collect().sortBy(_._1)
+      assert(v0.toSeq === Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches clicks to purchases within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
