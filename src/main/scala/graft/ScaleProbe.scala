@@ -103,6 +103,48 @@ object ScaleProbe {
       return
     }
 
+    // Graph probe (`graph` arg): the lineitem replication above keeps
+    // part/supp keys unchanged (same graph, bigger scan), so PageRank needs
+    // its own growth probe — replicate the edge list with per-replica key
+    // offsets so nodes AND edges grow n×, then time the same 3-hop loop
+    // x28 runs. Evidence that the per-hop join+agg scales with the graph.
+    if (args.contains("graph")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      def pagerank(edgesIn: org.apache.spark.sql.DataFrame): Long = {
+        val fwd = edgesIn.select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        var rank = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 3) {
+          val contrib = rank.join(deg, rank("node") === deg("src"))
+            .select(col("node"), expr("pr div deg").as("c"))
+          val incoming = edges.join(contrib, edges("src") === contrib("node"))
+            .groupBy(edges("dst")).agg(sum(col("c")).as("in_sum"))
+          rank = deg.select(col("src").as("node"))
+            .join(incoming, col("node") === col("dst"), "left")
+            .select(col("node"),
+              expr("150000L + (850L * coalesce(in_sum, 0L)) div 1000L").as("pr"))
+        }
+        val out = rank.count()
+        edges.unpersist()
+        out
+      }
+      val big20 = spark.range(n).crossJoin(li)
+        .select((col("l_partkey") + col("id") * 1000000L).as("l_partkey"),
+                (col("l_suppkey") + col("id") * 100000L).as("l_suppkey"))
+      for ((label, e) <- Seq("1x" -> li, s"${n}x" -> big20)) {
+        pagerank(e) // warm
+        val t0 = System.nanoTime()
+        val nodes = pagerank(e)
+        println(f"pagerank $label%-4s nodes=$nodes%8d ${(System.nanoTime()-t0)/1e9}%8.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // args: [replication-factor] [query keys...] — default is the headline
     // scan/agg/join set; pass keys to probe a specific family (e.g. the
     // dedup pipeline at 20x documents)

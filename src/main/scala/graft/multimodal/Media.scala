@@ -211,6 +211,98 @@ object Media {
     }.toDF("doc_id", "img_w", "img_h", "gray_sum", "gray_max")
   }
 
+  /** 256-level grayscale palette where index i maps to gray (i,i,i):
+    * encoding a byte as a palette INDEX makes the GIF round-trip exact —
+    * LZW is lossless over indices, so decode returns the source byte.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Animated-GIF encode: payload split into fixed-byte frames (the video
+    * analog — a multi-frame container behind one real codec), each frame a
+    * width×rows indexed-grayscale image, written as one GIF sequence via
+    * ImageIO's writeToSequence. The final partial frame pads its last row
+    * with zeros (harmless to sum/max features).
+    */
+  def encodeGif(payload: Array[Byte], width: Int = 16,
+                frameBytes: Int = 64): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // the GIF writer interlaces by default; disable it — JDK's reader
+    // mis-rows interlaced frames at small heights (observed: one row of a
+    // 16×4 frame decoding as zeros), and sequential scan order is what the
+    // byte-replay oracle assumes anyway
+    val param = writer.getDefaultWriteParam
+    if (param.canWriteProgressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    payload.grouped(frameBytes).foreach { chunk =>
+      val h = math.max(1, (chunk.length + width - 1) / width)
+      val img = new java.awt.image.BufferedImage(
+        width, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var i = 0
+      while (i < chunk.length) {
+        raster.setSample(i % width, i / width, 0, chunk(i) & 0xff)
+        i += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Decode an animated GIF and fold every `stride`-th frame into pixel
+    * features — decode + temporal subsampling, the frame-sample pattern of
+    * a video pipeline, on a real multi-frame container. Returns
+    * (doc_id, n_frames, sampled_sum, sampled_max).
+    */
+  def decodeGifSampled(records: Dataset[(Long, Array[Byte])],
+                       stride: Int = 2): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        if (payload.isEmpty) (id, 0L, 0L, 0L)
+        else {
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(encodeGif(payload))))
+          val n = reader.getNumImages(true)
+          var sum = 0L; var mx = 0L
+          var f = 0
+          while (f < n) {
+            if (f % stride == 0) {
+              // read through the color model, NOT raster.getSample: the GIF
+              // writer minimizes per-frame local color tables, so the raw
+              // palette index need not equal the source byte — but the
+              // 256-gray palette maps every entry to (v,v,v), so the blue
+              // channel of the resolved RGB is always the original value
+              val img = reader.read(f)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = img.getRGB(x, y) & 0xff
+                  sum += v; if (v > mx) mx = v.toLong
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            f += 1
+          }
+          reader.dispose()
+          (id, n.toLong, sum, mx)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "sampled_sum", "sampled_max")
+  }
+
   /** Frame sampling: every `stride`-th byte as a "frame", typed output. */
   def sampleFrames(records: Dataset[MediaRecord], stride: Int): DataFrame = {
     import records.sparkSession.implicits._

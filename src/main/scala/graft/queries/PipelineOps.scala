@@ -1346,6 +1346,41 @@ object PipelineOps {
       |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS gray_max
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== m6: animated-GIF multi-frame decode + temporal sampling =========
+
+  /** The VIDEO analog with a real codec: document bytes packed into an
+    * animated GIF (64-byte frames, indexed-grayscale palette, LZW), then
+    * decoded frame-by-frame with every 2nd frame folded into pixel
+    * features — container parsing, a real entropy coder, AND temporal
+    * subsampling in one verified path. The 256-gray palette maps index i
+    * to gray i, so LZW's losslessness lets the DuckDB oracle replay the
+    * decoded pixels as byte arithmetic over the same 64-byte chunking
+    * (1-based lambda index: chunk = (i-1) div 64, sampled when even).
+    * Completes the modality grid: BMP (container), PNG (compressed
+    * image), WAV (audio), GIF (multi-frame video stand-in).
+    */
+  def m6GifFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Media.decodeGifSampled(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+      .orderBy(col("doc_id"))
+  }
+
+  val m6Sql: String =
+    """SELECT doc_id,
+      |       CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames,
+      |       CAST(COALESCE(list_aggregate(list_filter(
+      |           list_transform(regexp_split_to_array(text, ''), c -> ascii(c)),
+      |           (c, i) -> (((i - 1) // 64) % 2) = 0), 'sum'), 0) AS BIGINT)
+      |         AS sampled_sum,
+      |       CAST(COALESCE(list_aggregate(list_filter(
+      |           list_transform(regexp_split_to_array(text, ''), c -> ascii(c)),
+      |           (c, i) -> (((i - 1) // 64) % 2) = 0), 'max'), 0) AS BIGINT)
+      |         AS sampled_max
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ===== x27: simhash hamming near-dup join (banded, lossless) ===========
 
   private val SimBits    = 31 // bits of the permuted polyhash used for simhash
@@ -1521,6 +1556,7 @@ object PipelineOps {
     "m3_image_decode"    -> (m3ImageDecode _),
     "m4_audio_decode"    -> (m4AudioDecode _),
     "m5_png_decode"      -> (m5PngDecode _),
+    "m6_gif_frames"      -> (m6GifFrames _),
     "x27_simhash_neardup" -> (x27SimhashNeardup _),
     "x29_quality_classifier" -> (x29QualityClassifier _)
   )
@@ -1557,6 +1593,7 @@ object PipelineOps {
     "m3_image_decode"    -> m3Sql,
     "m4_audio_decode"    -> m4Sql,
     "m5_png_decode"      -> m5Sql,
+    "m6_gif_frames"      -> m6Sql,
     "x27_simhash_neardup" -> x27Sql,
     "x29_quality_classifier" -> x29Sql
   )

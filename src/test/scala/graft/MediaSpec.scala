@@ -98,6 +98,34 @@ class MediaSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("m6 gif: all 256 byte values survive the multi-frame LZW round-trip") {
+    val payload = Array.tabulate(256)(_.toByte)
+    val gif = Media.encodeGif(payload)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(reader.getNumImages(true) === 4) // 256 bytes / 64-byte frames
+    val decoded = (0 until 4).flatMap { f =>
+      val img = reader.read(f)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y) & 0xff
+    }
+    assert(decoded === (0 until 256))
+    reader.dispose()
+  }
+
+  test("m6 gif: sampled features equal byte arithmetic over even 64-byte chunks") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog " * 4 // 176 bytes, 3 frames
+    val bytes = text.getBytes("UTF-8")
+    val expect = bytes.grouped(64).zipWithIndex.filter(_._2 % 2 == 0)
+      .flatMap(_._1.map(_ & 0xff)).toSeq
+    val row = Media.decodeGifSampled(Seq((7L, bytes)).toDS()).head()
+    assert(row.getLong(1) === (bytes.length + 63) / 64)
+    assert(row.getLong(2) === expect.sum.toLong)
+    assert(row.getLong(3) === expect.max.toLong)
+  }
+
   test("frame sampling emits ceil(n/stride) frames per doc") {
     val recs = Media.fromDocuments(spark, TestSpark.sf0001)
     val frames = Media.sampleFrames(recs, 16)
