@@ -282,6 +282,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
     if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ CosineTopKStrategy

@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => CosineTopKRewrite)
     // flag-gated (spark.graft.approxDistinct) — a no-op unless opted in
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    // flag-gated (spark.graft.rangeJoin.bucket) — a no-op unless opted in
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
     e.injectPlannerStrategy(_ => CosineTopKStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_polyhash"),

@@ -325,7 +325,43 @@ object CorpusOps {
       |    FROM capped) WHERE rn = 1)
       |SELECT doc_id, source, score_sum FROM deduped ORDER BY doc_id""".stripMargin
 
+  // ===== x31: stratified train/val/test split ============================
+
+  /** Deterministic 3-way corpus split, stratified per language: doc_id's
+    * polyhash mod 100 buckets into train (<90) / val (90–94) / test (≥95),
+    * reported per (lang, split). Hash-based assignment is the property
+    * that matters at 100 TB: reproducible across engines, reruns, and
+    * repartitionings (no sampling state, no global shuffle — the split is
+    * decided map-side per row, exactly like x14's Bernoulli sample), and
+    * adding data never moves an existing document between splits —
+    * append-stability no random-split gives you.
+    */
+  def x31Split(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .withColumn("h100",
+        pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(100)))
+      .withColumn("split",
+        when(col("h100") < 90, lit("train"))
+          .when(col("h100") < 95, lit("val")).otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(n_chars AS DECIMAL(18,0))")).cast("double").as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val x31Sql: String =
+    s"""SELECT lang,
+       |       CASE WHEN h100 < 90 THEN 'train'
+       |            WHEN h100 < 95 THEN 'val' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sum_chars
+       |FROM (SELECT lang, n_chars, ${polyhashSqlOf("doc_id")} % 100 AS h100
+       |      FROM documents)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_split"          -> (x31Split _),
     "x30_corpus_upsert"  -> (x30CorpusUpsert _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
     "x23_pack_shards"    -> (x23PackShards _),
@@ -335,6 +371,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x31_split"          -> x31Sql,
     "x30_corpus_upsert"  -> x30Sql,
     "p1_curation_pipeline" -> p1Sql,
     "x23_pack_shards"    -> x23Sql,

@@ -735,6 +735,46 @@ object RelationalOps {
       |  ON c.c_custkey = o.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  // ---- j10: range join via the OPTIMIZER RULE (declared naive) ----
+
+  /** The same click-in-window-before-purchase interval join as j6, but
+    * DECLARED NAIVE — a plain `ts BETWEEN lo AND hi` join with no equi-key
+    * — and planned by the flag-gated `RangeJoinRewrite` optimizer rule
+    * instead of hand-bucketing. j6 proves the manual composition; this key
+    * proves the RULE end-to-end: the oracle checks the rewritten plan's
+    * results, and OperatorsSpec asserts the physical plan actually lost
+    * its BroadcastNestedLoopJoin. A 5-minute window (vs j6's 10) keeps
+    * the two keys' outputs distinct. The bucket flag stays set on the
+    * session — it is scoped to equi-key-less integral range joins, a
+    * shape no other declared query contains.
+    */
+  private val J10WindowUs = 300000000L // 5 min in µs
+
+  def j10RangeRule(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftPlanner.install(s)
+    s.conf.set(graft.plans.RangeJoinRewrite.Flag, J10WindowUs.toString)
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        (col("ts_us") - J10WindowUs).as("lo"), col("ts_us").as("hi"))
+    clicks.join(purchases, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val j10Sql: String =
+    """SELECT p.purchase_id, COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+      |FROM (SELECT event_id AS click_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'click') c
+      |JOIN (SELECT event_id AS purchase_id, epoch_us(ts) - 300000000 AS lo,
+      |             epoch_us(ts) AS hi FROM events
+      |      WHERE event_type = 'purchase') p
+      |  ON c.ts_us >= p.lo AND c.ts_us <= p.hi
+      |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin
+
   // ---- f13: URL parsing (web-corpus provenance columns) ----
 
   /** URL decomposition — host/path/query extraction, the first step of any
@@ -776,6 +816,7 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast"       -> (j1Broadcast _),
     "f13_url"            -> (f13Url _),
+    "j10_range_rule"     -> (j10RangeRule _),
     "j9_full_outer"      -> (j9FullOuter _),
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
@@ -812,6 +853,7 @@ object RelationalOps {
 
   val oracles: Map[String, String] = Map(
     "f13_url"        -> f13Sql,
+    "j10_range_rule" -> j10Sql,
     "j1_broadcast"   -> j1Sql,
     "j2_antijoin"    -> j2Sql,
     "j3_semijoin"    -> j3Sql,

@@ -346,8 +346,48 @@ object MultiFormat {
       |         AS sum_text_chars
       |FROM documents""".stripMargin
 
+  /** Declared compaction key: the small-files problem is the #1
+    * operational failure of long-lived 100 TB tables (every query pays
+    * per-file open/footer costs; the NameNode/manifest pays per-file
+    * metadata). This key materializes a deliberately fragmented layout
+    * (64 shard files for a 500-row table — the shape a streaming sink or
+    * over-parallel writer leaves behind), compacts it to size-targeted
+    * files via one narrow repartition, and aggregates from the COMPACTED
+    * layout; the oracle checks content survived re-layout bit-exactly,
+    * SourcesSpec checks the file counts actually collapsed.
+    */
+  def src8Compaction(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fragPath = s"/tmp/graft_src8_frag_$tag"
+    val compPath = s"/tmp/graft_src8_comp_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), compPath) {
+      graft.Tables.documents(spark, d)
+        .repartition(64) // the fragmented sink shape
+        .write.mode(SaveMode.Overwrite).parquet(fragPath)
+      val frag = spark.read.parquet(fragPath)
+      // size-targeted file count: total bytes / 1 MiB target, floor 1
+      val bytes = frag.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = math.max(1, (bytes / (1L << 20)).toInt)
+      frag.repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(compPath)
+    }
+    spark.read.parquet(compPath)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text"))).as("sum_text_chars"),
+           min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
+
+  val src8Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+      |       MIN(doc_id) AS min_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
+        "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
         "src7_corrupt_scan" -> (src7CorruptScan _),
         "src2_partitioned_scan" -> (src2PartitionedScan _),
@@ -359,6 +399,7 @@ object MultiFormat {
     Map("src1_csv_scan" -> src1Sql,
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
+        "src8_compaction" -> src8Sql,
         "src2_partitioned_scan" -> src2Sql,
         "src3_orc_scan" -> src3Sql,
         "src4_sequencefile_scan" -> src4Sql,

@@ -142,4 +142,61 @@ class PlanRewriteSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("CosineTopKExec"))
     assert(df.count() === 5L)
   }
+
+  test("RangeJoinRewrite: BETWEEN join becomes a bucketed equi-join with identical rows") {
+    import spark.implicits._
+    GraftPlanner.install(spark)
+    // j10's query fn leaves the flag set on the shared session by design —
+    // clear it so the reference run below really is the naive plan
+    spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
+    val points = (0L until 500L).map(i => (i, i * 37L % 10000L)).toDF("pid", "ts")
+    val intervals = (0L until 60L).map(i => (i, i * 150L, i * 150L + 400L))
+      .toDF("iid", "lo", "hi")
+    def naiveJoin() = points.join(intervals,
+      col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid")
+    // flag off: nested-loop plan, reference results
+    val expected = naiveJoin().collect()
+    assert(naiveJoin().queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    spark.conf.set(graft.plans.RangeJoinRewrite.Flag, "512")
+    try {
+      val rewritten = naiveJoin()
+      val phys = rewritten.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"rule did not eliminate the nested loop:\n$phys")
+      assert(phys.contains("__graft_pbucket"), "bucket column missing from plan")
+      assert(rewritten.collect().sameElements(expected))
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
+  }
+
+  test("RangeJoinRewrite leaves equi-joins and inverted intervals alone/safe") {
+    import spark.implicits._
+    GraftPlanner.install(spark)
+    spark.conf.set(graft.plans.RangeJoinRewrite.Flag, "512")
+    try {
+      // equi-key present: rule must not touch the join
+      val a = Seq((1L, 10L)).toDF("k", "v")
+      val b = Seq((1L, 5L, 15L)).toDF("k2", "lo", "hi")
+      val equi = a.join(b, col("k") === col("k2") &&
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_pbucket"))
+      assert(equi.count() === 1L)
+      // inverted interval (lo > hi): rewritten join matches nothing, no crash
+      val inv = Seq((1L, 500L, 100L)).toDF("iid", "lo", "hi")
+      val p = Seq((1L, 300L)).toDF("pid", "ts")
+      val j = p.join(inv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_pbucket"))
+      assert(j.count() === 0L)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
+  }
+
+  test("j10: the declared-naive range join key plans without a nested loop") {
+    val df = SparkEntry.queries("j10_range_rule")(spark, TestSpark.sf0001)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"j10 fell back to the nested loop:\n$phys")
+    assert(phys.contains("__graft_pbucket"))
+    assert(df.count() > 0)
+  }
 }

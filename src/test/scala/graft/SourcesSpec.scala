@@ -94,6 +94,21 @@ class SourcesSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("FAILFAST")))
   }
 
+  test("src8 compaction collapses the fragmented layout to size-targeted files") {
+    MultiFormat.src8Compaction(spark, TestSpark.sf0001).collect() // build layouts
+    val tag = TestSpark.sf0001.replaceAll("[^a-zA-Z0-9]", "_")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val frag = parts(s"/tmp/graft_src8_frag_$tag")
+    val comp = parts(s"/tmp/graft_src8_comp_$tag")
+    assert(frag === 64, s"fragmented layout should have 64 files, had $frag")
+    assert(comp < frag / 8, s"compaction left $comp files (from $frag)")
+    // row-level content identical across the re-layout
+    val a = spark.read.parquet(s"/tmp/graft_src8_frag_$tag")
+    val b = spark.read.parquet(s"/tmp/graft_src8_comp_$tag")
+    assert(a.count() === b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("documents-as-text-lines: reference Q4 input shape") {
     val p = tmp("text")
     MultiFormat.write(docs.select("text"), "text", p, Some("gzip"))
