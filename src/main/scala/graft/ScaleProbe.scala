@@ -17,7 +17,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_scale_v3_$n"
+    val big = s"/tmp/graft_scale_v4_$n" // v4: events now replicate too
 
     // Convergence probe (`chain` arg): a 1000-node chain is the adversarial
     // shape for label propagation (diameter = N, where near-dup corpora are
@@ -66,7 +66,20 @@ object ScaleProbe {
           "transform(embedding, (x, i) -> CAST(x + ((id * 7 + i) % 13) * 1e-3 AS FLOAT))"))
         .drop("id")
         .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
-      Seq("orders", "customer", "events",
+      // events: replicate Nx with distinct event_ids and per-replica time
+      // shifts (id × 1 day) — preserves the intra-day click/purchase
+      // interval structure every replica, so range joins (j6/j10), as-of
+      // (j5) and session windows (s3) see n× the matching work, not n×
+      // disjoint noise. ts stays a raw int64 (ns) in the copy; Tables
+      // .events handles it identically to the source table.
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      spark.range(n).crossJoin(ev)
+        .withColumn("event_id", col("event_id") + col("id") * 100000000L)
+        .withColumn("user_id", col("user_id") + col("id") * 1000000L)
+        .withColumn("ts", col("ts") + col("id") * 86400000000000L)
+        .drop("id")
+        .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
+      Seq("orders", "customer",
           "region", "nation", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
           .parquet(s"$big/$t.parquet")
