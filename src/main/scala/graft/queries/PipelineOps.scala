@@ -1524,7 +1524,54 @@ object PipelineOps {
        |  WHERE token <> '')
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ===== x32: bigram corpus-coherence score ==============================
+
+  /** Corpus-statistical fluency signal: a document whose bigrams are
+    * common across the corpus reads like the corpus; one whose bigrams are
+    * mostly unique is boilerplate-mangled, shuffled, or gibberish (the
+    * same intuition as KenLM-perplexity filtering, in integer-exact
+    * corpus-internal form). Per doc: DISTINCT bigrams → join each against
+    * the corpus bigram document-frequency table → sum of dfs + truncated
+    * mean. Bigrams travel as polyhash keys, never strings (the x2/x16/x20
+    * doctrine) — hash collisions merge a few bigram identities, but both
+    * engines replay the SAME hash, so the measure stays bit-identical;
+    * at 100 TB the df table and join shuffle constant-width longs.
+    */
+  def x32BigramCoherence(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks)-1), " +
+          "i -> graft_polyhash(concat(element_at(toks, i), ' ', element_at(toks, i+1)))))"
+      )).as("h"))
+    val df = bg.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    bg.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("df_sum"))
+      .withColumn("mean_df_milli", expr("(1000 * df_sum) div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x32Sql: String =
+    """WITH bg AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_transform(regexp_split_to_array(
+      |      t[i] || ' ' || t[i+1], ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 2))),
+      |df AS (SELECT h, COUNT(*) AS df FROM bg GROUP BY h)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(df.df) AS BIGINT) AS df_sum,
+      |       CAST((1000 * SUM(df.df)) // COUNT(*) AS BIGINT) AS mean_df_milli
+      |FROM bg JOIN df USING (h)
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_bigram_coherence" -> (x32BigramCoherence _),
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
     "x2_dedup_exact"     -> (x2DedupExact _),
@@ -1595,6 +1642,7 @@ object PipelineOps {
     "m5_png_decode"      -> m5Sql,
     "m6_gif_frames"      -> m6Sql,
     "x27_simhash_neardup" -> x27Sql,
+    "x32_bigram_coherence" -> x32Sql,
     "x29_quality_classifier" -> x29Sql
   )
 }

@@ -735,6 +735,30 @@ object RelationalOps {
       |  ON c.c_custkey = o.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  // ---- f14: bitwise aggregate family ----
+
+  /** Bitwise AND/OR/XOR aggregates over grouped keys — flag-mask folding
+    * (the OR of permission bits, the XOR parity fingerprint) is a standard
+    * warehouse idiom and the one aggregate family f1–f13 didn't cover.
+    * All-integer, order-independent (AND/OR/XOR are commutative and
+    * associative), so partial aggregation and any partitioning produce
+    * identical results.
+    */
+  def f14Bitwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("bit_and(user_id)").as("and_user"),
+           expr("bit_or(user_id)").as("or_user"),
+           expr("bit_xor(event_id)").as("xor_event"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val f14Sql: String =
+    """SELECT event_type, bit_and(user_id) AS and_user,
+      |       bit_or(user_id) AS or_user, bit_xor(event_id) AS xor_event,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- j10: range join via the OPTIMIZER RULE (declared naive) ----
 
   /** The same click-in-window-before-purchase interval join as j6, but
@@ -817,6 +841,7 @@ object RelationalOps {
     "j1_broadcast"       -> (j1Broadcast _),
     "f13_url"            -> (f13Url _),
     "j10_range_rule"     -> (j10RangeRule _),
+    "f14_bitwise"        -> (f14Bitwise _),
     "j9_full_outer"      -> (j9FullOuter _),
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
@@ -854,6 +879,7 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "f13_url"        -> f13Sql,
     "j10_range_rule" -> j10Sql,
+    "f14_bitwise"    -> f14Sql,
     "j1_broadcast"   -> j1Sql,
     "j2_antijoin"    -> j2Sql,
     "j3_semijoin"    -> j3Sql,

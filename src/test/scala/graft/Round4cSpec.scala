@@ -98,6 +98,19 @@ class Round4cSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("x32 bigram coherence: df floor holds and score is content-determined") {
+    val df = run("x32_bigram_coherence").cache()
+    // every bigram's df counts at least its own document
+    assert(df.filter(col("mean_df_milli") < 1000).count() === 0L)
+    assert(df.filter(col("df_sum") < col("n_bigrams")).count() === 0L)
+    // identical texts must get identical (n_bigrams, df_sum)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val scores = df.join(docs, "doc_id")
+      .select(col("text"), col("n_bigrams"), col("df_sum")).distinct()
+    assert(scores.count() === scores.select("text").distinct().count())
+    df.unpersist()
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)
