@@ -1570,7 +1570,52 @@ object PipelineOps {
       |FROM bg JOIN df USING (h)
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  // ===== x33: URL canonicalization + URL-level dedup =====================
+
+  /** URL canonicalization — the step BEFORE URL-level dedup in every crawl
+    * pipeline: the same page arrives as mixed-case host, explicit default
+    * port, utm-tracking query, trailing slash, and #fragment variants, and
+    * deduping raw strings misses all of them. Variants are synthesized
+    * deterministically from doc_id classes (both engines build the same
+    * strings), then normalized by a regex chain (lowercase → strip
+    * fragment → strip utm query → strip :443 → strip trailing slash) and
+    * grouped: one row per canonical URL with its variant count and kept
+    * representative. Pure map-side until the one canonical-keyed
+    * aggregate; the regex chain is RE2/Java-common.
+    */
+  def x33UrlDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("raw", concat(
+        lit("HTTPS://"), col("source"), lit(".Example.COM:443/p/"),
+        pmod(col("doc_id"), lit(5)),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=mail&utm_c="), pmod(col("doc_id"), lit(7))))
+          .when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit(""))))
+      .withColumn("canonical", regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("raw")), "#.*$", ""),
+        "\\?utm_[^#]*$", ""), ":443/", "/"), "/$", ""))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("kept_doc"))
+      .orderBy(col("canonical"))
+
+  val x33Sql: String =
+    """SELECT canonical, COUNT(*) AS n_variants, MIN(doc_id) AS kept_doc
+      |FROM (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      lower('HTTPS://' || source || '.Example.COM:443/p/' || (doc_id % 5) ||
+      |        (CASE WHEN doc_id % 3 = 0
+      |              THEN '?utm_source=mail&utm_c=' || (doc_id % 7)
+      |              WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+      |        (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)),
+      |      '#.*$', ''), '\?utm_[^#]*$', ''), ':443/', '/'), '/$', '')
+      |      AS canonical
+      |  FROM documents)
+      |GROUP BY canonical ORDER BY canonical""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_url_dedup"      -> (x33UrlDedup _),
     "x32_bigram_coherence" -> (x32BigramCoherence _),
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
@@ -1643,6 +1688,7 @@ object PipelineOps {
     "m6_gif_frames"      -> m6Sql,
     "x27_simhash_neardup" -> x27Sql,
     "x32_bigram_coherence" -> x32Sql,
+    "x33_url_dedup"      -> x33Sql,
     "x29_quality_classifier" -> x29Sql
   )
 }

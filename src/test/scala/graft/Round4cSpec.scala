@@ -111,6 +111,19 @@ class Round4cSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("x33 url dedup: canonicals are fully normalized and account for every doc") {
+    val df = run("x33_url_dedup").cache()
+    val total = df.agg(sum("n_variants")).first().getLong(0)
+    assert(total === Tables.documents(spark, sf0001).count())
+    val bad = df.filter(
+      col("canonical").rlike("[A-Z]|#|utm_|:443") ||
+        col("canonical").endsWith("/"))
+    assert(bad.count() === 0L, "canonical form retains noise")
+    // the synthesized variants really collapse (dedup does real work)
+    assert(df.filter(col("n_variants") > 1).count() > 0)
+    df.unpersist()
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)
