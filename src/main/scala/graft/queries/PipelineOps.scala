@@ -1415,15 +1415,27 @@ object PipelineOps {
     * guaranteed positives) and a one-token-appended copy for % 10 == 5
     * (perturbed fingerprints that may or may not stay inside the ball).
     */
-  def x27SimhashNeardup(s: SparkSession, d: String): DataFrame = {
-    StringPolyHash.register(s)
+  /** The twin-augmented corpus shared by x27 and x34 (and replayed
+    * literally by both oracles).
+    */
+  private def twinCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val corpus = base
+    base
       .unionByName(base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       .unionByName(base.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text")))
+  }
+
+  private val x27CorpusSql: String =
+    """  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 20000000, text || ' extra' FROM documents WHERE doc_id % 10 = 5""".stripMargin
+
+  def x27SimhashNeardup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val corpus = twinCorpus(s, d)
     val toks = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1461,9 +1473,7 @@ object PipelineOps {
     val shSql = (0 until SimBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
-       |  UNION ALL SELECT doc_id + 20000000, text || ' extra' FROM documents WHERE doc_id % 10 = 5),
+       |$x27CorpusSql),
        |toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -1481,6 +1491,42 @@ object PipelineOps {
        |WHERE bit_count(xor(x.sh, y.sh)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ===== x34: edit-distance verification cascade =========================
+
+  /** The classic dedup CASCADE: cheap fingerprint blocking generates
+    * candidates, an expensive exact measure verifies only those. x27's
+    * banded-simhash pairs (hamming ≤ 3) join back to their texts and are
+    * re-scored with true Levenshtein distance, keeping pairs whose edit
+    * distance is ≤ 20% of the longer text (5·edit ≤ max len — integer
+    * form). Levenshtein is O(len²) per pair — unpayable all-pairs, cheap
+    * on the ~10⁻⁴ fraction the fingerprint admits; that asymmetry IS the
+    * cascade, and at 100 TB only the candidate pairs (not documents)
+    * cross the final shuffle.
+    */
+  def x34EditdistVerify(s: SparkSession, d: String): DataFrame = {
+    val corpus = twinCorpus(s, d)
+    x27SimhashNeardup(s, d)
+      .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .withColumn("edit", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("edit") * 5 <= greatest(length(col("ta")), length(col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val x34Sql: String =
+    s"""WITH corpus AS (
+       |$x27CorpusSql),
+       |pairs AS (
+       |${x27Sql.replace("ORDER BY doc_a, doc_b", "")})
+       |SELECT p.doc_a, p.doc_b, p.hamming,
+       |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit
+       |FROM pairs p
+       |JOIN corpus a ON a.doc_id = p.doc_a
+       |JOIN corpus b ON b.doc_id = p.doc_b
+       |WHERE levenshtein(a.text, b.text) * 5 <= GREATEST(length(a.text), length(b.text))
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ===== x29: hashed linear quality classifier ===========================
 
@@ -1616,6 +1662,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x33_url_dedup"      -> (x33UrlDedup _),
+    "x34_editdist_verify" -> (x34EditdistVerify _),
     "x32_bigram_coherence" -> (x32BigramCoherence _),
     "x1_cosine_topk"     -> (x1CosineTopk _),
     "x1b_knn"            -> (x1bKnn _),
@@ -1689,6 +1736,7 @@ object PipelineOps {
     "x27_simhash_neardup" -> x27Sql,
     "x32_bigram_coherence" -> x32Sql,
     "x33_url_dedup"      -> x33Sql,
+    "x34_editdist_verify" -> x34Sql,
     "x29_quality_classifier" -> x29Sql
   )
 }

@@ -124,6 +124,20 @@ class Round4cSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("x34 cascade: exact twins verify at edit 0, perturbed twins at small positive edit") {
+    val df = run("x34_editdist_verify").cache()
+    // the injected exact twins (doc+10M) must verify with edit distance 0
+    val exactPairs = df.filter(col("doc_b") >= 10000000L && col("doc_b") < 20000000L &&
+      col("doc_b") - col("doc_a") === 10000000L)
+    assert(exactPairs.count() > 0)
+    assert(exactPairs.filter(col("edit") =!= 0).count() === 0L)
+    // the ' extra'-appended twins that survive carry exactly that edit cost (6 chars)
+    val perturbed = df.filter(col("doc_b") >= 20000000L &&
+      col("doc_b") - col("doc_a") === 20000000L)
+    assert(perturbed.filter(col("edit") =!= 6).count() === 0L)
+    df.unpersist()
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)
