@@ -122,6 +122,34 @@ object ReferenceQueries {
       |       COUNT(*) AS n_lines
       |FROM lineitem GROUP BY 1 ORDER BY line_key""".stripMargin
 
+  /** Q2 sweep past the dataset's natural ceiling: q2e maxes out at the
+    * ~457k distinct line keys the data offers, so this variant amplifies
+    * IN-PLAN — each line explodes into 4 replica rows whose composite key
+    * includes the replica index — giving ~1.8M groups at sf0.1 (2.4M rows)
+    * without touching the fixtures. This is the first declared key to
+    * cross 10⁶ groups, the regime upstream's 2.5×10⁸-group Q2c occupies
+    * per-executor at 100 TB: partial maps are pure overhead, the final
+    * agg is effectively a re-keyed shuffle of the whole input.
+    */
+  def q2f(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        explode(expr("sequence(0, 3)")).as("rep"))
+      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"), lit("-"),
+        col("rep").cast("string")).as("line_key"))
+      .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("line_key"))
+
+  val q2fSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |         || '-' || CAST(r.rep AS VARCHAR) AS line_key,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS rep) r
+      |GROUP BY 1 ORDER BY line_key""".stripMargin
+
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -294,6 +322,7 @@ object ReferenceQueries {
     "q2c_substr_agg"  -> (q2c _),
     "q2d_substr_agg"  -> (q2d _),
     "q2e_substr_agg"  -> (q2e _),
+    "q2f_substr_agg"  -> (q2f _),
     "q3a_join_topk"   -> (q3a _),
     "q3b_join_topk"   -> (q3b _),
     "q3c_join_topk"   -> (q3c _),
@@ -312,6 +341,7 @@ object ReferenceQueries {
     "q2c_substr_agg"  -> q2cSql,
     "q2d_substr_agg"  -> q2dSql,
     "q2e_substr_agg"  -> q2eSql,
+    "q2f_substr_agg"  -> q2fSql,
     "sql1_text_parity" -> sql1Text,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),

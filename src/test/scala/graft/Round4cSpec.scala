@@ -138,6 +138,14 @@ class Round4cSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q2f: amplified grouping yields exactly 4 groups per distinct line key") {
+    val df = run("q2f_substr_agg")
+    val distinctKeys = Tables.lineitem(spark, sf0001)
+      .select(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))).distinct().count()
+    assert(df.count() === distinctKeys * 4)
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)
