@@ -1660,7 +1660,75 @@ object PipelineOps {
       |  FROM documents)
       |GROUP BY canonical ORDER BY canonical""".stripMargin
 
+  // ===== x35: overlapping chunking (RAG / context-window ingestion) ======
+
+  private val ChunkSize   = 32
+  private val ChunkStride = 24 // 8-token overlap between consecutive chunks
+
+  /** Document chunking — the ingestion step of every RAG / long-context
+    * pipeline: fixed-size token windows with overlap (size 32, stride 24)
+    * so no boundary-spanning span is lost. One row per chunk with its
+    * token count and a polyhash content fingerprint (the key chunk-level
+    * dedup or embedding lookup would use downstream). Pure map-side
+    * explode — chunking at 100 TB is embarrassingly parallel, and the
+    * per-doc chunk count (not corpus size) bounds each task's output.
+    */
+  def x35Chunking(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, n, $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $ChunkStride").cast("long").as("chunk_id"),
+        expr(s"slice(toks, start, $ChunkSize)").as("w"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        expr("graft_polyhash(array_join(w, ' '))").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val x35Sql: String =
+    s"""SELECT doc_id,
+       |       CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |       CAST(len(t[start:start + ${ChunkSize - 1}]) AS BIGINT) AS n_tok,
+       |       list_reduce(list_transform(regexp_split_to_array(
+       |         array_to_string(t[start:start + ${ChunkSize - 1}], ' '), ''),
+       |         c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, t, unnest(range(1, len(t) + 1, $ChunkStride)) AS start
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 1))
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ===== x36: dedup cluster-size histogram ===============================
+
+  /** Duplication profile of the corpus — the report a data owner reads
+    * before choosing dedup aggressiveness: how many near-dup clusters
+    * exist at each size. Two keyed aggregates over x15's cluster map
+    * (cluster → size, size → count); only clustered docs appear (x15
+    * emits no singletons). Re-runs the x15 loop by design — the keys stay
+    * independently runnable, the x21 precedent.
+    */
+  def x36ClusterHist(s: SparkSession, d: String): DataFrame =
+    x15DedupClusters(s, d)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  val x36Sql: String =
+    s"""WITH labels AS (
+       |${x15Sql.replace("ORDER BY doc_id", "")}),
+       |sizes AS (SELECT cluster, COUNT(*) AS sz FROM labels GROUP BY cluster)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+       |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_chunking"       -> (x35Chunking _),
+    "x36_cluster_hist"   -> (x36ClusterHist _),
     "x33_url_dedup"      -> (x33UrlDedup _),
     "x34_editdist_verify" -> (x34EditdistVerify _),
     "x32_bigram_coherence" -> (x32BigramCoherence _),
@@ -1736,6 +1804,8 @@ object PipelineOps {
     "x27_simhash_neardup" -> x27Sql,
     "x32_bigram_coherence" -> x32Sql,
     "x33_url_dedup"      -> x33Sql,
+    "x35_chunking"       -> x35Sql,
+    "x36_cluster_hist"   -> x36Sql,
     "x34_editdist_verify" -> x34Sql,
     "x29_quality_classifier" -> x29Sql
   )

@@ -146,6 +146,28 @@ class Round4cSpec extends SparkSpec {
     assert(df.count() === distinctKeys * 4)
   }
 
+  test("x35 chunking: chunk counts follow the stride formula, windows capped at size") {
+    val df = run("x35_chunking").cache()
+    val perDoc = df.groupBy("doc_id").count()
+    val expect = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("expect", expr("CAST((n - 1) div 24 AS LONG) + 1"))
+    assert(perDoc.join(expect, "doc_id")
+      .filter(col("count") =!= col("expect")).count() === 0L)
+    assert(df.filter(col("n_tok") > 32 || col("n_tok") < 1).count() === 0L)
+    df.unpersist()
+  }
+
+  test("x36 cluster histogram: accounts for every clustered doc, no singletons") {
+    val hist = run("x36_cluster_hist").cache()
+    val clustered = run("x15_dedup_clusters").count()
+    val total = hist.agg(sum(col("cluster_size") * col("n_clusters"))).first().getLong(0)
+    assert(total === clustered)
+    assert(hist.filter(col("cluster_size") < 2).count() === 0L)
+    hist.unpersist()
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)
