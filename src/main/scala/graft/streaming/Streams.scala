@@ -223,6 +223,44 @@ object Streams {
       .filter(col("score_sum") >= 0)
   }
 
+  /** Streaming twin of x35 chunking: arriving documents explode into the
+    * same size-32/stride-24 token windows with polyhash fingerprints —
+    * STATELESS (chunking is per-document), so streamed chunks are
+    * bit-identical to batch x35 over the same rows regardless of
+    * micro-batch boundaries. The ingestion front of a streaming RAG
+    * pipeline: chunk at arrival, embed downstream.
+    * Expects (doc_id, text) columns.
+    */
+  def chunkStream(docs: DataFrame): DataFrame = {
+    graft.functions.StringPolyHash.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, n, 24)")).as("start"))
+      .select(col("doc_id"),
+        expr("(start - 1) div 24").cast("long").as("chunk_id"),
+        size(expr("slice(toks, start, 32)")).cast("long").as("n_tok"),
+        expr("graft_polyhash(array_join(slice(toks, start, 32), ' '))")
+          .as("chunk_hash"))
+  }
+
+  /** Streaming twin of x33's canonical-URL dedup: arriving URLs normalize
+    * through the same regex chain and dedup on the canonical form within
+    * the watermark — the crawl-frontier guard that drops re-crawled
+    * variants at ingest. State is keyed on the canonical string (bounded
+    * by the watermark), not the raw variant space.
+    * Expects (url, ingest_ts) columns.
+    */
+  def urlDedupStream(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("canonical", regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("url")), "#.*$", ""),
+        "\\?utm_[^#]*$", ""), ":443/", "/"), "/$", ""))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canonical")
+
   /** Streaming twin of x16 passage dedup: incoming documents explode into
     * 20-token passages keyed by sha-256 digest; dropDuplicatesWithinWatermark
     * on the digest emits only the FIRST occurrence of each passage — the

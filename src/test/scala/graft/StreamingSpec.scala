@@ -260,6 +260,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunker emits exactly the batch x35 chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.chunkStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      mem.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_test")
+        .select("doc_id", "chunk_id", "n_tok", "chunk_hash")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = SparkEntry.queries("x35_chunking")(spark, TestSpark.sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming url dedup drops re-crawled variants of the same canonical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streams.urlDedupStream(mem.toDF().toDF("url", "ingest_ts"))
+      .writeStream.format("memory").queryName("urldedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      mem.addData(
+        ("HTTPS://a.Example.COM:443/p/1?utm_source=m", t0),
+        ("https://a.example.com/p/1/", t0),
+        ("https://a.example.com/p/1#frag", t0),
+        ("https://b.example.com/p/2", t0))
+      q.processAllAvailable()
+      val kept = spark.table("urldedup_test").select("canonical")
+        .collect().map(_.getString(0)).sorted
+      assert(kept.toSeq === Seq(
+        "https://a.example.com/p/1", "https://b.example.com/p/2"))
+    } finally q.stop()
+  }
+
   test("streaming mixture sample matches batch x24 membership across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
