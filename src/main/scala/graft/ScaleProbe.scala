@@ -116,6 +116,45 @@ object ScaleProbe {
       return
     }
 
+    // Cascade probe (`cascade` arg): the generic 20× documents dataset
+    // deliberately builds 20-identical-copy groups, which inflates TRUE
+    // near-dup pairs ~700× — right for dedup stress, wrong for judging the
+    // x27→x34 cascade's scaling. This corpus keeps the duplicate RATE
+    // constant: each replica appends five replica-unique tokens, pushing
+    // replicas of the same doc outside the hamming-3 ball, so pair count
+    // grows ~linearly with the corpus and the probe isolates engine
+    // scaling from output growth.
+    if (args.contains("cascade")) {
+      val dir = s"/tmp/graft_scale_cascade2_$n"
+      val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
+      if (!done2.exists()) {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        // 15 replica-unique appended tokens ≈ 40% of the shingle set on
+        // these ~25-token docs — enough margin shift to push same-doc
+        // replicas far outside the hamming-3 ball (5 tokens was not:
+        // measured ~1-3 bit flips, replicas still paired)
+        val tail = (0 until 15).map(k =>
+          concat(lit(s" q$k"), col("id"), lit(('a' + k % 26).toChar.toString)))
+        spark.range(n).crossJoin(docs)
+          .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+          .withColumn("text", concat(col("text") +: tail: _*))
+          .drop("id")
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        done2.createNewFile()
+      }
+      for (q <- Seq("x27_simhash_neardup", "x34_editdist_verify")) {
+        for (d <- Seq(src, dir)) {
+          val fn = SparkEntry.queries(q)
+          fn(spark, d).count() // warm
+          val t0 = System.nanoTime()
+          val rows = fn(spark, d).count()
+          println(f"$q%-22s $d%-34s rows=$rows%8d ${(System.nanoTime()-t0)/1e9}%8.2f s")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Graph probe (`graph` arg): the lineitem replication above keeps
     // part/supp keys unchanged (same graph, bigger scan), so PageRank needs
     // its own growth probe — replicate the edge list with per-replica key
