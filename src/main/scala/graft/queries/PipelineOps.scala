@@ -1726,7 +1726,54 @@ object PipelineOps {
        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
        |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  // ===== x37: int8 scalar quantization of embeddings =====================
+
+  /** Scalar int8 quantization — the standard 4× memory lever for vector
+    * search at scale (FAISS SQ8): per-vector symmetric scale (max |x|),
+    * codes = round(x·127/scale), reconstruction x̂ = c·scale/127. Reports
+    * per-vector code stats and the max reconstruction error in integer
+    * micro-units. Every float op is the same IEEE double expression in
+    * both engines and every output is floor-snapped to integers, so the
+    * whole quantize→reconstruct→error path is hash-verified. Map-side
+    * only: quantization never shuffles.
+    */
+  def x37QuantizeInt8(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("maxabs", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("codes", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS LONG))"))
+      .select(col("vec_id"),
+        expr("CAST(floor(maxabs * 1000000 + 0.5) AS LONG)").as("scale_micro"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        expr("aggregate(codes, 0L, (a, c) -> greatest(a, abs(c)))").as("code_max"),
+        expr("CAST(floor(aggregate(zip_with(embedding, codes, " +
+          "(x, c) -> abs(CAST(x AS DOUBLE) - c * maxabs / 127.0)), " +
+          "CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e)) * 1000000 + 0.5) AS LONG)")
+          .as("max_err_micro"))
+      .orderBy(col("vec_id"))
+
+  val x37Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(floor(maxabs * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+      |  CAST(list_aggregate(list_transform(e,
+      |        x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)), 'sum') AS BIGINT)
+      |    AS code_sum,
+      |  CAST(list_max(list_transform(e,
+      |        x -> abs(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS BIGINT)
+      |    AS code_max,
+      |  CAST(floor(list_max(list_transform(e,
+      |        x -> abs(x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)))
+      |      * 1000000 + 0.5) AS BIGINT) AS max_err_micro
+      |FROM q WHERE maxabs > 0 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
     "x36_cluster_hist"   -> (x36ClusterHist _),
     "x33_url_dedup"      -> (x33UrlDedup _),
@@ -1805,6 +1852,7 @@ object PipelineOps {
     "x32_bigram_coherence" -> x32Sql,
     "x33_url_dedup"      -> x33Sql,
     "x35_chunking"       -> x35Sql,
+    "x37_quantize_int8"  -> x37Sql,
     "x36_cluster_hist"   -> x36Sql,
     "x34_editdist_verify" -> x34Sql,
     "x29_quality_classifier" -> x29Sql

@@ -168,6 +168,16 @@ class Round4cSpec extends SparkSpec {
     hist.unpersist()
   }
 
+  test("x37 int8 quantization: codes bounded at 127, error bounded by half a step") {
+    val df = run("x37_quantize_int8").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("code_max") > 127).count() === 0L)
+    // max reconstruction error <= scale/254 (half the quantization step),
+    // +1 micro for the floor-snap of each side
+    assert(df.filter(col("max_err_micro") > col("scale_micro") / 254 + 1).count() === 0L)
+    df.unpersist()
+  }
+
   test("f13 url: parse_url parts recompose into the synthesized url") {
     val df = run("f13_url").cache()
     assert(df.count() > 0)
