@@ -3,9 +3,12 @@ package graft
 import graft.TestSpark._
 import org.apache.spark.sql.functions._
 
-/** Round-4 session-3 additions: banded simhash near-dup join (x27),
-  * integer PageRank (x28), hashed linear quality classifier (x29),
-  * group-per-row aggregation stress (q2e), URL parsing (f13).
+/** Round-4 session-3 additions: semantic invariants for the near-dup,
+  * graph, quality, corpus-lifecycle, Q2-stress, URL, and quantization
+  * keys added this session (x27–x37, q2e/q2f, f13, p1) — each test pins
+  * a property the DuckDB hash-match alone can't see (losslessness of
+  * blocking, rank-mass conservation, MERGE accounting, stride formulas,
+  * error bounds).
   */
 class Round4cSpec extends SparkSpec {
 
