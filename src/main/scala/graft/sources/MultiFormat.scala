@@ -385,8 +385,83 @@ object MultiFormat {
       |       MIN(doc_id) AS min_doc
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  private val AvroCustSchema =
+    """{"type":"record","name":"Cust","fields":[
+      |  {"name":"c_custkey","type":"long"},
+      |  {"name":"c_mktsegment","type":"string"},
+      |  {"name":"c_acctbal","type":"double"}]}""".stripMargin
+
+  /** Declared Avro-container key: the remaining row-oriented interchange
+    * format (Kafka pipelines, warehouse exports). The spark-avro data
+    * source module is not on this classpath, so the round-trip uses the
+    * avro-mapred Hadoop API directly — AvroKeyOutputFormat (deflate) out,
+    * AvroKeyInputFormat in — the same raw-container path src4 takes for
+    * SequenceFile. Field values are copied out of the reused AvroKey
+    * datum inside the map (Hadoop RDDs recycle record objects). Aggregate
+    * matches the parquet-side oracle, proving schema'd values survive the
+    * container round-trip.
+    */
+  def src9AvroScan(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import spark.implicits._
+
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_src9_avro_$tag"
+    val schemaJson = AvroCustSchema
+    ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      val wjob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(wjob, new Schema.Parser().parse(schemaJson))
+      wjob.getConfiguration.set("avro.output.codec", "deflate")
+      graft.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .as[(Long, String, Double)]
+        .rdd.mapPartitions { it =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          it.map { case (k, seg, bal) =>
+            val rec: GenericRecord = new GenericData.Record(schema)
+            rec.put("c_custkey", k); rec.put("c_mktsegment", seg)
+            rec.put("c_acctbal", bal)
+            (new AvroKey[GenericRecord](rec), NullWritable.get())
+          }
+        }
+        .saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+          classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+          wjob.getConfiguration)
+    }
+    val rjob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(rjob, new Schema.Parser().parse(schemaJson))
+    spark.sparkContext.newAPIHadoopFile(path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        rjob.getConfiguration)
+      .map { case (k, _) =>
+        val r = k.datum()
+        (r.get("c_custkey").asInstanceOf[Long],
+          r.get("c_mktsegment").toString,
+          r.get("c_acctbal").asInstanceOf[Double])
+      }
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val src9Sql: String = src1Sql // identical aggregate, different container
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
+        "src9_avro_scan" -> (src9AvroScan _),
         "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
         "src7_corrupt_scan" -> (src7CorruptScan _),
@@ -400,6 +475,7 @@ object MultiFormat {
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
         "src8_compaction" -> src8Sql,
+        "src9_avro_scan" -> src9Sql,
         "src2_partitioned_scan" -> src2Sql,
         "src3_orc_scan" -> src3Sql,
         "src4_sequencefile_scan" -> src4Sql,
