@@ -155,6 +155,13 @@ object Bench {
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}""")
+    // Compact headline printed LAST: the driver's artifact keeps only a ~2 KB
+    // tail of stdout, which truncates the full record above once the suite is
+    // large. This second line always fits, so total/failed/slowest survive in
+    // BENCH_r{N}.json without needing the full line.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"headline","value":$total,"unit":"sec","failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

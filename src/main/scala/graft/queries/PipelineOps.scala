@@ -651,7 +651,8 @@ object PipelineOps {
     * init. The 20-round guard therefore covers diameters up to ~2^20; the
     * non-convergence warning stays as a tripwire.
     *
-    * Checkpoint discipline: every hop is materialized to a /tmp parquet and
+    * Checkpoint discipline: every hop is materialized to a parquet under
+    * `spark.graft.checkpointDir` (shared storage on a real cluster) and
     * re-read, so the per-hop logical plan stays CONSTANT-size — the step
     * consumes its input three times, and chaining unmaterialized (or even
     * persisted) hops grows the logical plan 3^i, which is a driver OOM by
@@ -664,6 +665,7 @@ object PipelineOps {
     */
   private[graft] def connectedComponents(
       s: SparkSession, pairs: DataFrame, tag: String): DataFrame = {
+    val ckptRoot = graft.Scratch.checkpointDir(s)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -679,7 +681,7 @@ object PipelineOps {
     }
     // Seeded init: label(v) = min(v, min incident neighbor) — the same one
     // shuffle an identity init would pay, with the first hop folded in free.
-    val hopPath = (i: Int) => s"/tmp/graft_x15_hop_${tag}_${i % 2}"
+    val hopPath = (i: Int) => s"$ckptRoot/graft_x15_hop_${tag}_${i % 2}"
     var labels = spill(
       edges.groupBy(col("doc_a").as("node"))
         .agg(min(col("doc_b")).as("nmin"))
@@ -720,7 +722,7 @@ object PipelineOps {
     // may still be unread.
     val out = spill(
       labels.select(col("node").as("doc_id"), col("label").as("cluster")),
-      s"/tmp/graft_x15_labels_$tag")
+      s"$ckptRoot/graft_x15_labels_$tag")
     edges.unpersist()
     out.orderBy(col("doc_id"))
   }
@@ -948,22 +950,24 @@ object PipelineOps {
 
   // ================= m1/m2: multimodal binary-column plumbing =============
 
-  /** Multimodal decode plumbing: documents re-encoded as an opaque binary
-    * `content` column, "decoded" in a typed mapPartitions — the Scala analog
-    * of a mapInPandas batch UDF. The decode body is a STUB (deterministic
-    * byte statistics standing in for image/audio decode; the real codec libs
-    * are not in this container) — the Spark-side contract (binary column in,
-    * typed feature rows out, partition-wise batching) is the real, tested
-    * part.
+  /** Binary-column batch plumbing: documents re-encoded as an opaque binary
+    * `content` column, processed in a typed mapPartitions — the Scala analog
+    * of a mapInPandas batch UDF. The per-row body computes BYTE statistics
+    * (named accordingly: this key does NOT decode a media codec — the real
+    * codec work lives in m3–m6, which run actual BMP/WAV/PNG/GIF
+    * encode→decode round-trips) — the Spark-side contract (binary column
+    * in, typed feature rows out, partition-wise batching) is the real,
+    * tested part, and is exactly the shape a real image/audio featurizer
+    * plugs into.
     */
-  def m1MediaFeatures(s: SparkSession, d: String): DataFrame = {
+  def m1ByteFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        // STUB decode: byte stats in place of pixel/sample features.
+        // byte stats — the deterministic payload a real decoder would replace
         var sum = 0L; var i = 0
         while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
         (id, bytes.length.toLong, sum)
@@ -978,10 +982,13 @@ object PipelineOps {
       |            c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Frame-sampling plumbing: take every 16th byte of the binary content
-    * (stand-in for video frame extraction), emit per-doc sample stats.
+  /** Strided byte-sampling plumbing: take every 16th byte of the binary
+    * content, emit per-doc sample stats. The STRIDE access pattern (not the
+    * byte arithmetic) is the point — it is the partition-wise skeleton a
+    * video frame-sampler plugs a codec into; m6 does the genuine multi-frame
+    * decode (GIF/LZW).
     */
-  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+  def m2ByteFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
@@ -1805,8 +1812,8 @@ object PipelineOps {
     "x20_decontam"       -> (x20Decontam _),
     "x21_dedup_apply"    -> (x21DedupApply _),
     "x22_centroid"       -> (x22Centroid _),
-    "m1_media_features"  -> (m1MediaFeatures _),
-    "m2_frame_sample"    -> (m2FrameSample _),
+    "m1_byte_features"  -> (m1ByteFeatures _),
+    "m2_byte_frames"    -> (m2ByteFrames _),
     "m3_image_decode"    -> (m3ImageDecode _),
     "m4_audio_decode"    -> (m4AudioDecode _),
     "m5_png_decode"      -> (m5PngDecode _),
@@ -1842,8 +1849,8 @@ object PipelineOps {
     "x20_decontam"       -> x20Sql,
     "x21_dedup_apply"    -> x21Sql,
     "x22_centroid"       -> x22Sql,
-    "m1_media_features"  -> m1Sql,
-    "m2_frame_sample"    -> m2Sql,
+    "m1_byte_features"  -> m1Sql,
+    "m2_byte_frames"    -> m2Sql,
     "m3_image_decode"    -> m3Sql,
     "m4_audio_decode"    -> m4Sql,
     "m5_png_decode"      -> m5Sql,

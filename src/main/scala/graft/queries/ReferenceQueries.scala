@@ -150,6 +150,59 @@ object ReferenceQueries {
       |FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS rep) r
       |GROUP BY 1 ORDER BY line_key""".stripMargin
 
+  /** Q2 sweep terminus: the ≥10⁷-group regime (upstream Q2c's
+    * `SUBSTR(sourceIP,1,12)` ≈ 2.5×10⁸ groups is this shape at its SF).
+    * 32× in-plan amplification over q2e's natural keys → ~14.6M distinct
+    * `line_key` groups at sf0.1 (19.2M input rows), every one materialized
+    * by the inner aggregate. A row-per-group DECLARED result would make the
+    * oracle compare 10⁷ rows (DuckDB-side cost, not Spark's), so the
+    * declared output re-aggregates the groups into ~100 prefix buckets
+    * carrying (a) the GROUP COUNT — the ≥10⁷ claim is self-evident from
+    * `SUM(n_groups)` in the result itself, (b) exact-decimal money sums,
+    * and (c) a deterministic per-group key checksum
+    * (`SUM(graft_polyhash(line_key))`, replayed literally in DuckDB): a
+    * single dropped, duplicated, or mis-keyed group anywhere in the 10⁷
+    * shifts the checksum. Inner agg: partial maps are 100% singleton
+    * groups → sort-based fallback per task, the exact per-executor
+    * pathology of a 10⁸-group 100 TB run (spill evidence: ScaleProbe
+    * `spill` mode runs this key under a capped heap and records
+    * memoryBytesSpilled > 0 with unchanged results).
+    */
+  def q2g(s: SparkSession, d: String): DataFrame = {
+    graft.functions.StringPolyHash.register(s)
+    val groups = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        explode(expr("sequence(0, 31)")).as("rep"))
+      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"), lit("-"),
+        col("rep").cast("string")).as("line_key"))
+      .agg(sum(money(col("l_extendedprice"))).as("price_dec"),
+           count(lit(1)).as("n_lines"))
+    groups
+      .groupBy(substring(col("line_key"), 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n_groups"),
+           sum(col("n_lines")).as("n_lines_total"),
+           sum(col("price_dec")).cast("double").as("total_price"),
+           sum(expr("graft_polyhash(line_key)")).as("key_checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q2gSql: String =
+    """WITH g AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |           || '-' || CAST(r.rep AS VARCHAR) AS line_key,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_dec,
+      |         COUNT(*) AS n_lines
+      |  FROM lineitem CROSS JOIN (SELECT unnest(range(32)) AS rep) r
+      |  GROUP BY 1)
+      |SELECT substr(line_key, 1, 2) AS bucket,
+      |       COUNT(*) AS n_groups,
+      |       CAST(SUM(n_lines) AS BIGINT) AS n_lines_total,
+      |       CAST(SUM(price_dec) AS DOUBLE) AS total_price,
+      |       CAST(SUM(list_reduce(list_transform(regexp_split_to_array(line_key, ''),
+      |            c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003)) AS BIGINT) AS key_checksum
+      |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
+
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -312,8 +365,47 @@ object ReferenceQueries {
     s.sql(sql1Text)
   }
 
+  /** sql2 family: the REFERENCE's own query families as verbatim ANSI
+    * strings — one string per family, executed unchanged by `spark.sql`
+    * over [[graft.GraftSession.registerTables]] views AND as its own DuckDB
+    * oracle. sql1 proved the SQL entry path exists; these prove it spans
+    * the actual benchmark surface (Q1 scan-filter, Q2 substr-agg, Q3
+    * join-topk, and the star-join bonus family). Q4 is the one family with
+    * no dialect-shared spelling — its tokenizer primitive is `explode(
+    * split(...))` in Spark vs `unnest(string_split(...))` in DuckDB, with
+    * no common table-function syntax between the engines — so its SQL-mode
+    * parity is already carried by q4_wordcount's oracle (identical results
+    * through the different spellings); the star join stands in as the
+    * fourth VERBATIM string. The only texts that differ from the q*-key
+    * oracles: sql2_q5 spells `CAST(year(..) AS BIGINT)` because Spark's
+    * `year()` returns INT where DuckDB returns BIGINT — the cast makes the
+    * one string schema-identical in both engines.
+    */
+  val sql2Q1Text: String = q1Sql("100000")
+  val sql2Q2Text: String = q2Sql(1)
+  val sql2Q3Text: String = q3Sql("1997-01-01")
+  val sql2Q5Text: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_items,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin
+
+  private def viaSql(text: String)(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.registerTables(s, d)
+    s.sql(text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_text_parity" -> (sql1ViaSql _),
+    "sql2_q1_text"     -> (viaSql(sql2Q1Text) _),
+    "sql2_q2_text"     -> (viaSql(sql2Q2Text) _),
+    "sql2_q3_text"     -> (viaSql(sql2Q3Text) _),
+    "sql2_q5_text"     -> (viaSql(sql2Q5Text) _),
+    "q2g_substr_agg"   -> (q2g _),
     "q1a_scan_filter" -> (q1a _),
     "q1b_scan_filter" -> (q1b _),
     "q1c_scan_filter" -> (q1c _),
@@ -342,7 +434,12 @@ object ReferenceQueries {
     "q2d_substr_agg"  -> q2dSql,
     "q2e_substr_agg"  -> q2eSql,
     "q2f_substr_agg"  -> q2fSql,
+    "q2g_substr_agg"  -> q2gSql,
     "sql1_text_parity" -> sql1Text,
+    "sql2_q1_text"    -> sql2Q1Text,
+    "sql2_q2_text"    -> sql2Q2Text,
+    "sql2_q3_text"    -> sql2Q3Text,
+    "sql2_q5_text"    -> sql2Q5Text,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),

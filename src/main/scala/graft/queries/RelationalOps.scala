@@ -204,7 +204,7 @@ object RelationalOps {
     // BOTH orders and lineitem, so a regeneration touching only orders must
     // also invalidate the bucketed tables
     graft.sources.MultiFormat.ensureLayout(
-      new java.io.File(d), s"/tmp/graft_j8_stamp_$tag",
+      new java.io.File(d), s"${graft.Scratch.dir(s)}/graft_j8_stamp_$tag",
       force = missing) {
       // the default in-memory catalog forgets tables across JVMs while their
       // warehouse directories persist — drop BOTH, or saveAsTable rejects

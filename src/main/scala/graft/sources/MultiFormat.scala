@@ -59,7 +59,7 @@ object MultiFormat {
       case f => spark.read.format(f).load(path)
     }
 
-  /** Re-layout cache guard: rebuild the /tmp copy unless a stamp of the
+  /** Re-layout cache guard: rebuild the scratch-dir copy unless a stamp of the
     * source's (mtime, length) matches — a stale copy must never survive a
     * testdata regeneration (the oracle always reads the fresh source), and
     * mtime-preserving restores (tar / rsync -a) or same-second rewrites
@@ -100,7 +100,7 @@ object MultiFormat {
     */
   def src1CsvScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src1_csv_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src1_csv_$tag"
     ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
       val cust = graft.Tables.customer(spark, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -135,7 +135,7 @@ object MultiFormat {
     */
   def src2PartitionedScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src2_part_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src2_part_$tag"
     ensureLayout(new java.io.File(s"$d/events.parquet"), path) {
       graft.Tables.events(spark, d)
         .withColumn("day", to_date(col("ts")))
@@ -166,7 +166,7 @@ object MultiFormat {
     */
   def src3OrcScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src3_orc_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src3_orc_$tag"
     ensureLayout(new java.io.File(s"$d/orders.parquet"), path) {
       val ord = graft.Tables.orders(spark, d)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
@@ -200,7 +200,7 @@ object MultiFormat {
   def src4SequencefileScan(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src4_seq_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src4_seq_$tag"
     ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
       // saveAsSequenceFile refuses an existing output dir — clear the stale
       // layout (including the old stamp) before rebuilding
@@ -247,7 +247,7 @@ object MultiFormat {
   def src5ShardSink(spark: SparkSession, d: String): DataFrame = {
     graft.functions.StringPolyHash.register(spark)
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src5_shard_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src5_shard_$tag"
     ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
       graft.Tables.documents(spark, d)
         .withColumn("shard",
@@ -284,7 +284,7 @@ object MultiFormat {
     */
   def src6JsonlScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src6_jsonl_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src6_jsonl_$tag"
     ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
       write(graft.Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"), col("source"), col("text")),
@@ -320,7 +320,7 @@ object MultiFormat {
     */
   def src7CorruptScan(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src7_corrupt_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src7_corrupt_$tag"
     ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
       graft.Tables.documents(spark, d)
         .select(col("doc_id"),
@@ -358,8 +358,8 @@ object MultiFormat {
     */
   def src8Compaction(spark: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val fragPath = s"/tmp/graft_src8_frag_$tag"
-    val compPath = s"/tmp/graft_src8_comp_$tag"
+    val fragPath = s"${graft.Scratch.dir(spark)}/graft_src8_frag_$tag"
+    val compPath = s"${graft.Scratch.dir(spark)}/graft_src8_comp_$tag"
     ensureLayout(new java.io.File(s"$d/documents.parquet"), compPath) {
       graft.Tables.documents(spark, d)
         .repartition(64) // the fragmented sink shape
@@ -411,7 +411,7 @@ object MultiFormat {
     import spark.implicits._
 
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src9_avro_$tag"
+    val path = s"${graft.Scratch.dir(spark)}/graft_src9_avro_$tag"
     val schemaJson = AvroCustSchema
     ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
       def rm(f: java.io.File): Unit = if (f.exists()) {
@@ -459,8 +459,50 @@ object MultiFormat {
 
   val src9Sql: String = src1Sql // identical aggregate, different container
 
+  /** Declared deflate-text key — the LITERAL remaining cell of the
+    * reference's format grid (amplab/benchmark `runner/prepare_benchmark.py`
+    * provisions `text-deflate/` alongside plain text and the SequenceFile
+    * pair; src1 covers text/gzip, src4 sequence/snappy — this is
+    * text/deflate). Documents are written as tab-delimited TEXT LINES
+    * compressed with Hadoop's DeflateCodec (`part-*.txt.deflate`), scanned
+    * back line-wise with an explicit split, and aggregated per lang with a
+    * payload-fidelity term (`sum(length(text))`): any mangling through the
+    * codec or the line round-trip shifts the hash. The fixture generator
+    * guarantees tab/newline-free text (verified against the parquet source),
+    * so the delimited shape is lossless. NOTE for 100 TB: unlike gzip,
+    * raw-deflate text is still non-splittable — one file = one task — which
+    * is exactly why the reference ALSO provisioned block-splittable
+    * SequenceFiles (src4) and why parquet serves queries; this key exists
+    * for ingest-parity, and the write keeps the source's parallelism so no
+    * single file grows unbounded.
+    */
+  def src10DeflateTextScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src10_deflate_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
+      graft.Tables.documents(spark, d)
+        .select(concat_ws("\t",
+          col("doc_id"), col("lang"), col("text")).as("value"))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "deflate").text(path)
+    }
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(element_at(col("f"), 1).cast("bigint").as("doc_id"),
+              element_at(col("f"), 2).as("lang"),
+              element_at(col("f"), 3).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text"))).as("sum_text_chars"),
+           min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val src10Sql: String = src6Sql // identical aggregate, different container
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
+        "src10_deflate_text_scan" -> (src10DeflateTextScan _),
         "src9_avro_scan" -> (src9AvroScan _),
         "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
@@ -472,6 +514,7 @@ object MultiFormat {
 
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
+        "src10_deflate_text_scan" -> src10Sql,
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
         "src8_compaction" -> src8Sql,

@@ -15,7 +15,7 @@ class MediaSpec extends SparkSpec {
 
   test("decode stub is deterministic and matches m1's byte accounting") {
     val feats = Media.decode(Media.fromDocuments(spark, TestSpark.sf0001))
-    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_byte_features")(spark, TestSpark.sf0001)
     val joined = feats.toDF().join(m1, col("docId") === col("doc_id"))
       .filter(col("nBytes") =!= col("n_bytes"))
     assert(joined.count() === 0L)
@@ -45,7 +45,7 @@ class MediaSpec extends SparkSpec {
 
   test("m3 real decode agrees with m1's stub byte accounting") {
     val m3 = SparkEntry.queries("m3_image_decode")(spark, TestSpark.sf0001)
-    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_byte_features")(spark, TestSpark.sf0001)
       .withColumnRenamed("doc_id", "m1_doc")
     val bad = m3.join(m1, col("doc_id") === col("m1_doc"))
       .filter(col("channel_sum") =!= col("byte_sum") ||
@@ -69,7 +69,7 @@ class MediaSpec extends SparkSpec {
 
   test("m5 png decode agrees with m1's stub byte accounting") {
     val m5 = SparkEntry.queries("m5_png_decode")(spark, TestSpark.sf0001)
-    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_byte_features")(spark, TestSpark.sf0001)
       .withColumnRenamed("doc_id", "m1_doc")
     val bad = m5.join(m1, col("doc_id") === col("m1_doc"))
       .filter(col("gray_sum") =!= col("byte_sum") ||
@@ -90,7 +90,7 @@ class MediaSpec extends SparkSpec {
 
   test("m4 real audio decode agrees with m1's byte accounting") {
     val m4 = SparkEntry.queries("m4_audio_decode")(spark, TestSpark.sf0001)
-    val m1 = SparkEntry.queries("m1_media_features")(spark, TestSpark.sf0001)
+    val m1 = SparkEntry.queries("m1_byte_features")(spark, TestSpark.sf0001)
       .withColumnRenamed("doc_id", "m1_doc")
     val bad = m4.join(m1, col("doc_id") === col("m1_doc"))
       .filter(col("sample_sum") =!= col("byte_sum") ||
@@ -130,7 +130,7 @@ class MediaSpec extends SparkSpec {
     val recs = Media.fromDocuments(spark, TestSpark.sf0001)
     val frames = Media.sampleFrames(recs, 16)
       .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-    val m2 = SparkEntry.queries("m2_frame_sample")(spark, TestSpark.sf0001)
+    val m2 = SparkEntry.queries("m2_byte_frames")(spark, TestSpark.sf0001)
       .withColumnRenamed("n_frames", "expect")
     val bad = frames.join(m2, "doc_id").filter(col("n_frames") =!= col("expect"))
     assert(bad.count() === 0L)

@@ -159,8 +159,8 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("m1/m2 multimodal plumbing: frame samples never exceed bytes") {
-    val m1 = run("m1_media_features", sf0001)
-    val m2 = run("m2_frame_sample", sf0001)
+    val m1 = run("m1_byte_features", sf0001)
+    val m2 = run("m2_byte_frames", sf0001)
     val j = m1.join(m2, "doc_id")
       .filter(col("n_frames") > col("n_bytes") || col("frame_sum") > col("byte_sum"))
     assert(j.count() === 0L)
