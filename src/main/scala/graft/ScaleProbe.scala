@@ -7,8 +7,16 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // `spill` mode strangles the execution-memory pool (pair with
+    // SPARK_DRIVER_MEM=1g so the heap itself is small): ~4% of a ~1.5 GiB
+    // heap shared by 8 threads forces the hash-agg/sort paths to spill,
+    // which is the point — prove graceful degradation, not avoid it.
+    val isSpill = args.contains("spill")
+    val spark = SparkSession.builder()
+      .master(if (isSpill) "local[8]" else "local[32]")
+      .config("spark.sql.shuffle.partitions", if (isSpill) "8" else "32")
+      .config("spark.memory.fraction",
+        if (isSpill) sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.04") else "0.6")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is timestamp[ns]; the raw copy below needs the same
       // legacy shim graft.Tables uses (ts stays a plain int64 in the copy,
@@ -18,6 +26,116 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val big = s"/tmp/graft_scale_v4_$n" // v4: events now replicate too
+
+    // Spill probe (`spill` arg): run the group-cardinality stress keys and
+    // the prefix-filter join under a starved execution-memory pool, record
+    // per-key spill bytes (the 100 TB robustness axis: memory pressure
+    // must degrade to disk, not to OOM) plus an order-independent result
+    // fingerprint. The fingerprints land in docs/spill_probe.json;
+    // Round5Spec recomputes them on a NORMAL session and asserts equality
+    // — spill must not change a single result bit.
+    if (isSpill) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+      val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          memSpill.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+          diskSpill.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+        }
+      })
+      // bit_xor fold of per-row hashes: order-independent like sum, but
+      // closed over longs (a 457k-row sum of full-range xxhash64 values
+      // overflows, which ANSI mode rightly rejects)
+      def fingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+        val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(expr("bit_xor(__fp)")).first()
+        if (h.isNullAt(0)) 0L else h.getLong(0)
+      }
+      val keys = Seq("q2e_substr_agg", "q2f_substr_agg", "q2g_substr_agg",
+        "x9_ngram_jaccard")
+      val entries = keys.map { k =>
+        val m0 = (memSpill.get, diskSpill.get)
+        val t0 = System.nanoTime()
+        val fp = fingerprint(SparkEntry.queries(k)(spark, src))
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // let the listener bus drain
+        val (dm, dd) = (memSpill.get - m0._1, diskSpill.get - m0._2)
+        println(f"$k%-18s ${dm / 1048576.0}%9.1f MB mem-spill " +
+          f"${dd / 1048576.0}%9.1f MB disk-spill $secs%7.1f s fp=$fp%d")
+        f""""$k":{"mem_spill_mb":${dm / 1048576.0}%.1f,"disk_spill_mb":${dd / 1048576.0}%.1f,"secs":$secs%.1f,"fingerprint":$fp%d}"""
+      }
+      val li = new java.io.File(s"$src/lineitem.parquet")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val stamp = s"${walk(li).map(_.lastModified()).max}:${walk(li).map(_.length()).sum}"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/spill_probe.json"),
+        (s"""{"sf_dir":"$src","lineitem_stamp":"$stamp","heap":"${Runtime.getRuntime.maxMemory() / 1048576} MB","memory_fraction":${sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.04")},""" +
+          entries.mkString("\"keys\":{", ",", "}}")).getBytes)
+      println("wrote docs/spill_probe.json")
+      spark.stop()
+      return
+    }
+
+    // AQE skew-join probe (`skew` arg): an adversarially skewed join key
+    // (key 0 carries 50% of the left side) through a plain shuffled join,
+    // AQE off vs on. Evidence that the runtime skew-split activates
+    // (OptimizeSkewedJoin subpartitions the hot partition) and that the
+    // result is bit-identical either way — the AQE-native contrast to
+    // j7's manual salting.
+    if (args.contains("skew")) {
+      import spark.implicits._
+      val rows = 8000000L
+      def skewJoin() = {
+        val left = spark.range(rows).select(
+          when(col("id") % 10 < 9, lit(0L))
+            .otherwise(pmod(col("id"), lit(10000L))).as("k"),
+          col("id").as("v"))
+        val right = spark.range(10000).select(
+          col("id").as("k2"), (col("id") * 7).as("w"))
+        left.join(right, col("k") === col("k2"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      }
+      // collect-based fingerprint (10k group rows, probe-only): executing
+      // the SAME DataFrame leaves its AQE plan final, so the skew-split
+      // inspection below reads the plan that actually ran
+      def fingerprint(df: org.apache.spark.sql.DataFrame): Long =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))
+          .hashCode.toLong).sum
+      // force the shuffled-join path: a 10k-row dim would broadcast and
+      // no skew split would ever be needed
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+      // the downstream groupBy(k) reuses the join's hash partitioning, and
+      // OptimizeSkewedJoin by default declines any split that would force
+      // an extra exchange — the force flag says "split anyway", which is
+      // the right trade when one straggler partition dominates wall-clock
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off = skewJoin()
+      val fpOff = fingerprint(off)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val on = skewJoin()
+      val fpOn = fingerprint(on)
+      val plan = on.queryExecution.executedPlan.toString
+      val skewedReads = plan.linesIterator.count(l =>
+        l.contains("skewed") || l.contains("skew=true"))
+      println(s"fingerprint AQE-off=$fpOff AQE-on=$fpOn identical=${fpOff == fpOn}")
+      println(s"skew-split markers in AQE plan: $skewedReads")
+      println(plan.linesIterator.filter(l => l.contains("ShuffleRead") ||
+        l.contains("AdaptiveSparkPlan") || l.contains("SortMergeJoin"))
+        .mkString("\n"))
+      assert(fpOff == fpOn, "AQE skew handling changed the result")
+      assert(plan.contains("skew"), "AQE skew-split did not activate:\n" + plan)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.stop()
+      return
+    }
 
     // Convergence probe (`chain` arg): a 1000-node chain is the adversarial
     // shape for label propagation (diameter = N, where near-dup corpora are
@@ -120,25 +238,38 @@ object ScaleProbe {
     // deliberately builds 20-identical-copy groups, which inflates TRUE
     // near-dup pairs ~700× — right for dedup stress, wrong for judging the
     // x27→x34 cascade's scaling. This corpus keeps the duplicate RATE
-    // constant: each replica appends five replica-unique tokens, pushing
-    // replicas of the same doc outside the hamming-3 ball, so pair count
-    // grows ~linearly with the corpus and the probe isolates engine
-    // scaling from output growth.
+    // constant via a per-replica Caesar rotation of the letters: a
+    // character-level BIJECTION per replica, so every within-replica
+    // similarity (token equality, shingle overlap, simhash hamming, edit
+    // distance) is preserved EXACTLY while cross-replica tokens share
+    // nothing — each replica is "new data from the same distribution",
+    // pair count grows exactly linearly (n × the 1x pair count), and the
+    // probe isolates engine scaling from output growth. (The previous
+    // appended-token corpus failed at this: 15 tokens COMMON to all docs
+    // of a replica pulled unrelated docs' fingerprints together and
+    // inflated within-replica pair density ~8×.)
     if (args.contains("cascade")) {
-      val dir = s"/tmp/graft_scale_cascade2_$n"
+      val dir = s"/tmp/graft_scale_cascade3_$n"
       val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
       if (!done2.exists()) {
         val docs = spark.read.parquet(s"$src/documents.parquet")
-        // 15 replica-unique appended tokens ≈ 40% of the shingle set on
-        // these ~25-token docs — enough margin shift to push same-doc
-        // replicas far outside the hamming-3 ball (5 tokens was not:
-        // measured ~1-3 bit flips, replicas still paired)
-        val tail = (0 until 15).map(k =>
-          concat(lit(s" q$k"), col("id"), lit(('a' + k % 26).toChar.toString)))
-        spark.range(n).crossJoin(docs)
-          .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
-          .withColumn("text", concat(col("text") +: tail: _*))
-          .drop("id")
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val upper = lower.toUpperCase
+        def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+        // translate()'s alphabets are literals, so build replica i by
+        // rotating with literal alphabets and union — generation-time
+        // only, the probe corpus is written once
+        val replicas = (0 until n).map { i =>
+          val k = i % 26
+          docs
+            // stride clears the +1e7/+2e7 in-plan twin-injection ranges
+            // x27/x34 add per doc — a 1e6 stride collided replica ids with
+            // injected-twin ids and silently distorted pair accounting
+            .withColumn("doc_id", col("doc_id") + i * 100000000L)
+            .withColumn("text",
+              translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k)))
+        }
+        replicas.reduce(_ unionByName _)
           .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
         done2.createNewFile()
       }

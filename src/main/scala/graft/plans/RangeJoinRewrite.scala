@@ -32,18 +32,38 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val Flag = "spark.graft.rangeJoin.bucket"
 
+  /** Per-row ceiling on how many buckets one interval may explode into.
+    * An interval row whose bucket span exceeds this raises a CLEAR error
+    * naming both confs (instead of `Sequence`'s opaque max-array failure
+    * deep in execution, or — worse — a silent drop): a span that large
+    * means the bucket width is mis-tuned for the data (e.g. an open-ended
+    * `hi = Long.MaxValue` sentinel row), and the fix is the user's call —
+    * raise the width, pre-filter sentinels, or unset the flag and take
+    * the nested-loop plan. Default 1M buckets = an 8 MB array per row,
+    * already past any sane width choice.
+    */
+  val MaxSpanFlag = "spark.graft.rangeJoin.maxSpan"
+  val DefaultMaxSpan = 1L << 20
+
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** Floor-division bucket, exact for any sign: subtract the non-negative
-    * pmod first so the integral divide is a true floor, not a truncation.
+  /** Floor-division bucket, exact for any sign and for the FULL long
+    * domain: truncating div, shifted down one for negative non-exact
+    * quotients. No arithmetic on `p` itself (the previous
+    * `p - pmod(p, w)` underflowed for p within w of Long.MinValue, and
+    * with ANSI off the wrapped bucket silently disagreed with the
+    * interval side's — dropping matches the residual can't recover).
     */
   private def bucket(e: Expression, w: Long): Expression = {
     val p = asLong(e)
-    IntegralDivide(Subtract(p, Pmod(p, Literal(w))), Literal(w))
+    val tdiv = IntegralDivide(p, Literal(w))
+    val rem = Remainder(p, Literal(w))
+    If(And(LessThan(p, Literal(0L)), Not(EqualTo(rem, Literal(0L)))),
+      Subtract(tdiv, Literal(1L)), tdiv)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -104,13 +124,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val loB = bucket(lo, w)
       val hiB = bucket(hi, w)
       val emptySeq = Literal.create(Array.empty[Long], ArrayType(LongType, false))
+      val maxSpan = try conf.getConfString(MaxSpanFlag, DefaultMaxSpan.toString)
+        .toLong catch { case _: NumberFormatException => DefaultMaxSpan }
+      val span = Subtract(hiB, loB)
+      // span < 0 under loB <= hiB means the subtraction itself wrapped
+      // (bounds straddling the long range) — route that to the error too,
+      // not past the check into Sequence's own failure
+      val spanOk = And(GreaterThanOrEqual(span, Literal(0L)),
+        LessThanOrEqual(span, Literal(maxSpan)))
+      val overspan = Cast(new RaiseError(Concat(Seq(
+        Literal("graft range-join rewrite: interval spans "),
+        Cast(span, org.apache.spark.sql.types.StringType),
+        Literal(s" buckets > $MaxSpanFlag=$maxSpan (open-ended sentinel " +
+          s"bound, or $Flag width mis-tuned for the data); raise the " +
+          "width, pre-filter sentinel rows, or unset the flag for the " +
+          "nested-loop plan")))),
+        ArrayType(LongType, false))
       // guard inverted intervals: sequence(start > stop, step 1) throws at
       // runtime, where the original join just matched nothing. The zone
       // must be set by hand — analyzer-time ResolveTimeZone has already
       // run, and a zoneless Sequence leaves the plan unresolved.
       val seq = If(LessThanOrEqual(loB, hiB),
-        new Sequence(loB, hiB, Literal(1L))
-          .withTimeZone(conf.sessionLocalTimeZone),
+        If(spanOk,
+          new Sequence(loB, hiB, Literal(1L))
+            .withTimeZone(conf.sessionLocalTimeZone),
+          overspan),
         emptySeq)
       val rBucket = AttributeReference("__graft_rbucket", LongType, nullable = false)()
       val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,

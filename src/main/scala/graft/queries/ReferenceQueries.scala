@@ -184,6 +184,14 @@ object ReferenceQueries {
            sum(col("n_lines")).as("n_lines_total"),
            sum(col("price_dec")).cast("double").as("total_price"),
            sum(expr("graft_polyhash(line_key)")).as("key_checksum"))
+      // trivially-true HAVING, load-bearing on purpose: under a bare
+      // count() action Catalyst (correctly) collapses the two-level agg —
+      // bucket EXISTENCE doesn't need the 14.6M inner groups — and the
+      // bench would time a plan that skips the whole point of this key.
+      // Depending on n_groups forces the inner aggregate into every
+      // action's plan. Semantics unchanged (every bucket has >= 1 group);
+      // the oracle carries the same HAVING.
+      .filter(col("n_groups") > 0)
       .orderBy(col("bucket"))
   }
 
@@ -201,7 +209,7 @@ object ReferenceQueries {
       |       CAST(SUM(price_dec) AS DOUBLE) AS total_price,
       |       CAST(SUM(list_reduce(list_transform(regexp_split_to_array(line_key, ''),
       |            c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003)) AS BIGINT) AS key_checksum
-      |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
+      |FROM g GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY bucket""".stripMargin
 
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,

@@ -766,17 +766,24 @@ object RelationalOps {
     * — and planned by the flag-gated `RangeJoinRewrite` optimizer rule
     * instead of hand-bucketing. j6 proves the manual composition; this key
     * proves the RULE end-to-end: the oracle checks the rewritten plan's
-    * results, and OperatorsSpec asserts the physical plan actually lost
+    * results, and PlanRewriteSpec asserts the physical plan actually lost
     * its BroadcastNestedLoopJoin. A 5-minute window (vs j6's 10) keeps
-    * the two keys' outputs distinct. The bucket flag stays set on the
-    * session — it is scoped to equi-key-less integral range joins, a
-    * shape no other declared query contains.
+    * the two keys' outputs distinct.
+    *
+    * Flag scoping (round-4 advice): a lazily-returned plan re-reads the
+    * conf at every action, so a bare try/finally around construction
+    * would unset the flag before the optimizer ever fired — instead the
+    * flag-dependent join+agg is EXECUTED inside the scope (materialized
+    * to the scratch dir, the x15 checkpoint pattern) and the previous
+    * flag value restored before returning. No other query in the session
+    * — before, between, or after — ever sees j10's bucket width.
     */
   private val J10WindowUs = 300000000L // 5 min in µs
 
-  def j10RangeRule(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftPlanner.install(s)
-    s.conf.set(graft.plans.RangeJoinRewrite.Flag, J10WindowUs.toString)
+  /** The flag-dependent plan itself, un-materialized and un-scoped — the
+    * piece PlanRewriteSpec inspects with the flag set by hand.
+    */
+  private[graft] def j10Raw(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts_us"))
@@ -786,7 +793,21 @@ object RelationalOps {
     clicks.join(purchases, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
       .groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
-      .orderBy(col("purchase_id"))
+  }
+
+  def j10RangeRule(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftPlanner.install(s)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(s)}/graft_j10_out_$tag"
+    val flag = graft.plans.RangeJoinRewrite.Flag
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, J10WindowUs.toString)
+    try j10Raw(s, d).write.mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(flag, v)
+      case None    => s.conf.unset(flag)
+    }
+    s.read.parquet(path).orderBy(col("purchase_id"))
   }
 
   val j10Sql: String =

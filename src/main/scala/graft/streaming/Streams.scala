@@ -257,7 +257,9 @@ object Streams {
     urls
       .withColumn("canonical", regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(lower(col("url")), "#.*$", ""),
-        "\\?utm_[^#]*$", ""), ":443/", "/"), "/$", ""))
+        // authority-anchored port strip: a ':443/' inside a PATH of these
+        // arbitrary input URLs must survive (round-4 advice)
+        "\\?utm_[^#]*$", ""), "^(https://[^/]+):443/", "$1/"), "/$", ""))
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("canonical")
 
@@ -340,6 +342,17 @@ object Streams {
     * discipline table formats implement, hand-rolled on plain parquet).
     * State grows by one corpus rewrite per batch; real deployments compact
     * — the point here is the merge loop, proven batch-equivalent in spec.
+    *
+    * Publish protocol (round-4 advice): versions are written to a hidden
+    * temp dir and RENAMED into place, and only versions carrying the
+    * committer's `_SUCCESS` marker are eligible as the merge base — a
+    * batch that crashed mid-write can never be selected as "latest" on
+    * restart (which would merge the retry into its own partial output and
+    * lose base rows). The rename is atomic on a real filesystem; on
+    * object stores the `_SUCCESS` filter alone carries the guarantee.
+    * Retried batch ids are idempotent: an already-committed v<N> is left
+    * untouched. Non-numeric `v*` names (editor droppings, foreign dirs)
+    * are ignored rather than crashing the version sort.
     */
   def corpusRefreshStream(changes: DataFrame, stateRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
@@ -347,22 +360,41 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val root = new java.io.File(stateRoot)
-        val latest = Option(root.listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .sortBy(_.getName.drop(1).toLong).lastOption
-        val base = latest match {
-          case Some(dir) => s.read.parquet(dir.getPath)
-          case None =>
-            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("doc_id", LongType),
-                StructField("text", StringType))))
+        val target = new java.io.File(root, s"v$batchId")
+        if (!new java.io.File(target, "_SUCCESS").exists()) {
+          val latest = Option(root.listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.isDirectory)
+            .flatMap(f => f.getName match {
+              case n if n.startsWith("v") => n.drop(1).toLongOption.map(_ -> f)
+              case _ => None
+            })
+            .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
+            .sortBy(_._1).lastOption.map(_._2)
+          val base = latest match {
+            case Some(dir) => s.read.parquet(dir.getPath)
+            case None =>
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("doc_id", LongType),
+                  StructField("text", StringType))))
+          }
+          val tmp = new java.io.File(root, s".v${batchId}_inprogress")
+          base.join(batch, Seq("doc_id"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("doc_id"),
+              coalesce(col("new_text"), col("text")).as("text"))
+            .write.mode("overwrite").parquet(tmp.getPath)
+          // a partial target (crash after a partial direct write in an
+          // older layout, or a preempted rename) blocks the rename — clear it
+          def rm(f: java.io.File): Unit = if (f.exists()) {
+            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+            f.delete()
+          }
+          rm(target)
+          if (!tmp.renameTo(target))
+            throw new java.io.IOException(
+              s"corpusRefreshStream: could not publish ${tmp.getPath} -> ${target.getPath}")
         }
-        base.join(batch, Seq("doc_id"), "full_outer")
-          .filter(col("op").isNull || col("op") =!= "D")
-          .select(col("doc_id"),
-            coalesce(col("new_text"), col("text")).as("text"))
-          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
         ()
       }
       .start()

@@ -146,8 +146,9 @@ class PlanRewriteSpec extends SparkSpec {
   test("RangeJoinRewrite: BETWEEN join becomes a bucketed equi-join with identical rows") {
     import spark.implicits._
     GraftPlanner.install(spark)
-    // j10's query fn leaves the flag set on the shared session by design —
-    // clear it so the reference run below really is the naive plan
+    // defensive: make sure no earlier test left the flag set, so the
+    // reference run below really is the naive plan (j10 itself restores
+    // the flag since round 5)
     spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
     val points = (0L until 500L).map(i => (i, i * 37L % 10000L)).toDF("pid", "ts")
     val intervals = (0L until 60L).map(i => (i, i * 150L, i * 150L + 400L))
@@ -192,11 +193,71 @@ class PlanRewriteSpec extends SparkSpec {
   }
 
   test("j10: the declared-naive range join key plans without a nested loop") {
+    GraftPlanner.install(spark)
+    spark.conf.set(graft.plans.RangeJoinRewrite.Flag, "300000000")
+    try {
+      val raw = graft.queries.RelationalOps.j10Raw(spark, TestSpark.sf0001)
+      val phys = raw.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"j10 fell back to the nested loop:\n$phys")
+      assert(phys.contains("__graft_pbucket"))
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
+    // the declared key materializes under the flag and RESTORES it — no
+    // session-level side effect survives the call (round-4 advice #1)
     val df = SparkEntry.queries("j10_range_rule")(spark, TestSpark.sf0001)
-    val phys = df.queryExecution.executedPlan.toString
-    assert(!phys.contains("BroadcastNestedLoopJoin"),
-      s"j10 fell back to the nested loop:\n$phys")
-    assert(phys.contains("__graft_pbucket"))
     assert(df.count() > 0)
+    assert(spark.conf.getOption(graft.plans.RangeJoinRewrite.Flag).isEmpty,
+      "j10 leaked its bucket-width conf onto the session")
+  }
+
+  test("RangeJoinRewrite: floor-div bucket survives the negative long domain") {
+    import spark.implicits._
+    GraftPlanner.install(spark)
+    // points within w of Long.MinValue: the old p - pmod(p, w) bucket
+    // underflowed here and silently dropped matches (round-4 advice #3)
+    val base = Long.MinValue
+    val points = Seq((1L, base), (2L, base + 100L), (3L, base + 600L),
+      (4L, -1L), (5L, 0L), (6L, 511L)).toDF("pid", "ts")
+    val intervals = Seq((10L, base, base + 700L), (11L, -512L, 600L))
+      .toDF("iid", "lo", "hi")
+    def join() = points.join(intervals,
+      col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid")
+    val expected = join().collect()
+    assert(expected.length === 6, "fixture should produce 6 matches naively")
+    spark.conf.set(graft.plans.RangeJoinRewrite.Flag, "512")
+    try {
+      val rewritten = join()
+      assert(rewritten.queryExecution.optimizedPlan.toString
+        .contains("__graft_pbucket"), "rule did not fire on the fixture")
+      assert(rewritten.collect().sameElements(expected),
+        "bucketed join dropped or invented matches on the negative domain")
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
+  }
+
+  test("RangeJoinRewrite: over-span interval raises a clear error, not an opaque one") {
+    import spark.implicits._
+    GraftPlanner.install(spark)
+    // open-ended sentinel row: hi = Long.MaxValue explodes into ~2^54
+    // buckets at w=512 — must fail with an actionable message naming the
+    // conf, BEFORE any giant array materializes (round-4 advice #2)
+    val points = Seq((1L, 300L)).toDF("pid", "ts")
+    val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val j = points.join(sentinel,
+      col("ts") >= col("lo") && col("ts") <= col("hi")).select("pid", "iid")
+    assert(j.count() === 1L) // naive plan handles it (slowly)
+    spark.conf.set(graft.plans.RangeJoinRewrite.Flag, "512")
+    try {
+      val e = intercept[Exception] { j.count() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("rangeJoin.maxSpan")),
+        s"expected the actionable over-span message, got: $e")
+      // a WIDE-but-bounded interval under the cap still works
+      val wide = Seq((2L, 0L, 512L * 1000L)).toDF("iid", "lo", "hi")
+      val ok = points.join(wide,
+        col("ts") >= col("lo") && col("ts") <= col("hi")).select("pid", "iid")
+      assert(ok.count() === 1L)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
   }
 }
