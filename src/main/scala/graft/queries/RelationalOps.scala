@@ -387,6 +387,35 @@ object RelationalOps {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---- a8: multi-distinct aggregation (the Expand-based plan) ----
+
+  /** Several COUNT(DISTINCT ...) on DIFFERENT columns in one aggregate —
+    * the one distinct-aggregation plan shape a1 (single distinct) doesn't
+    * cover: Catalyst rewrites it through an Expand node that replicates
+    * every input row once per distinct group (+ once for the plain
+    * aggregates), then two-level-aggregates the expanded stream.
+    * Scale note, visible in the plan: Expand multiplies the shuffled rows
+    * by (#distinct-columns + 1) — at 100 TB exact multi-distinct is a
+    * deliberate splurge, and the cheap alternative is a1b's
+    * approx_count_distinct (one HLL per column, no Expand). This key
+    * exists to cover — and price — the exact path.
+    */
+  def a8MultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+           countDistinct(col("o_orderpriority")).as("n_prios"),
+           count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val a8Sql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+      |       COUNT(DISTINCT o_orderpriority) AS n_prios,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- a6: unpivot (wide measures -> long (measure, value) rows) ----
   // The inverse of a4's pivot: aggregate wide, then stack() to long form —
   // stack is the built-in Generator, so the unpivot is map-side only.
@@ -880,6 +909,7 @@ object RelationalOps {
     "a4_pivot"           -> (a4Pivot _),
     "a6_unpivot"         -> (a6Unpivot _),
     "a7_grouping_sets"   -> (a7GroupingSets _),
+    "a8_multi_distinct"  -> (a8MultiDistinct _),
     "f10_lateral"        -> (f10Lateral _),
     "f11_hof"            -> (f11Hof _),
     "f12_recursive_cte"  -> (f12RecursiveCte _),
@@ -919,6 +949,7 @@ object RelationalOps {
     "a4_pivot"       -> a4Sql,
     "a6_unpivot"     -> a6Sql,
     "a7_grouping_sets" -> a7Sql,
+    "a8_multi_distinct" -> a8Sql,
     "f10_lateral"    -> f10Sql,
     "f11_hof"        -> f11Sql,
     "f12_recursive_cte" -> f12Sql,

@@ -110,6 +110,39 @@ object WindowOps {
       |  WINDOW win AS (PARTITION BY event_type ORDER BY value DESC, event_id))
       |WHERE tile = 1 ORDER BY event_type, event_id""".stripMargin
 
+  // ---- w5: value-based RANGE frame (trailing one-hour window) ----
+  // The remaining frame kind after w3's ROWS frame: RANGE frames bound by
+  // VALUE distance on the order key — here each event aggregates every
+  // same-user event in the trailing µs hour, the "sliding aggregate
+  // per row" shape sessionization and rate-limiting features use. Peers
+  // (equal ts_us) enter the frame together in both engines by RANGE
+  // semantics, and the summed measure is exact decimal, so frame-internal
+  // evaluation order (Spark's running scan vs DuckDB's segment tree)
+  // cannot shift the result. Scale: one shuffle on user_id, per-partition
+  // sort on ts_us — the same cost envelope as any window; the frame never
+  // materializes (running aggregation), so a wide frame costs no memory.
+  def w5RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("hour_sum",
+        sum(expr("CAST(value AS DECIMAL(18,6))")).over(w).cast("double"))
+      .withColumn("hour_cnt", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("hour_sum"), col("hour_cnt"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val w5Sql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS hour_sum,
+      |       COUNT(*) OVER win AS hour_cnt
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---- s1: tumbling 1-hour windows ----
   def s1Tumble(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -177,6 +210,7 @@ object WindowOps {
     "w2_lag_lead"  -> (w2LagLead _),
     "w3_frame_sum" -> (w3FrameSum _),
     "w4_ntile"     -> (w4Ntile _),
+    "w5_range_frame" -> (w5RangeFrame _),
     "s1_tumble"    -> (s1Tumble _),
     "s2_sliding"   -> (s2Sliding _),
     "s3_session"   -> (s3Session _)
@@ -187,6 +221,7 @@ object WindowOps {
     "w2_lag_lead"  -> w2Sql,
     "w3_frame_sum" -> w3Sql,
     "w4_ntile"     -> w4Sql,
+    "w5_range_frame" -> w5Sql,
     "s1_tumble"    -> s1Sql,
     "s2_sliding"   -> s2Sql,
     "s3_session"   -> s3Sql
