@@ -14,7 +14,11 @@ import graft.TestSpark._
 class InvarianceSpec extends SparkSpec {
 
   private val keys = Seq("x27_simhash_neardup", "x28_pagerank",
-    "q2e_substr_agg", "p1_curation_pipeline")
+    "q2e_substr_agg", "p1_curation_pipeline",
+    // round 5: the 10⁷-group two-level agg, the RANGE-frame window, and
+    // the Expand-based multi-distinct — each a distinct physical shape
+    // AQE re-plans (coalesced final agg, windowed sort, expanded shuffle)
+    "q2g_substr_agg", "w5_range_frame", "a8_multi_distinct")
 
   test("AQE on/off produces byte-identical results on shuffle-heavy keys") {
     for (k <- keys) {
