@@ -23,7 +23,8 @@ object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val sf = "/root/testdata/sf0.01"
     val keys =
-      if (args.nonEmpty) args.toSeq
+      if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Seq("q1a_scan_filter", "q2a_substr_agg", "q2g_substr_agg",
         "q3b_join_topk", "q5_star_join", "x2_dedup_exact",
         "x9_ngram_jaccard", "w5_range_frame", "a8_multi_distinct",

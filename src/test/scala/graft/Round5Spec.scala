@@ -71,6 +71,42 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("w5: the RANGE frame equals the explicit trailing-hour self-join") {
+    val w5 = SparkEntry.queries("w5_range_frame")(spark, sf0001).cache()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .cache()
+    // frame semantics spelled out the long way: for each event, every
+    // same-user event with us in [us - 1h, us] — including peers at the
+    // same timestamp, which RANGE (unlike ROWS) must include
+    val joined = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") >= col("a.us") - lit(3600000000L) &&
+          col("b.us") <= col("a.us"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val bad = w5.join(joined, "event_id")
+      .filter(col("hour_cnt") =!= col("cnt"))
+    assert(bad.count() === 0L, "RANGE frame count disagrees with the self-join")
+    assert(w5.filter(col("hour_cnt") < 1).count() === 0L) // frame includes self
+    ev.unpersist(); w5.unpersist()
+  }
+
+  test("a8: multi-distinct counts match independently computed distincts") {
+    val a8 = SparkEntry.queries("a8_multi_distinct")(spark, sf0001).collect()
+    val orders = Tables.orders(spark, sf0001).cache()
+    for (r <- a8) {
+      val status = r.getString(0)
+      val slice = orders.filter(col("o_orderstatus") === status)
+      assert(r.getLong(1) === slice.select("o_custkey").distinct().count(),
+        s"$status n_custs")
+      assert(r.getLong(2) === slice.select("o_orderpriority").distinct().count(),
+        s"$status n_prios")
+      assert(r.getLong(3) === slice.count(), s"$status n_orders")
+    }
+    orders.unpersist()
+  }
+
   test("q2g: bucket group counts account for exactly 32x the distinct line keys") {
     val df = SparkEntry.queries("q2g_substr_agg")(spark, sf0001).cache()
     val distinctKeys = Tables.lineitem(spark, sf0001)
