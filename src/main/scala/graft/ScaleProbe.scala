@@ -13,7 +13,11 @@ object ScaleProbe {
     // which is the point — prove graceful degradation, not avoid it.
     val isSpill = args.contains("spill")
     val spark = SparkSession.builder()
-      .master(if (isSpill) "local[8]" else "local[32]")
+      // plain local[N] is maxFailures=1 (any task failure is fatal) — the
+      // retry probe needs the local[N, maxFailures] form to retry at all
+      .master(if (isSpill) "local[8]"
+              else if (args.contains("retry")) "local[32,4]"
+              else "local[32]")
       .config("spark.sql.shuffle.partitions", if (isSpill) "8" else "32")
       .config("spark.memory.fraction",
         if (isSpill) sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.04") else "0.6")
@@ -133,6 +137,46 @@ object ScaleProbe {
       assert(fpOff == fpOn, "AQE skew handling changed the result")
       assert(plan.contains("skew"), "AQE skew-split did not activate:\n" + plan)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.stop()
+      return
+    }
+
+    // Task-retry probe (`retry` arg): at 1000 executors, task failures and
+    // recomputes are constant background noise — a preempted node, a
+    // fetch failure, a speculative duplicate — and the engine's
+    // correctness contract must survive them. This injects a ONE-TIME
+    // failure into a map task of a q2e-shaped aggregation (throw iff
+    // attemptNumber == 0 on one partition), lets Spark's retry recompute
+    // it, and asserts the result fingerprint is bit-identical to an
+    // uninjected run — the determinism discipline (exact-type aggregates,
+    // no order-dependent state) is precisely what makes recompute safe.
+    if (args.contains("retry")) {
+      import org.apache.spark.TaskContext
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      def agg(inject: Boolean) = {
+        val rows = li.mapPartitions { it =>
+          val tc = TaskContext.get()
+          if (inject && tc.partitionId() == 3 && tc.attemptNumber() == 0)
+            throw new RuntimeException("graft retry-probe: injected one-time task failure")
+          it
+        }(li.encoder)
+        rows.groupBy(concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("k"))
+          .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("s"),
+               count(lit(1)).as("n"))
+      }
+      def fp(df: org.apache.spark.sql.DataFrame): Long = {
+        val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(expr("bit_xor(__fp)")).first()
+        if (h.isNullAt(0)) 0L else h.getLong(0)
+      }
+      val clean = fp(agg(inject = false))
+      val t0 = System.nanoTime()
+      val retried = fp(agg(inject = true)) // local mode retries up to 4x by default
+      println(f"retry probe: clean=$clean retried=$retried " +
+        f"identical=${clean == retried} (${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        "one map task failed once and was recomputed)")
+      assert(clean == retried, "task retry changed the aggregation result")
       spark.stop()
       return
     }
