@@ -114,6 +114,46 @@ object Media {
     }.toDF("doc_id", "img_w", "img_h", "channel_sum", "channel_max")
   }
 
+  /** REAL-codec decode + RESIZE: the remaining multimodal verb after
+    * decode (m3/m4/m5), feature-extract (m3–m6), and frame-sample (m6) —
+    * a nearest-neighbor 2× downsample of the DECODED raster (out pixel
+    * (x,y) = source pixel (2x,2y)), then channel stats over the resized
+    * image only. Unlike m3's order-independent features this is
+    * POSITIONAL: the oracle must replay which payload bytes each kept
+    * pixel came from, which pins down BMP's bottom-up row order (image
+    * row y = payload row h−1−y) and the 48-byte row stride — so a
+    * hash-match proves the codec's geometry, not just its byte totals.
+    * Channel sums per pixel are BGR-order-independent.
+    */
+  def resizeImages(records: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodeBmp(payload)))
+        val outW = img.getWidth / 2
+        val outH = (img.getHeight + 1) / 2
+        var sum = 0L; var mx = 0
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            val rgb = img.getRGB(2 * x, 2 * y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val bb = rgb & 0xff
+            sum += r + g + bb
+            if (r > mx) mx = r
+            if (g > mx) mx = g
+            if (bb > mx) mx = bb
+            x += 1
+          }
+          y += 1
+        }
+        (id, outW.toLong, outH.toLong, sum, mx.toLong)
+      }
+    }.toDF("doc_id", "out_w", "out_h", "resized_sum", "resized_max")
+  }
+
   /** Wrap payload bytes as an 8-bit unsigned PCM mono WAV (44-byte RIFF
     * header + samples verbatim) — the audio sibling of [[encodeBmp]].
     */

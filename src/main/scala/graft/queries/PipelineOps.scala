@@ -1326,6 +1326,47 @@ object PipelineOps {
       |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS channel_max
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== m7: REAL-codec image decode + nearest-neighbor resize ============
+
+  /** The resize step of the multimodal quartet (decode / feature-extract /
+    * resize / frame-sample): 2× nearest-neighbor downsample of the decoded
+    * BMP raster, stats over the KEPT pixels only. The oracle replays the
+    * exact payload-byte geometry of every kept pixel (bottom-up rows,
+    * 48-byte stride, 3 bytes per pixel, zero tail padding) — a positional
+    * check m3's order-independent sums cannot perform.
+    */
+  def m7ImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Media.resizeImages(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+      .orderBy(col("doc_id"))
+  }
+
+  // kept-pixel byte indexes: image row y <- payload row (h-1-2y), pixel
+  // x_out <- byte base 48*row + 6*x_out (+0..2); bytes past strlen are the
+  // encoder's zero padding
+  val m7Sql: String =
+    """SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+      |       CAST(COALESCE(list_aggregate(list_transform(idxs,
+      |            i -> CASE WHEN i < len THEN ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) ELSE 0 END),
+      |            'sum'), 0) AS BIGINT) AS resized_sum,
+      |       CAST(COALESCE(list_aggregate(list_transform(idxs,
+      |            i -> CASE WHEN i < len THEN ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) ELSE 0 END),
+      |            'max'), 0) AS BIGINT) AS resized_max
+      |FROM (
+      |  SELECT doc_id, text, strlen(text) AS len,
+      |         (GREATEST(1, (strlen(text) + 47) // 48) + 1) // 2 AS out_h,
+      |         flatten(list_transform(
+      |           range(0, (GREATEST(1, (strlen(text) + 47) // 48) + 1) // 2),
+      |           y -> flatten(list_transform(range(0, 8),
+      |             x -> list_transform(range(0, 3),
+      |               k -> (GREATEST(1, (strlen(text) + 47) // 48) - 1 - 2 * y) * 48
+      |                    + 6 * x + k))))) AS idxs
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ===== m4: REAL-codec audio decode (JDK javax.sound WAV path) ===========
 
   /** Audio sibling of m3: fixture bytes wrapped as 8-bit unsigned PCM WAV
@@ -1851,6 +1892,7 @@ object PipelineOps {
     "m1_byte_features"  -> (m1ByteFeatures _),
     "m2_byte_frames"    -> (m2ByteFrames _),
     "m3_image_decode"    -> (m3ImageDecode _),
+    "m7_image_resize"    -> (m7ImageResize _),
     "m4_audio_decode"    -> (m4AudioDecode _),
     "m5_png_decode"      -> (m5PngDecode _),
     "m6_gif_frames"      -> (m6GifFrames _),
@@ -1888,6 +1930,7 @@ object PipelineOps {
     "m1_byte_features"  -> m1Sql,
     "m2_byte_frames"    -> m2Sql,
     "m3_image_decode"    -> m3Sql,
+    "m7_image_resize"    -> m7Sql,
     "m4_audio_decode"    -> m4Sql,
     "m5_png_decode"      -> m5Sql,
     "m6_gif_frames"      -> m6Sql,

@@ -107,6 +107,23 @@ class Round5Spec extends SparkSpec {
     orders.unpersist()
   }
 
+  test("m7: resize geometry is consistent with m3's full decode") {
+    val full = SparkEntry.queries("m3_image_decode")(spark, sf0001)
+      .select(col("doc_id"), col("img_h"), col("channel_sum"), col("channel_max"))
+    val resized = SparkEntry.queries("m7_image_resize")(spark, sf0001)
+    val joined = full.join(resized, "doc_id").cache()
+    // halved dims; a subset of pixels can never out-sum or out-max the whole
+    val bad = joined.filter(
+      col("out_w") =!= 8 ||
+        col("out_h") =!= expr("(img_h + 1) div 2") ||
+        col("resized_sum") > col("channel_sum") ||
+        col("resized_max") > col("channel_max"))
+    assert(bad.count() === 0L)
+    // the downsample keeps real content, not just padding
+    assert(joined.filter(col("resized_sum") > 0).count() > 0)
+    joined.unpersist()
+  }
+
   test("q2g: bucket group counts account for exactly 32x the distinct line keys") {
     val df = SparkEntry.queries("q2g_substr_agg")(spark, sf0001).cache()
     val distinctKeys = Tables.lineitem(spark, sf0001)
