@@ -21,7 +21,7 @@ object ClusterProbe {
   private val Jar = "target/scala-2.13/benchmarkspark_2.13-0.1.0.jar"
 
   def main(args: Array[String]): Unit = {
-    val sf = "/root/testdata/sf0.01"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val keys =
       if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
       else if (args.nonEmpty) args.toSeq

@@ -126,10 +126,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val emptySeq = Literal.create(Array.empty[Long], ArrayType(LongType, false))
       val maxSpan = try conf.getConfString(MaxSpanFlag, DefaultMaxSpan.toString)
         .toLong catch { case _: NumberFormatException => DefaultMaxSpan }
-      val span = Subtract(hiB, loB)
-      // span < 0 under loB <= hiB means the subtraction itself wrapped
-      // (bounds straddling the long range) — route that to the error too,
-      // not past the check into Sequence's own failure
+      // TryEval: with ANSI on (the Spark 4 default) a bounds pair
+      // straddling the long range would make the subtraction ITSELF throw
+      // the generic overflow error before our check runs — TryEval turns
+      // that into null, the null predicate routes to the false branch, and
+      // the user still gets the actionable over-span message. With ANSI
+      // off the wrapped value is negative and the >= 0 check catches it.
+      val span = TryEval(Subtract(hiB, loB))
       val spanOk = And(GreaterThanOrEqual(span, Literal(0L)),
         LessThanOrEqual(span, Literal(maxSpan)))
       val overspan = Cast(new RaiseError(Concat(Seq(
