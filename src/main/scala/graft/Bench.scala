@@ -154,7 +154,21 @@ object Bench {
         }.mkString("{", ",", "}")
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}""")
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
+    println(fullRecord)
+    // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the
+    // driver's artifact keeps only a stdout tail, so per-key timings were
+    // surviving only in round-notes prose. Best-effort — a read-only
+    // checkout must not fail the bench.
+    try {
+      val docs = new java.io.File("docs")
+      if (docs.isDirectory) {
+        val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+        java.nio.file.Files.write(
+          new java.io.File(docs, s"bench_full_$tag.json").toPath,
+          (fullRecord + "\n").getBytes("UTF-8"))
+      }
+    } catch { case _: java.io.IOException => }
     // Compact headline printed LAST: the driver's artifact keeps only a ~2 KB
     // tail of stdout, which truncates the full record above once the suite is
     // large. This second line always fits, so total/failed/slowest survive in

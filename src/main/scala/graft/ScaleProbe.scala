@@ -1,16 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-/** Scaling probe: replicate lineitem Nx into /tmp and time the headline
-  * scan/agg/join plans at 1x vs Nx to demonstrate near-linear scaling.
+/** Scaling probe: replicate lineitem Nx into the scratch dir (same
+  * `spark.graft.scratchDir` resolution the operators use; override with
+  * SPARK_GRAFT_SCRATCH) and time the headline scan/agg/join plans at 1x vs
+  * Nx to demonstrate near-linear scaling.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(32)
-    // `spill` mode strangles the execution-memory pool (pair with
-    // SPARK_DRIVER_MEM=1g so the heap itself is small): ~4% of a ~1.5 GiB
-    // heap shared by 8 threads forces the hash-agg/sort paths to spill,
-    // which is the point — prove graceful degradation, not avoid it.
+    // `spill` mode strangles the execution-memory pool; pair with a small
+    // SPARK_DRIVER_MEM so the heap itself is modest. The authoritative
+    // invocation is whatever docs/spill_probe.json records in its `heap` /
+    // `memory_fraction` fields (last recorded: 3g / 0.02 — q2g's spill
+    // merge buffers live OUTSIDE the unified pool and OOM below ~2g).
+    // The squeeze is the point — prove graceful degradation, not avoid it.
     val isSpill = args.contains("spill")
     val spark = SparkSession.builder()
       // plain local[N] is maxFailures=1 (any task failure is fatal) — the
@@ -29,7 +33,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_scale_v4_$n" // v4: events now replicate too
+    // probe corpora follow the operators' conf-driven scratch resolution —
+    // a probe must not fill a driver disk the operators were told to avoid
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", Scratch.dir(spark))
+    val big = s"$scratch/graft_scale_v4_$n" // v4: events now replicate too
 
     // Spill probe (`spill` arg): run the group-cardinality stress keys and
     // the prefix-filter join under a starved execution-memory pool, record
@@ -293,7 +300,12 @@ object ScaleProbe {
     // of a replica pulled unrelated docs' fingerprints together and
     // inflated within-replica pair density ~8×.)
     if (args.contains("cascade")) {
-      val dir = s"/tmp/graft_scale_cascade3_$n"
+      // the per-replica Caesar rotation has period 26: replicas i and i+26
+      // would carry byte-identical text under different doc_ids, creating
+      // cross-replica near-dup pairs that silently break the documented
+      // exactly-linear pair-count invariant — refuse rather than mislead
+      require(n <= 26, s"cascade mode supports n <= 26 (rotation period); got $n")
+      val dir = s"$scratch/graft_scale_cascade3_$n"
       val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
       if (!done2.exists()) {
         val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val Flag = "spark.graft.rangeJoin.bucket"
 
-  /** Per-row ceiling on how many buckets one interval may explode into.
-    * An interval row whose bucket span exceeds this raises a CLEAR error
+  /** Per-row ceiling on how many buckets one interval may explode into
+    * (count, endpoints inclusive — the guard admits span + 1 <= maxSpan).
+    * An interval row that would materialize more raises a CLEAR error
     * naming both confs (instead of `Sequence`'s opaque max-array failure
     * deep in execution, or — worse — a silent drop): a span that large
     * means the bucket width is mis-tuned for the data (e.g. an open-ended
@@ -133,11 +134,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // the user still gets the actionable over-span message. With ANSI
       // off the wrapped value is negative and the >= 0 check catches it.
       val span = TryEval(Subtract(hiB, loB))
+      // the sequence materializes span + 1 buckets (both endpoints
+      // inclusive), so admit strictly-less-than: spanOk ⇒ bucket count
+      // span + 1 <= maxSpan, matching the message and the flag's meaning
       val spanOk = And(GreaterThanOrEqual(span, Literal(0L)),
-        LessThanOrEqual(span, Literal(maxSpan)))
+        LessThan(span, Literal(maxSpan)))
+      // Coalesce: when Subtract itself overflowed, TryEval made span null,
+      // which would null the Cast, null the Concat, and reduce raise_error
+      // to a generic message — the fallback literal keeps the actionable
+      // conf-naming text on that route too. The +1 (bucket count, not
+      // index span) is TryEval'd for the span == Long.MaxValue edge.
+      val bucketCount = Coalesce(Seq(
+        Cast(TryEval(Add(span, Literal(1L))),
+          org.apache.spark.sql.types.StringType),
+        Literal("(overflowed)")))
       val overspan = Cast(new RaiseError(Concat(Seq(
-        Literal("graft range-join rewrite: interval spans "),
-        Cast(span, org.apache.spark.sql.types.StringType),
+        Literal("graft range-join rewrite: interval materializes "),
+        bucketCount,
         Literal(s" buckets > $MaxSpanFlag=$maxSpan (open-ended sentinel " +
           s"bound, or $Flag width mis-tuned for the data); raise the " +
           "width, pre-filter sentinel rows, or unset the flag for the " +

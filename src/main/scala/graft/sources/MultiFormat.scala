@@ -481,8 +481,16 @@ object MultiFormat {
     val path = s"${graft.Scratch.dir(spark)}/graft_src10_deflate_$tag"
     ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
       graft.Tables.documents(spark, d)
-        .select(concat_ws("\t",
-          col("doc_id"), col("lang"), col("text")).as("value"))
+        // concat_ws silently SKIPS null inputs, which would shift fields
+        // and corrupt the positional split at scan time — fail loudly at
+        // write time instead (the fixture guarantees non-null, tab-free
+        // values; this guard is for any other corpus routed through here)
+        .select(when(col("lang").isNotNull && col("text").isNotNull,
+            concat_ws("\t", col("doc_id"), col("lang"), col("text")))
+          .otherwise(raise_error(concat(
+            lit("src10: null lang/text in doc_id="), col("doc_id"),
+            lit(" cannot round-trip through delimited text"))))
+          .as("value"))
         .write.mode(SaveMode.Overwrite)
         .option("compression", "deflate").text(path)
     }

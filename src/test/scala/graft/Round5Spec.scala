@@ -36,8 +36,9 @@ class Round5Spec extends SparkSpec {
 
   test("spill probe: pressured-run fingerprints match an unpressured session; spill was real") {
     // docs/spill_probe.json is written by `ScaleProbe spill` under a
-    // starved memory pool (SPARK_DRIVER_MEM=3g, spark.memory.fraction
-    // 0.02); this spec recomputes each key's order-independent result
+    // starved memory pool — the authoritative heap / memory-fraction for
+    // that run are the json's own `heap` and `memory_fraction` fields;
+    // this spec recomputes each key's order-independent result
     // fingerprint on the NORMAL test session and asserts bit-equality —
     // spilling must never change results — plus that the probe really
     // did spill (the graceful-degradation axis a 100 TB run lives on).

