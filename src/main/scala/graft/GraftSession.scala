@@ -41,6 +41,7 @@ object GraftSession {
     SortedIntersectCount.register(spark)
     ZOrderCode.register(spark)
     TokenizePos.register(spark)
+    SubwordPieces.register(spark)
     TopKTokensAgg.register(spark)
     WeightedSum.register(spark)
     VectorSumLong.register(spark)

@@ -80,6 +80,51 @@ object CorpusOps {
        |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
        |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
 
+  // ===== x23b: packing by TRUE subword token budgets ======================
+
+  /** x23's twin with the budget in SUBWORD tokens (graft_subword_pieces
+    * counts) instead of whitespace words — the accounting an actual
+    * training-shard packer uses; subword counts run ~3× the word counts on
+    * this corpus, so the bin geometry genuinely changes. Same per-shard
+    * window discipline (no global sort), same budget constant. Oracle:
+    * x23's structure with per-doc counts from the shared greedy
+    * longest-match recursion (PipelineOps.subwordSqlBase).
+    */
+  def x23bPackSubword(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    graft.functions.SubwordPieces.register(s)
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(PackShards))
+        .cast("long").as("shard"),
+      size(expr("graft_subword_pieces(text)")).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_toks) div $PackBudget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val x23bSql: String =
+    s"""${PipelineOps.subwordSqlBase},
+       |counts AS (SELECT w, count(*) AS np FROM dp GROUP BY w),
+       |dtok AS (SELECT doc_id, CAST(sum(c.np) AS BIGINT) AS n_toks
+       |         FROM words JOIN counts c USING (w) GROUP BY doc_id),
+       |t AS (
+       |  SELECT doc_id,
+       |         CAST(${polyhashSqlOf("doc_id")} % $PackShards AS BIGINT) AS shard,
+       |         n_toks
+       |  FROM dtok),
+       |c AS (
+       |  SELECT shard, n_toks,
+       |         SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM t)
+       |SELECT shard, CAST((cum - n_toks) // $PackBudget AS BIGINT) AS seq_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+       |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
   // ===== x24: temperature-weighted mixture sampling =======================
 
   /** Data-mixture reweighting with a temperature exponent (alpha = 0.5,
@@ -365,6 +410,7 @@ object CorpusOps {
     "x30_corpus_upsert"  -> (x30CorpusUpsert _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
     "x23_pack_shards"    -> (x23PackShards _),
+    "x23b_pack_subword"  -> (x23bPackSubword _),
     "x24_mixture_sample" -> (x24MixtureSample _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
@@ -375,6 +421,7 @@ object CorpusOps {
     "x30_corpus_upsert"  -> x30Sql,
     "p1_curation_pipeline" -> p1Sql,
     "x23_pack_shards"    -> x23Sql,
+    "x23b_pack_subword"  -> x23bSql,
     "x24_mixture_sample" -> x24Sql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql

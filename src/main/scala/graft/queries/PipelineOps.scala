@@ -1860,7 +1860,122 @@ object PipelineOps {
       |      * 1000000 + 0.5) AS BIGINT) AS max_err_micro
       |FROM q WHERE maxabs > 0 ORDER BY vec_id""".stripMargin
 
+  // ===== x38: subword tokenization (true token accounting) ===============
+
+  /** Per-document subword token counts next to the whitespace counts —
+    * the honest accounting a training pipeline budgets by (r5 verdict
+    * next-#1). Tokenization is [[graft.functions.SubwordVocab]]'s greedy
+    * longest-match over the committed literal vocab; pure map-side (the
+    * custom expression stays inside codegen), one row per document.
+    *
+    * The DuckDB oracle replays greedy longest-match LITERALLY: a recursive
+    * CTE walks character positions, at each step picking the longest
+    * matching VALUES-list piece (the VALUES are generated from the same
+    * Scala Seq — one source of truth), with a single-character fallback.
+    * It tokenizes each DISTINCT word once and joins counts back, so the
+    * oracle stays cheap at any corpus size.
+    */
+  def x38SubwordTokens(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SubwordPieces.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(expr("graft_subword_pieces(text)")).cast("long").as("n_subword"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle prelude: vocab VALUES + per-distinct-word greedy
+    * longest-match recursion. `dp` = (word, char position, piece).
+    */
+  private[queries] def subwordSqlBase: String =
+    s"""WITH RECURSIVE vocab(piece) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.SubwordVocab.sqlValues}) v(p)),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |tok(w, pos, piece) AS (
+       |  SELECT w, 1, CAST(NULL AS VARCHAR) FROM dw
+       |  UNION ALL
+       |  SELECT t.w, t.pos + len(p.piece), p.piece
+       |  FROM tok t, LATERAL (SELECT coalesce(
+       |      (SELECT v.piece FROM vocab v
+       |        WHERE v.piece = substr(t.w, t.pos, len(v.piece))
+       |        ORDER BY len(v.piece) DESC LIMIT 1),
+       |      substr(t.w, t.pos, 1)) AS piece) p
+       |  WHERE t.pos <= len(t.w)),
+       |dp AS (SELECT w, pos, piece FROM tok WHERE piece IS NOT NULL)""".stripMargin
+
+  val x38Sql: String =
+    s"""$subwordSqlBase,
+       |counts AS (SELECT w, count(*) AS np FROM dp GROUP BY w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |       CAST(sum(c.np) AS BIGINT) AS n_subword
+       |FROM words JOIN counts c USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus-wide piece frequency, top 20 — the sanity report a tokenizer
+    * owner reads (which pieces carry the corpus). Deterministic total
+    * order: count desc, then piece.
+    */
+  def x38bTopPieces(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SubwordPieces.register(s)
+    Tables.documents(s, d)
+      .select(explode(expr("graft_subword_pieces(text)")).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(20)
+  }
+
+  val x38bSql: String =
+    s"""$subwordSqlBase,
+       |wc AS (SELECT w, count(*) AS nw FROM words GROUP BY w)
+       |SELECT dp.piece, CAST(sum(wc.nw) AS BIGINT) AS n
+       |FROM dp JOIN wc USING (w)
+       |GROUP BY dp.piece ORDER BY n DESC, piece LIMIT 20""".stripMargin
+
+  /** x35's chunking twin with TRUE token windows: fixed-size windows with
+    * overlap over the SUBWORD piece sequence instead of whitespace words —
+    * the geometry an actual context-length budget produces. Same
+    * size/stride/fingerprint discipline as x35; still pure map-side.
+    */
+  def x35bChunkSubword(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    graft.functions.SubwordPieces.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_subword_pieces(text)").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, n, $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $ChunkStride").cast("long").as("chunk_id"),
+        expr(s"slice(toks, start, $ChunkSize)").as("w"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        expr("graft_polyhash(array_join(w, ' '))").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val x35bSql: String =
+    s"""$subwordSqlBase,
+       |docp AS (
+       |  SELECT wo.doc_id, list(dp.piece ORDER BY wo.ord, dp.pos) AS t
+       |  FROM (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS ord,
+       |               unnest(string_split(text, ' ')) AS w FROM documents) wo
+       |  JOIN dp ON wo.w = dp.w GROUP BY wo.doc_id)
+       |SELECT doc_id,
+       |       CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |       CAST(len(t[start:start + ${ChunkSize - 1}]) AS BIGINT) AS n_tok,
+       |       list_reduce(list_transform(regexp_split_to_array(
+       |         array_to_string(t[start:start + ${ChunkSize - 1}], ' '), ''),
+       |         c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS chunk_hash
+       |FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, $ChunkStride)) AS start
+       |      FROM docp WHERE len(t) >= 1)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_subword_tokens" -> (x38SubwordTokens _),
+    "x38b_top_pieces"    -> (x38bTopPieces _),
+    "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
     "x36_cluster_hist"   -> (x36ClusterHist _),
@@ -1905,6 +2020,9 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x38_subword_tokens" -> x38Sql,
+    "x38b_top_pieces"    -> x38bSql,
+    "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
     "x1b_knn"            -> x1bSql,
     "x2_dedup_exact"     -> x2Sql,

@@ -34,6 +34,44 @@ class Round6Spec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("subword tokenizer: lossless segmentation, greedy longest-match, honest expansion") {
+    import graft.functions.SubwordVocab
+    // vocab sanity: distinct, and every lowercase letter present so greedy
+    // matching can never stall
+    assert(SubwordVocab.pieces.distinct.size == SubwordVocab.pieces.size)
+    assert(('a' to 'z').forall(c => SubwordVocab.pieces.contains(c.toString)))
+    def tok(w: String): Seq[String] = {
+      val out = new java.util.ArrayList[String]()
+      SubwordVocab.tokenizeWord(w, out)
+      scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq
+    }
+    // segmentation is lossless: pieces concatenate back to the word
+    for (w <- Seq("the", "window", "customer", "stream", "zzqx", "a", ""))
+      assert(tok(w).mkString == w, s"lossy segmentation of '$w'")
+    // greedy longest-match: a 4-gram in vocab wins over its prefixes
+    assert(tok("that") == Seq("that"))
+    assert(tok("thata") == Seq("that", "a"))
+    // unknown characters fall back to single-char pieces, never throw
+    assert(tok("x9!") == Seq("x", "9", "!"))
+
+    val counts = SparkEntry.queries("x38_subword_tokens")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(counts.forall { case (ws, sub) => sub >= ws },
+      "a subword count fell below its whitespace count")
+    val ratio = counts.map(_._2).sum.toDouble / counts.map(_._1).sum
+    assert(ratio > 1.5 && ratio < 4.0,
+      s"expansion ratio $ratio outside the honest band — vocab drifted")
+  }
+
+  test("x23b packs by the same subword totals x38 reports") {
+    val subTotal = SparkEntry.queries("x38_subword_tokens")(spark, sf0001)
+      .agg(sum(col("n_subword"))).collect()(0).getLong(0)
+    val packTotal = SparkEntry.queries("x23b_pack_subword")(spark, sf0001)
+      .agg(sum(col("sum_toks"))).collect()(0).getLong(0)
+    assert(subTotal === packTotal,
+      "packing budgets and token accounting disagree on the corpus total")
+  }
+
   test("Scratch.dir default derives from the warehouse dir, not a literal") {
     val had = spark.conf.getOption("spark.graft.scratchDir")
     try {
