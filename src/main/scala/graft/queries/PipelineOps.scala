@@ -549,7 +549,11 @@ object PipelineOps {
     * variant, proving the parameter is wired end-to-end (expression,
     * plan, and oracle all take it).
     */
-  private def annLsh(planes: Int)(s: SparkSession, d: String): DataFrame = {
+  /** Bucket-collision candidate pairs (the blocking stage alone, no top-k
+    * reporting cut) — shared by the declared x8 keys and x40's recall
+    * measurement, which must score the candidate SET the blocking admits.
+    */
+  private def annLshPairs(planes: Int)(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
     val sig = Tables.embeddings(s, d)
@@ -559,9 +563,12 @@ object PipelineOps {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
+  }
+
+  private def annLsh(planes: Int)(s: SparkSession, d: String): DataFrame =
+    annLshPairs(planes)(s, d)
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
-  }
 
   def x8AnnLsh(s: SparkSession, d: String): DataFrame = annLsh(8)(s, d)
   def x8bAnnLsh6(s: SparkSession, d: String): DataFrame = annLsh(6)(s, d)
@@ -574,7 +581,7 @@ object PipelineOps {
     * each table. The union is a distinct over (pair, sim) — sim is
     * deterministic, so the dedup key is exact.
     */
-  def x8cAnnLshMulti(s: SparkSession, d: String): DataFrame = {
+  private def x8cPairs(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
     // ONE self-join keyed (table, bucket) instead of one join per table:
@@ -597,9 +604,12 @@ object PipelineOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
       .distinct()
+  }
+
+  def x8cAnnLshMulti(s: SparkSession, d: String): DataFrame =
+    x8cPairs(s, d)
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
-  }
 
   val x8cSql: String = {
     def bucketOf(planes: Int): String = (0 until planes).map { j =>
@@ -1510,9 +1520,13 @@ object PipelineOps {
       |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL SELECT doc_id + 20000000, text || ' extra' FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
-  def x27SimhashNeardup(s: SparkSession, d: String): DataFrame = {
-    StringPolyHash.register(s)
-    val corpus = twinCorpus(s, d)
+  /** 31-bit shingle simhash of a (doc_id, text) corpus — one row per doc
+    * with >= 3 tokens. Shared by x27 (twin-augmented self-join) and x39
+    * (incremental index): the fingerprint definition MUST be identical on
+    * both paths or an incremental refresh would disagree with a full
+    * recompute.
+    */
+  private def simhashFingerprints(corpus: DataFrame): DataFrame = {
     val toks = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1525,12 +1539,20 @@ object PipelineOps {
       sum(expr(s"CASE WHEN (shiftright(hp, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val shExpr = (0 until SimBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
-    val sh = toks.groupBy(col("doc_id"))
+    toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(shExpr).as("sh"))
-    val bands = sh.select(col("doc_id"), col("sh"), expr(
+  }
+
+  /** The lossless 4-band cut (8+8+8+7 bits) of a simhash column. */
+  private def simhashBands(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("sh"), expr(
       "stack(4, 0, sh & 255L, 1, shiftright(sh, 8) & 255L, " +
         "2, shiftright(sh, 16) & 255L, 3, shiftright(sh, 24) & 127L) as (band, bv)"))
+
+  def x27SimhashNeardup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val bands = simhashBands(simhashFingerprints(twinCorpus(s, d)))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1543,14 +1565,18 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val x27Sql: String = {
+  /** The simhash CTE chain (corpus → toks → h → b → sh) over a given
+    * corpus SQL — the literal DuckDB replay of [[simhashFingerprints]],
+    * shared by the x27 and x39 oracles.
+    */
+  private def simhashCtesSql(corpusSql: String): String = {
     val sums = (0 until SimBits)
       .map(b => s"SUM(CASE WHEN (hp >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(", ")
     val shSql = (0 until SimBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH corpus AS (
-       |$x27CorpusSql),
+    s"""corpus AS (
+       |$corpusSql),
        |toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -1561,13 +1587,16 @@ object PipelineOps {
        |       (a, b) -> (a * 31 + b) % 1000003) * 40503::BIGINT + 11) % $P31 AS hp
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
        |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-       |sh AS (SELECT doc_id, $shSql AS sh FROM b)
+       |sh AS (SELECT doc_id, $shSql AS sh FROM b)""".stripMargin
+  }
+
+  val x27Sql: String =
+    s"""WITH ${simhashCtesSql(x27CorpusSql)}
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |       CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.sh, y.sh)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ===== x34: edit-distance verification cascade =========================
 
@@ -1604,6 +1633,214 @@ object PipelineOps {
        |JOIN corpus b ON b.doc_id = p.doc_b
        |WHERE levenshtein(a.text, b.text) * 5 <= GREATEST(length(a.text), length(b.text))
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ===== x39: incremental dedup against a materialized index =============
+
+  /** Incremental near-dup dedup — the production refresh shape (r5 verdict
+    * next-#2): the standing corpus's fingerprint index is MATERIALIZED
+    * once (sharded parquet under `spark.graft.scratchDir`, data-stamped à
+    * la [[x15SharedLabels]]); each new batch is fingerprinted ALONE,
+    * deduped against the index via the banded equi-join, deduped within
+    * itself, and its survivors are what a MERGE (x30 shape) would insert.
+    * Per-refresh fingerprint cost is O(batch), not O(corpus) — at 100 TB
+    * re-fingerprinting the standing corpus per crawl is the difference
+    * between a nightly job and an impossible one. The index build is a
+    * PUBLISH step: one action per corpus snapshot (the stamp invalidates
+    * on testdata regeneration); later builder invocations just read the
+    * stamp and are action-free.
+    *
+    * Base/batch split is synthesized deterministically: base = doc_id % 5
+    * != 0 (the standing 80%), batch = doc_id % 5 == 0 (the "new crawl")
+    * plus cross-boundary twins both engines derive identically — an exact
+    * copy (+4e7) of base docs with doc_id % 7 == 4 (guaranteed index hit)
+    * and a one-token-appended copy (+3e7) of % 7 == 3 (perturbed, may or
+    * may not stay in the hamming ball). Fingerprints are x27's 31-bit
+    * shingle simhash with the same lossless 4-band blocking, so the
+    * DuckDB oracle replays the whole decision ALL-PAIRS — exact agreement
+    * proves the banded index join drops nothing.
+    *
+    * Within-batch rule: first-writer-wins PAIRWISE (a batch doc is
+    * counted against every lower-id batch doc in its hamming ball,
+    * whether or not that doc itself survives) — deterministic and
+    * non-iterative by design; transitive-closure dedup is x15's job.
+    * Output: one row per batch doc with its base/batch dup counts and the
+    * insert/drop decision.
+    */
+  def x39IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxPath = s"${graft.Scratch.dir(s)}/graft_x39_index_$tag"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/documents.parquet"), idxPath) {
+      // src5's sharded-sink shape: the published index is a keyed layout
+      // a later refresh (or a MERGE of new fingerprints) appends into
+      simhashFingerprints(baseDocs)
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(idxPath)
+    }
+    // explicit schema: the published layout is ours, so inference (which
+    // costs a footer-reading job per builder call) has nothing to discover
+    val index = s.read.schema("doc_id LONG, sh LONG").parquet(idxPath)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(baseDocs.filter(col("doc_id") % 7 === 4)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      .unionByName(baseDocs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+    // fingerprint ONLY the batch; the base side of both joins below is the
+    // published index scan (2 columns), never a recompute
+    val batchFp = simhashFingerprints(batchDocs).persist()
+    val bBands = simhashBands(batchFp)
+    val iBands = simhashBands(index)
+    val baseDups = bBands.as("n").join(iBands.as("o"),
+        col("n.band") === col("o.band") && col("n.bv") === col("o.bv"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup"),
+        col("n.sh").as("sha"), col("o.sh").as("shb"))
+      .distinct()
+      .filter(expr("bit_count(sha ^ shb)") <= HammingMax)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_base_dups"))
+    val batchDups = bBands.as("n").join(bBands.as("o"),
+        col("n.band") === col("o.band") && col("n.bv") === col("o.bv") &&
+          col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup"),
+        col("n.sh").as("sha"), col("o.sh").as("shb"))
+      .distinct()
+      .filter(expr("bit_count(sha ^ shb)") <= HammingMax)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch_dups"))
+    val out = batchFp.select(col("doc_id"))
+      .join(baseDups, Seq("doc_id"), "left")
+      .join(batchDups, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_base_dups", "n_batch_dups"))
+      .select(col("doc_id"), col("n_base_dups"), col("n_batch_dups"),
+        when(col("n_base_dups") === 0 && col("n_batch_dups") === 0,
+          lit("inserted")).otherwise(lit("dropped")).as("status"))
+      .orderBy(col("doc_id"))
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(batchFp))
+    out
+  }
+
+  private val x39CorpusSql: String =
+    """  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 40000000, text FROM documents
+      |    WHERE doc_id % 5 <> 0 AND doc_id % 7 = 4
+      |  UNION ALL SELECT doc_id + 30000000, text || ' extra' FROM documents
+      |    WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3""".stripMargin
+
+  val x39Sql: String =
+    s"""WITH ${simhashCtesSql(x39CorpusSql)},
+       |base AS (SELECT * FROM sh WHERE doc_id < 30000000 AND doc_id % 5 <> 0),
+       |batch AS (SELECT * FROM sh WHERE doc_id >= 30000000 OR doc_id % 5 = 0),
+       |bd AS (SELECT n.doc_id, COUNT(*) AS n_base_dups
+       |       FROM batch n JOIN base o
+       |         ON bit_count(xor(n.sh, o.sh)) <= $HammingMax
+       |       GROUP BY n.doc_id),
+       |nd AS (SELECT n.doc_id, COUNT(*) AS n_batch_dups
+       |       FROM batch n JOIN batch o
+       |         ON o.doc_id < n.doc_id
+       |        AND bit_count(xor(n.sh, o.sh)) <= $HammingMax
+       |       GROUP BY n.doc_id)
+       |SELECT b.doc_id,
+       |       CAST(COALESCE(bd.n_base_dups, 0) AS BIGINT) AS n_base_dups,
+       |       CAST(COALESCE(nd.n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
+       |       CASE WHEN COALESCE(bd.n_base_dups, 0) = 0
+       |             AND COALESCE(nd.n_batch_dups, 0) = 0
+       |            THEN 'inserted' ELSE 'dropped' END AS status
+       |FROM batch b
+       |LEFT JOIN bd ON bd.doc_id = b.doc_id
+       |LEFT JOIN nd ON nd.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ===== x40: ANN recall vs the exact ground truth =======================
+
+  /** Declared, oracle-checked recall of the ANN blocking stages (r5
+    * verdict next-#3): what fraction of x1's EXACT global top-10 cosine
+    * pairs does each LSH candidate set admit? Scored per method against
+    * the full bucket-collision candidate set (the blocking decision — the
+    * top-20 cut on the declared x8 keys is a reporting artifact), so this
+    * is the number that justifies "ANN is the 100 TB path": a pair the
+    * blocking never surfaces can never be verified downstream. Both sides
+    * are deterministic, so recall is a hash-checkable integer — the DuckDB
+    * oracle replays the identical set algebra all-pairs.
+    *
+    * Expected shape (and why it is evidence, not decoration): lsh6's
+    * 64-bucket table admits more collisions than lsh8's 256, and the
+    * two-table multi index dominates single-table lsh8 by construction
+    * (its candidate set is a superset) — the declared row order makes
+    * those relationships visible in the artifact.
+    */
+  def x40AnnRecall(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    graft.functions.VectorLshBucket.register(s)
+    // exact global top-10 (the fused-operator key), consumed twice below
+    // (hit join + denominator) — 10 rows, broadcast both times
+    val exact = x1CosineTopk(s, d).select(col("vec_a"), col("vec_b")).persist()
+    val pairsOnly = (df: DataFrame) => df.select(col("vec_a"), col("vec_b"))
+    val tagged = pairsOnly(annLshPairs(8)(s, d)).withColumn("method", lit("lsh8"))
+      .unionByName(pairsOnly(annLshPairs(6)(s, d)).withColumn("method", lit("lsh6")))
+      .unionByName(pairsOnly(x8cPairs(s, d)).withColumn("method", lit("multi")))
+    val hits = tagged.join(broadcast(exact), Seq("vec_a", "vec_b"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hit"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    // literal method table, so a method with zero hits still reports a row
+    val methods = s.range(1).select(
+      explode(array(lit("lsh8"), lit("lsh6"), lit("multi"))).as("method"))
+    val out = methods
+      .join(broadcast(hits), Seq("method"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .join(broadcast(nEx))
+      .select(col("method"), col("n_exact"), col("n_hit"),
+        expr("(100 * n_hit) div n_exact").as("recall_pct"))
+      .orderBy(col("method"))
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(exact))
+    out
+  }
+
+  val x40Sql: String = {
+    s"""WITH exact AS (SELECT vec_a, vec_b FROM (
+       |${x1Sql.replace("\n", "\n|")})),
+       |sigs AS (
+       |  SELECT vec_id, $bucketOf8 AS b8, ($bucketOf6) AS b6,
+       |         ($bucketOf14) // 256 AS b14 FROM embeddings),
+       |c8 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |       FROM sigs a JOIN sigs b ON a.b8 = b.b8 AND a.vec_id < b.vec_id),
+       |c6 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |       FROM sigs a JOIN sigs b ON a.b6 = b.b6 AND a.vec_id < b.vec_id),
+       |cm AS (SELECT vec_a, vec_b FROM c8
+       |       UNION
+       |       SELECT a.vec_id, b.vec_id
+       |       FROM sigs a JOIN sigs b ON a.b14 = b.b14 AND a.vec_id < b.vec_id),
+       |tagged AS (
+       |  SELECT 'lsh8' AS method, vec_a, vec_b FROM c8
+       |  UNION ALL SELECT 'lsh6', vec_a, vec_b FROM c6
+       |  UNION ALL SELECT 'multi', vec_a, vec_b FROM cm),
+       |hits AS (
+       |  SELECT method, COUNT(*) AS n_hit
+       |  FROM tagged t JOIN exact e
+       |    ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b
+       |  GROUP BY method),
+       |methods(method) AS (VALUES ('lsh8'), ('lsh6'), ('multi'))
+       |SELECT m.method,
+       |       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(100 * COALESCE(h.n_hit, 0)
+       |            // (SELECT COUNT(*) FROM exact) AS BIGINT) AS recall_pct
+       |FROM methods m LEFT JOIN hits h ON h.method = m.method
+       |ORDER BY m.method""".stripMargin
+  }
+
+  // the three bucket formulas x40's oracle reuses (identical arithmetic to
+  // the x8 family oracles — same projSql planes)
+  private def bucketOf8: String = (0 until 8).map { j =>
+    s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+  private def bucketOf6: String = (0 until 6).map { j =>
+    s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+  private def bucketOf14: String = (0 until 14).map { j =>
+    s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
 
   // ===== x29: hashed linear quality classifier ===========================
 
@@ -1974,6 +2211,8 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x38_subword_tokens" -> (x38SubwordTokens _),
+    "x39_incremental_dedup" -> (x39IncrementalDedup _),
+    "x40_ann_recall"     -> (x40AnnRecall _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
@@ -2021,6 +2260,8 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "x38_subword_tokens" -> x38Sql,
+    "x39_incremental_dedup" -> x39Sql,
+    "x40_ann_recall"     -> x40Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,

@@ -72,6 +72,56 @@ class Round6Spec extends SparkSpec {
       "packing budgets and token accounting disagree on the corpus total")
   }
 
+  test("x39 refresh is incremental: index published once, then batch-only work") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // first build publishes the index (the one allowed action per corpus
+    // snapshot); run it to completion so the stamp exists
+    SparkEntry.queries("x39_incremental_dedup")(spark, sf0001).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("x39_incremental_dedup")(spark, sf0001)
+      Thread.sleep(1000)
+      assert(jobs.get() === 0,
+        s"re-building x39 ran ${jobs.get()} job(s) — the published index " +
+          "must be reused, not rebuilt")
+      // plan audit: the base side is the published fingerprint scan, and
+      // fingerprint aggregation runs on the batch side only — base
+      // documents are never re-shingled. Formatted mode prints scan
+      // Locations, which the logical plan's toString does not.
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("graft_x39_index_"),
+        "plan does not read the published index")
+      // the expression's physical-plan name is its class prettyName
+      // ("stringpolyhash"), not the registered SQL alias
+      assert(plan.toLowerCase.contains("polyhash"),
+        "no batch-side shingle fingerprinting in plan")
+      // the batch corpus is scanned 3× (new-crawl slice + two twin
+      // slices); a 4th documents scan would mean the base side is being
+      // re-fingerprinted instead of read from the index
+      val docScans = plan.split("\n").count(l =>
+        l.contains("Location") && l.contains("documents.parquet"))
+      assert(docScans <= 3,
+        s"$docScans document scans — base side may be re-fingerprinting")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("x40: multi-table recall dominates its own single table by construction") {
+    val rows = SparkEntry.queries("x40_ann_recall")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the multi index's candidate set is a strict superset of lsh8's
+    // (table 1 IS the 8-plane bucketing), so its hit count can never be
+    // lower — the structural claim the key exists to quantify
+    assert(rows("multi") >= rows("lsh8"),
+      s"multi-table recall ${rows("multi")} fell below its own table-1 ${rows("lsh8")}")
+    assert(rows.values.forall(h => h >= 0 && h <= 10))
+  }
+
   test("Scratch.dir default derives from the warehouse dir, not a literal") {
     val had = spark.conf.getOption("spark.graft.scratchDir")
     try {
