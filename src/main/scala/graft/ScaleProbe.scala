@@ -90,6 +90,49 @@ object ScaleProbe {
       return
     }
 
+    // Partition-count scaling probe (`partitions` arg): the q2g group-
+    // cardinality stress key at shuffle.partitions ∈ {4, 32, 256} — the
+    // counts a starved local box, this sandbox, and a real cluster stage
+    // would respectively use. Records per-setting wall time + spill and an
+    // order-independent fingerprint; the fingerprints MUST be identical
+    // (results are partitioning-independent by contract) and the evidence
+    // goes to docs/partition_probe.json. AQE stays on, exactly as shipped:
+    // the probe measures the shipped posture, not a lab configuration.
+    if (args.contains("partitions")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          memSpill.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+      })
+      def fingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+        val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(expr("bit_xor(__fp)")).first()
+        if (h.isNullAt(0)) 0L else h.getLong(0)
+      }
+      val entries = Seq(4, 32, 256).map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        val m0 = memSpill.get
+        val t0 = System.nanoTime()
+        val fp = fingerprint(SparkEntry.queries("q2g_substr_agg")(spark, src))
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus drain
+        val dm = memSpill.get - m0
+        println(f"partitions=$p%-4d ${dm / 1048576.0}%9.1f MB mem-spill $secs%7.1f s fp=$fp%d")
+        (p, dm, secs, fp)
+      }
+      require(entries.map(_._4).distinct.size == 1,
+        s"fingerprints diverged across partition counts: $entries")
+      val json = entries.map { case (p, dm, secs, fp) =>
+        f""""$p":{"mem_spill_mb":${dm / 1048576.0}%.1f,"secs":$secs%.1f,"fingerprint":$fp%d}"""
+      }.mkString(s"""{"sf_dir":"$src","key":"q2g_substr_agg","settings":{""", ",", "}}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/partition_probe.json"), json.getBytes)
+      println("wrote docs/partition_probe.json")
+      spark.stop()
+      return
+    }
+
     // AQE skew-join probe (`skew` arg): an adversarially skewed join key
     // (key 0 carries 50% of the left side) through a plain shuffled join,
     // AQE off vs on. Evidence that the runtime skew-split activates

@@ -321,9 +321,83 @@ object CorpusOps {
     * chain inherits their 100 TB properties (map-side stats, digest-keyed
     * dedup, capped windows).
     */
+  // ===== b1: crawl-HTML boilerplate extraction ===========================
+
+  /** HTML synthesized deterministically around each document's text — the
+    * crawl shape the reference's `documents` table actually has upstream
+    * [U amplab/benchmark provisions crawl HTML; its url_count.py regexes
+    * raw lines]. Both engines build the identical string, so extraction is
+    * hash-verifiable end-to-end. The script body deliberately contains a
+    * bare `<` (`if(x<3)`) and the text gains inline `<b>` markup: script
+    * blocks MUST be stripped before the generic tag pass or the `<` in
+    * code mangles the tag regex — the ordering bug this fixture would
+    * catch.
+    */
+  private val HtmlSynthExpr: String =
+    "concat('<html><head><title>doc</title>', " +
+      "'<style>body{margin:0;color:#222}</style>', " +
+      "'<script>if(x<3){y=4}</script></head><body><h1>', lang, " +
+      "'</h1><p>', replace(text, ' the ', ' <b>the</b> '), " +
+      "'</p><!-- boilerplate --></body></html>')"
+
+  /** Tag-soup strip chain (regex subset common to Java and RE2): script
+    * blocks, style blocks, comments, then generic tags, then whitespace
+    * collapse. Spark's regexp_replace is replace-all; the DuckDB twin
+    * passes the 'g' option at every step (the x33 discipline).
+    */
+  private def htmlStripExpr(c: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace($c, '<script[^>]*>.*?</script>', ' '), " +
+      s"'<style[^>]*>.*?</style>', ' '), '<!--.*?-->', ' '), " +
+      s"'<[^>]+>', ' '), ' +', ' '))"
+
+  private def htmlStripSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace($c, '<script[^>]*>.*?</script>', ' ', 'g'), " +
+      s"'<style[^>]*>.*?</style>', ' ', 'g'), '<!--.*?-->', ' ', 'g'), " +
+      s"'<[^>]+>', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Boilerplate stripping as a declared key: synthesize the crawl HTML,
+    * extract the visible text, report sizes and the extracted-text
+    * fingerprint. Pure map-side scan — at 100 TB extraction is the
+    * embarrassingly-parallel first stage of ingest, and it runs BEFORE
+    * langid/quality so those stages score content, not markup (p1 below
+    * now does exactly that).
+    */
+  def b1HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .withColumn("html", expr(HtmlSynthExpr))
+      .withColumn("extracted", expr(htmlStripExpr("html")))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_html"),
+        length(col("extracted")).cast("long").as("n_text"),
+        expr("graft_polyhash(extracted)").as("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val htmlSynthSql: String =
+    "'<html><head><title>doc</title><style>body{margin:0;color:#222}</style>" +
+      "<script>if(x<3){y=4}</script></head><body><h1>' || lang || " +
+      "'</h1><p>' || replace(text, ' the ', ' <b>the</b> ') || " +
+      "'</p><!-- boilerplate --></body></html>'"
+
+  val b1Sql: String =
+    s"""WITH h AS (SELECT doc_id, $htmlSynthSql AS html FROM documents),
+       |e AS (SELECT doc_id, html, ${htmlStripSql("html")} AS extracted FROM h)
+       |SELECT doc_id,
+       |       CAST(length(html) AS BIGINT) AS n_html,
+       |       CAST(length(extracted) AS BIGINT) AS n_text,
+       |       ${polyhashSqlOf("extracted")} AS text_hash
+       |FROM e ORDER BY doc_id""".stripMargin
+
   def p1CurationPipeline(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
+    // stage 0: boilerplate extraction — langid/quality below score the
+    // extracted text ('doc' + lang + body), never raw markup
     val docs = Tables.documents(s, d)
+      .withColumn("text",
+        expr(htmlStripExpr(s"($HtmlSynthExpr)")))
     val stats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
@@ -346,17 +420,20 @@ object CorpusOps {
   }
 
   val p1Sql: String =
-    """WITH stats AS (
+    s"""WITH docs2 AS (
+      |  SELECT doc_id, source, ${htmlStripSql(s"($htmlSynthSql)")} AS text
+      |  FROM documents),
+      |stats AS (
       |  SELECT doc_id, COUNT(*) AS n_tok,
       |         COUNT(CASE WHEN token = 'the' OR token = 'a' THEN 1 END) AS n_stop,
       |         CAST(SUM(((list_reduce(list_transform(regexp_split_to_array(token, ''),
       |             c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) % 4096)
       |             * 2654435761) % 2001 - 1000) AS BIGINT) AS score_sum
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs2)
       |  WHERE token <> '' GROUP BY doc_id),
       |kept AS (
       |  SELECT d.doc_id, d.source, d.text, s.score_sum
-      |  FROM documents d JOIN stats s USING (doc_id)
+      |  FROM docs2 d JOIN stats s USING (doc_id)
       |  WHERE s.n_stop * 20 >= s.n_tok AND s.score_sum >= 0),
       |capped AS (
       |  SELECT * FROM (
@@ -409,6 +486,7 @@ object CorpusOps {
     "x31_split"          -> (x31Split _),
     "x30_corpus_upsert"  -> (x30CorpusUpsert _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
+    "b1_html_extract"    -> (b1HtmlExtract _),
     "x23_pack_shards"    -> (x23PackShards _),
     "x23b_pack_subword"  -> (x23bPackSubword _),
     "x24_mixture_sample" -> (x24MixtureSample _),
@@ -420,6 +498,7 @@ object CorpusOps {
     "x31_split"          -> x31Sql,
     "x30_corpus_upsert"  -> x30Sql,
     "p1_curation_pipeline" -> p1Sql,
+    "b1_html_extract"    -> b1Sql,
     "x23_pack_shards"    -> x23Sql,
     "x23b_pack_subword"  -> x23bSql,
     "x24_mixture_sample" -> x24Sql,

@@ -508,9 +508,78 @@ object MultiFormat {
 
   val src10Sql: String = src6Sql // identical aggregate, different container
 
+  /** The UNCOMPRESSED text cell of the reference's 4-cell format grid
+    * [U `s3n://big-data-benchmark/pavlo/text/`] — the last literal cells
+    * src6/src10 (gzip/deflate text) and src4 (snappy SequenceFile) left
+    * open (r5 verdict missing-#4). Plain text lines ARE splittable, so
+    * unlike the deflate cell one big file still parallelizes; the write
+    * keeps the source parallelism either way.
+    */
+  def src11TextScan(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src11_text_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
+      graft.Tables.documents(spark, d)
+        .select(when(col("lang").isNotNull && col("text").isNotNull,
+            concat_ws("\t", col("doc_id"), col("lang"), col("text")))
+          .otherwise(raise_error(concat(
+            lit("src11: null lang/text in doc_id="), col("doc_id"),
+            lit(" cannot round-trip through delimited text"))))
+          .as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+    }
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(element_at(col("f"), 1).cast("bigint").as("doc_id"),
+              element_at(col("f"), 2).as("lang"),
+              element_at(col("f"), 3).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text"))).as("sum_text_chars"),
+           min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val src11Sql: String = src6Sql // identical aggregate, different container
+
+  /** The uncompressed SequenceFile cell [U `.../pavlo/sequence/`]: src4's
+    * layout with no codec — block-splittable container, codec-free payload.
+    */
+  def src12SequencefilePlain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src12_seqplain_$tag"
+    ensureLayout(new java.io.File(s"$d/customer.parquet"), path) {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      graft.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+        .as[(Long, Long, String, Double)]
+        .rdd.map { case (k, nk, seg, bal) => (k, s"$nk|$seg|$bal") }
+        .saveAsSequenceFile(path, None)
+    }
+    spark.sparkContext.sequenceFile[Long, String](path)
+      .toDF("c_custkey", "rec")
+      .select(col("c_custkey"), split(col("rec"), "\\|").as("f"))
+      .select(col("c_custkey"),
+        element_at(col("f"), 1).cast("bigint").as("c_nationkey"),
+        element_at(col("f"), 3).cast("double").as("c_acctbal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("sum_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val src12Sql: String = src4Sql // identical aggregate, different container
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("src1_csv_scan" -> (src1CsvScan _),
         "src10_deflate_text_scan" -> (src10DeflateTextScan _),
+        "src11_text_scan" -> (src11TextScan _),
+        "src12_sequencefile_plain" -> (src12SequencefilePlain _),
         "src9_avro_scan" -> (src9AvroScan _),
         "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
@@ -523,6 +592,8 @@ object MultiFormat {
   val oracles: Map[String, String] =
     Map("src1_csv_scan" -> src1Sql,
         "src10_deflate_text_scan" -> src10Sql,
+        "src11_text_scan" -> src11Sql,
+        "src12_sequencefile_plain" -> src12Sql,
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
         "src8_compaction" -> src8Sql,

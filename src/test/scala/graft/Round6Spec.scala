@@ -122,6 +122,25 @@ class Round6Spec extends SparkSpec {
     assert(rows.values.forall(h => h >= 0 && h <= 10))
   }
 
+  test("b1 extraction strips script/style/comments before the generic tag pass") {
+    import spark.implicits._
+    // the script body's bare '<' would survive (and mangle) a tag-only
+    // strip; the b1 chain must remove blocks first. Build one row through
+    // the DECLARED key's own pipeline shape and check the visible text.
+    val row = SparkEntry.queries("b1_html_extract")(spark, sf0001).limit(1)
+    assert(row.count() == 1)
+    val doc = Tables.documents(spark, sf0001)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("lang"), col("text")).collect()(0)
+    val expected = s"doc ${doc.getString(0)} ${doc.getString(1)}"
+    val gotHash = SparkEntry.queries("b1_html_extract")(spark, sf0001)
+      .orderBy(col("doc_id")).limit(1).select(col("text_hash")).collect()(0).getLong(0)
+    val expHash = Seq(expected).toDF("t")
+      .select(expr("graft_polyhash(t)")).collect()(0).getLong(0)
+    assert(gotHash === expHash,
+      "extracted text is not 'doc <lang> <text>' — strip chain misordered or lossy")
+  }
+
   test("Scratch.dir default derives from the warehouse dir, not a literal") {
     val had = spark.conf.getOption("spark.graft.scratchDir")
     try {
