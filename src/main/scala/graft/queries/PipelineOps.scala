@@ -931,7 +931,10 @@ object PipelineOps {
     * the 16-pivot default and x12b an 8-pivot variant — the parameter is
     * wired end-to-end.
     */
-  private def annIvf(numPivots: Int)(s: SparkSession, d: String): DataFrame = {
+  /** IVF cluster assignment (nearest of the first-N pivot vectors) —
+    * shared by the x12 keys and x40's recall scoring.
+    */
+  private def ivfAssign(numPivots: Int)(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     val w = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -939,11 +942,16 @@ object PipelineOps {
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
     val wAssign = w.partitionBy(col("vec_id"))
       .orderBy(col("pcos").desc, col("p_id"))
-    val clusters = emb.crossJoin(broadcast(pivots))
+    emb.crossJoin(broadcast(pivots))
       .withColumn("pcos", expr("graft_cosine(embedding, p_emb)"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("p_id").as("cluster"))
+  }
+
+  private def annIvf(numPivots: Int)(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val clusters = ivfAssign(numPivots)(s, d)
     val q = clusters.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cluster").as("q_cluster"))
@@ -1683,12 +1691,7 @@ object PipelineOps {
     // explicit schema: the published layout is ours, so inference (which
     // costs a footer-reading job per builder call) has nothing to discover
     val index = s.read.schema("doc_id LONG, sh LONG").parquet(idxPath)
-    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
-      .unionByName(baseDocs.filter(col("doc_id") % 7 === 4)
-        .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
-      .unionByName(baseDocs.filter(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + 30000000L).as("doc_id"),
-          concat(col("text"), lit(" extra")).as("text")))
+    val batchDocs = x39BatchDocs(docs)
     // fingerprint ONLY the batch; the base side of both joins below is the
     // published index scan (2 columns), never a recompute
     val batchFp = simhashFingerprints(batchDocs).persist()
@@ -1721,7 +1724,70 @@ object PipelineOps {
     out
   }
 
-  private val x39CorpusSql: String =
+  /** The synthesized "new crawl": the doc_id % 5 == 0 slice plus the two
+    * cross-boundary twin families. Shared by x39 (decisions) and x39b
+    * (the merged corpus those decisions produce).
+    */
+  private def x39BatchDocs(docs: DataFrame): DataFrame = {
+    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(baseDocs.filter(col("doc_id") % 7 === 4)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      .unionByName(baseDocs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+  }
+
+  /** The MERGE step x39's decisions drive (r5 verdict next-#2's last
+    * clause, x30's shape): the refreshed corpus = every standing base doc
+    * ('kept' — a refresh never drops base rows) plus the batch survivors
+    * ('inserted'). One row per surviving doc with its size; batch docs
+    * without fingerprints (< 3 tokens) follow x39's declared exclusion.
+    * At 100 TB this is the co-partitioned union-write a table-format
+    * MERGE executes — decisions and bodies join on doc_id, nothing else
+    * shuffles.
+    */
+  def x39bRefreshMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val survivors = x39IncrementalDedup(s, d)
+      .filter(col("status") === "inserted").select(col("doc_id"))
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), lit("kept").as("status"),
+        length(col("text")).cast("long").as("n_chars"))
+      .unionByName(survivors
+        .join(x39BatchDocs(docs), Seq("doc_id"))
+        .select(col("doc_id"), lit("inserted").as("status"),
+          length(col("text")).cast("long").as("n_chars")))
+      .orderBy(col("doc_id"))
+  }
+
+  val x39bSql: String =
+    s"""WITH ${simhashCtesSql(x39CorpusSql)},
+       |base AS (SELECT * FROM sh WHERE doc_id < 30000000 AND doc_id % 5 <> 0),
+       |batch AS (SELECT * FROM sh WHERE doc_id >= 30000000 OR doc_id % 5 = 0),
+       |bd AS (SELECT n.doc_id FROM batch n JOIN base o
+       |         ON bit_count(xor(n.sh, o.sh)) <= $HammingMax
+       |       GROUP BY n.doc_id),
+       |nd AS (SELECT n.doc_id FROM batch n JOIN batch o
+       |         ON o.doc_id < n.doc_id
+       |        AND bit_count(xor(n.sh, o.sh)) <= $HammingMax
+       |       GROUP BY n.doc_id),
+       |survivors AS (
+       |  SELECT b.doc_id FROM batch b
+       |  LEFT JOIN bd ON bd.doc_id = b.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = b.doc_id
+       |  WHERE bd.doc_id IS NULL AND nd.doc_id IS NULL)
+       |SELECT doc_id, status, CAST(n_chars AS BIGINT) AS n_chars FROM (
+       |  SELECT c.doc_id, 'kept' AS status, length(c.text) AS n_chars
+       |  FROM corpus c WHERE c.doc_id < 30000000 AND c.doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT c.doc_id, 'inserted', length(c.text)
+       |  FROM survivors s JOIN corpus c ON c.doc_id = s.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // def, not val: referenced by x39bSql above its declaration point —
+  // a val would still be null during that initializer
+  private def x39CorpusSql: String =
     """  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 40000000, text FROM documents
       |    WHERE doc_id % 5 <> 0 AND doc_id % 7 = 4
@@ -1756,19 +1822,21 @@ object PipelineOps {
 
   /** Declared, oracle-checked recall of the ANN blocking stages (r5
     * verdict next-#3): what fraction of x1's EXACT global top-10 cosine
-    * pairs does each LSH candidate set admit? Scored per method against
-    * the full bucket-collision candidate set (the blocking decision — the
-    * top-20 cut on the declared x8 keys is a reporting artifact), so this
-    * is the number that justifies "ANN is the 100 TB path": a pair the
-    * blocking never surfaces can never be verified downstream. Both sides
-    * are deterministic, so recall is a hash-checkable integer — the DuckDB
+    * pairs does each method's candidate set admit? Scored for all five
+    * ANN variants (lsh8, lsh6, two-table multi, ivf16, ivf8) against the
+    * full candidate set each blocking admits (the top-k cut on the
+    * declared x8/x12 keys is a reporting artifact), so this is the number
+    * that justifies "ANN is the 100 TB path": a pair the blocking never
+    * surfaces can never be verified downstream. Both sides are
+    * deterministic, so recall is a hash-checkable integer — the DuckDB
     * oracle replays the identical set algebra all-pairs.
     *
     * Expected shape (and why it is evidence, not decoration): lsh6's
-    * 64-bucket table admits more collisions than lsh8's 256, and the
+    * 64-bucket table admits more collisions than lsh8's 256; the
     * two-table multi index dominates single-table lsh8 by construction
-    * (its candidate set is a superset) — the declared row order makes
-    * those relationships visible in the artifact.
+    * (its candidate set is a superset); ivf8's 8 coarser cells admit
+    * more than ivf16's — the declared rows make those relationships
+    * visible in the artifact.
     */
   def x40AnnRecall(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
@@ -1777,15 +1845,24 @@ object PipelineOps {
     // (hit join + denominator) — 10 rows, broadcast both times
     val exact = x1CosineTopk(s, d).select(col("vec_a"), col("vec_b")).persist()
     val pairsOnly = (df: DataFrame) => df.select(col("vec_a"), col("vec_b"))
+    val ivfPairs = (numPivots: Int) => {
+      val a = ivfAssign(numPivots)(s, d).select(col("vec_id"), col("cluster"))
+      a.as("x").join(a.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    }
     val tagged = pairsOnly(annLshPairs(8)(s, d)).withColumn("method", lit("lsh8"))
       .unionByName(pairsOnly(annLshPairs(6)(s, d)).withColumn("method", lit("lsh6")))
       .unionByName(pairsOnly(x8cPairs(s, d)).withColumn("method", lit("multi")))
+      .unionByName(ivfPairs(16).withColumn("method", lit("ivf16")))
+      .unionByName(ivfPairs(8).withColumn("method", lit("ivf8")))
     val hits = tagged.join(broadcast(exact), Seq("vec_a", "vec_b"))
       .groupBy(col("method")).agg(count(lit(1)).as("n_hit"))
     val nEx = exact.agg(count(lit(1)).as("n_exact"))
     // literal method table, so a method with zero hits still reports a row
     val methods = s.range(1).select(
-      explode(array(lit("lsh8"), lit("lsh6"), lit("multi"))).as("method"))
+      explode(array(lit("lsh8"), lit("lsh6"), lit("multi"),
+        lit("ivf16"), lit("ivf8"))).as("method"))
     val out = methods
       .join(broadcast(hits), Seq("method"), "left")
       .na.fill(0L, Seq("n_hit"))
@@ -1798,11 +1875,29 @@ object PipelineOps {
   }
 
   val x40Sql: String = {
+    val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
+    def assignOf(n: Int): String =
+      s"""(SELECT vec_id, p_id AS cluster FROM (
+         |    SELECT e.vec_id, p.vec_id AS p_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosEP DESC, p.vec_id) AS rn
+         |    FROM embeddings e JOIN embeddings p ON p.vec_id < $n)
+         |  WHERE rn = 1)""".stripMargin
     s"""WITH exact AS (SELECT vec_a, vec_b FROM (
        |${x1Sql.replace("\n", "\n|")})),
        |sigs AS (
        |  SELECT vec_id, $bucketOf8 AS b8, ($bucketOf6) AS b6,
        |         ($bucketOf14) // 256 AS b14 FROM embeddings),
+       |a16 AS ${assignOf(16)},
+       |a8 AS ${assignOf(8)},
+       |ci16 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM a16 a JOIN a16 b
+       |           ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |ci8 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |        FROM a8 a JOIN a8 b
+       |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
        |c8 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |       FROM sigs a JOIN sigs b ON a.b8 = b.b8 AND a.vec_id < b.vec_id),
        |c6 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1814,13 +1909,16 @@ object PipelineOps {
        |tagged AS (
        |  SELECT 'lsh8' AS method, vec_a, vec_b FROM c8
        |  UNION ALL SELECT 'lsh6', vec_a, vec_b FROM c6
-       |  UNION ALL SELECT 'multi', vec_a, vec_b FROM cm),
+       |  UNION ALL SELECT 'multi', vec_a, vec_b FROM cm
+       |  UNION ALL SELECT 'ivf16', vec_a, vec_b FROM ci16
+       |  UNION ALL SELECT 'ivf8', vec_a, vec_b FROM ci8),
        |hits AS (
        |  SELECT method, COUNT(*) AS n_hit
        |  FROM tagged t JOIN exact e
        |    ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b
        |  GROUP BY method),
-       |methods(method) AS (VALUES ('lsh8'), ('lsh6'), ('multi'))
+       |methods(method) AS (VALUES ('lsh8'), ('lsh6'), ('multi'),
+       |                           ('ivf16'), ('ivf8'))
        |SELECT m.method,
        |       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
        |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
@@ -2212,6 +2310,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x38_subword_tokens" -> (x38SubwordTokens _),
     "x39_incremental_dedup" -> (x39IncrementalDedup _),
+    "x39b_refresh_merge" -> (x39bRefreshMerge _),
     "x40_ann_recall"     -> (x40AnnRecall _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
@@ -2261,6 +2360,7 @@ object PipelineOps {
   val oracles: Map[String, String] = Map(
     "x38_subword_tokens" -> x38Sql,
     "x39_incremental_dedup" -> x39Sql,
+    "x39b_refresh_merge" -> x39bSql,
     "x40_ann_recall"     -> x40Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,

@@ -333,6 +333,48 @@ object Streams {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Streaming twin of x39's incremental dedup: each arriving document is
+    * simhash-fingerprinted IN THE ROW (the per-bit majority folded with
+    * nested higher-order aggregates — identical arithmetic to the batch
+    * `simhashFingerprints`, re-expressed shuffle-free; Round6Spec asserts
+    * the two agree bit-for-bit so the formulations cannot drift) and its
+    * 4 band keys are joined against the STATIC published fingerprint
+    * index. Stream-static + broadcast = zero stream-side state: ingest
+    * dedup cost per doc is O(shingles) + a bucket probe, independent of
+    * stream history — the at-the-door twin of x39's nightly refresh.
+    * Emits one row per (arriving doc, band collision) that survives the
+    * hamming check; a pair colliding on k bands surfaces k times (the
+    * decontamStream contract — dedup of the flag stream is the sink's
+    * one-liner, not stream state). Expects stream columns (doc_id, text);
+    * static columns (doc_id, sh) — x39's published index schema.
+    */
+  def incrementalDedupStream(docs: DataFrame, index: DataFrame): DataFrame = {
+    graft.functions.StringPolyHash.register(docs.sparkSession)
+    val bandsSql = (sh: String) =>
+      s"stack(4, 0, $sh & 255L, 1, shiftright($sh, 8) & 255L, " +
+        s"2, shiftright($sh, 16) & 255L, 3, shiftright($sh, 24) & 127L) as (band, bv)"
+    val fp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> (graft_polyhash(concat(element_at(toks, i), ' ', " +
+          "element_at(toks, i+1), ' ', element_at(toks, i+2))) " +
+          "* 40503L + 11L) % 2147483647L)").as("hps"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 30), 0L, (acc, b) -> acc + " +
+          "CASE WHEN aggregate(hps, 0L, (s, h) -> s + " +
+          "CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1L ELSE -1L END) > 0 " +
+          "THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)").as("sh"))
+    val stream = fp.select(col("doc_id"), col("sh"), expr(bandsSql("sh")))
+    val idx = index.select(col("doc_id").as("dup_of"), col("sh").as("idx_sh"))
+      .select(col("dup_of"), col("idx_sh"), expr(bandsSql("idx_sh")))
+    stream.join(broadcast(idx), Seq("band", "bv"))
+      .filter(expr("bit_count(sh ^ idx_sh)") <= 3)
+      .select(col("doc_id"), col("dup_of"), col("band"),
+        expr("CAST(bit_count(sh ^ idx_sh) AS LONG)").as("hamming"))
+  }
+
   /** Streaming twin of x30's corpus upsert: a change feed (doc_id,
     * new_text, op ∈ U/D/I) applied to a versioned parquet corpus state via
     * foreachBatch — each micro-batch MERGEs into the latest version with

@@ -236,6 +236,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup flags exactly the batch x39 index hits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // publish the index (and get the batch ground truth) via the declared key
+    val decisions = SparkEntry.queries("x39_incremental_dedup")(spark, TestSpark.sf0001)
+      .select("doc_id", "n_base_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tag = TestSpark.sf0001.replaceAll("[^a-zA-Z0-9]", "_")
+    val index = spark.read.schema("doc_id LONG, sh LONG")
+      .parquet(s"${Scratch.dir(spark)}/graft_x39_index_$tag")
+    // the same synthesized "new crawl" x39 scores, fed as a stream in two
+    // micro-batches (the stream-static join must be batch-boundary-blind)
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(base.filter(col("doc_id") % 7 === 4)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupStream(mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("incdedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batchDocs.take(batchDocs.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(batchDocs.drop(batchDocs.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      // k band collisions emit k rows; distinct pairs are the decision unit
+      val streamed = spark.table("incdedup_test")
+        .select("doc_id", "dup_of").distinct()
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every doc's distinct index-hit count must equal batch n_base_dups —
+      // this also pins the per-row HOF simhash to the batch aggregation
+      // formulation bit-for-bit (any drifted bit shifts some hamming)
+      assert(streamed.nonEmpty)
+      decisions.foreach { case (id, nBase) =>
+        assert(streamed.getOrElse(id, 0L) === nBase,
+          s"doc $id: stream saw ${streamed.getOrElse(id, 0L)} index dups, batch saw $nBase")
+      }
+      assert(streamed.keySet.subsetOf(decisions.keySet))
+    } finally q.stop()
+  }
+
   test("streaming quality filter keeps exactly the batch x29 keep set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
