@@ -1940,6 +1940,103 @@ object PipelineOps {
     s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${projSql(j)}) >= 0.0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  // ===== x41: semantic dedup (SemDeDup shape) =============================
+
+  private val SemDedupThreshold = 0.40
+
+  /** SemDeDup-shaped semantic deduplication — the missing member of the
+    * dedup family: x13 blocks by LSH bucket and keeps the lowest id; this
+    * blocks by IVF cell (the x12 coarse quantizer, shared `ivfAssign`) and
+    * applies the paper's keep rule — within a cell, when two vectors are
+    * over-threshold similar, KEEP the one farther from the cell centroid
+    * (the outlier carries information; the near-centroid copy is
+    * redundant), vec_id as the total-order tie-break.
+    *
+    * Determinism across engines: the centroid is accumulated in exact
+    * 10⁻⁶ integer units (x22's VectorSumLong shape — order-independent),
+    * and centrality is ranked by dot(v, centroid)/‖v‖ — the centroid norm
+    * is a per-cell constant, so dropping it removes a sqrt from the
+    * cross-engine contract without changing any within-cell comparison.
+    * Both engines fold the dot products left-to-right over IEEE doubles.
+    *
+    * 100 TB shape: candidate generation is the cell equi-join (never
+    * all-pairs), the centroid aggregate is map-side partial with one
+    * 16-row broadcast back, and the only shuffles are the cell hash
+    * partition and the final sort. Cell population is controlled by the
+    * quantizer's k, which grows with the corpus — the per-cell pairwise
+    * stays bounded by design, exactly the regime the SemDeDup paper runs
+    * at web scale.
+    */
+  def x41SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    graft.functions.VectorSumLong.register(s)
+    val assign = ivfAssign(16)(s, d)
+    val cents = assign
+      .select(col("cluster"),
+        expr("transform(embedding, v -> cast(round(cast(v as double) * 1000000) as long))")
+          .as("scaled"))
+      .groupBy(col("cluster"))
+      .agg(expr("graft_vecsum_long(scaled)").as("vsum"), count(lit(1)).as("n_vecs"))
+      .select(col("cluster"),
+        expr("transform(vsum, v -> (cast(v as double) / 1000000.0) / n_vecs)")
+          .as("centroid"))
+    val scored = assign.join(broadcast(cents), Seq("cluster"))
+      .withColumn("xd", expr("transform(embedding, v -> cast(v as double))"))
+      .withColumn("centrality", expr(
+        "aggregate(zip_with(xd, centroid, (p, q) -> p * q), " +
+          "cast(0.0 as double), (acc, z) -> acc + z) / " +
+          "sqrt(aggregate(xd, cast(0.0 as double), (acc, v) -> acc + v * v))"))
+      .select(col("vec_id"), col("cluster"), col("embedding"), col("centrality"))
+    scored.as("x").join(scored.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          (col("y.centrality") < col("x.centrality") ||
+            (col("y.centrality") === col("x.centrality") &&
+              col("y.vec_id") < col("x.vec_id"))))
+      .filter(expr("graft_cosine(x.embedding, y.embedding)") >= SemDedupThreshold)
+      .groupBy(col("x.vec_id").as("vec_id"), col("x.cluster").as("cluster"))
+      .agg(min(col("y.vec_id")).as("dup_of"), count(lit(1)).as("n_partners"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x41Sql: String = {
+    val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
+    s"""WITH a16 AS (SELECT vec_id, p_id AS cluster FROM (
+       |    SELECT e.vec_id, p.vec_id AS p_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEP DESC, p.vec_id) AS rn
+       |    FROM embeddings e JOIN embeddings p ON p.vec_id < 16)
+       |  WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.cluster, e.embedding
+       |       FROM a16 a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |ex AS (SELECT cluster,
+       |              unnest(range(0, len(embedding))) AS dim,
+       |              unnest(embedding) AS v
+       |       FROM av),
+       |cs AS (SELECT cluster, dim,
+       |              (CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+       |                    AS DOUBLE) / 1000000.0) / COUNT(*) AS cv
+       |       FROM ex GROUP BY cluster, dim),
+       |cent AS (SELECT cluster, list(cv ORDER BY dim) AS centroid
+       |         FROM cs GROUP BY cluster),
+       |scored AS (
+       |  SELECT av.vec_id, av.cluster, av.embedding,
+       |         list_dot_product(av.embedding::DOUBLE[], c.centroid) /
+       |           sqrt(list_dot_product(av.embedding::DOUBLE[],
+       |                                 av.embedding::DOUBLE[])) AS centrality
+       |  FROM av JOIN cent c ON c.cluster = av.cluster)
+       |SELECT x.vec_id, x.cluster, MIN(y.vec_id) AS dup_of,
+       |       COUNT(*) AS n_partners
+       |FROM scored x JOIN scored y
+       |  ON y.cluster = x.cluster
+       | AND (y.centrality < x.centrality
+       |      OR (y.centrality = x.centrality AND y.vec_id < x.vec_id))
+       | AND ${cosineSqlOf("x", "y")} >= $SemDedupThreshold
+       |GROUP BY x.vec_id, x.cluster
+       |ORDER BY x.vec_id""".stripMargin
+  }
+
   // ===== x29: hashed linear quality classifier ===========================
 
   private val ClsBuckets = 4096L
@@ -2312,6 +2409,7 @@ object PipelineOps {
     "x39_incremental_dedup" -> (x39IncrementalDedup _),
     "x39b_refresh_merge" -> (x39bRefreshMerge _),
     "x40_ann_recall"     -> (x40AnnRecall _),
+    "x41_semantic_dedup" -> (x41SemanticDedup _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
@@ -2362,6 +2460,7 @@ object PipelineOps {
     "x39_incremental_dedup" -> x39Sql,
     "x39b_refresh_merge" -> x39bSql,
     "x40_ann_recall"     -> x40Sql,
+    "x41_semantic_dedup" -> x41Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,

@@ -157,4 +157,63 @@ class Round6Spec extends SparkSpec {
       had.foreach(spark.conf.set("spark.graft.scratchDir", _))
     }
   }
+
+  test("x41 semantic dedup matches an independent in-test replay of the SemDeDup rule") {
+    // full plain-Scala reimplementation (third formulation besides the
+    // Spark plan and the DuckDB oracle): IVF assignment, micro-unit
+    // centroid, centrality rank, pairwise keep rule
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pivots = vecs.filter(_._1 < 16)
+    val cluster = vecs.map { case (id, e) =>
+      // ROW_NUMBER over (pcos DESC, p_id): max cosine, lower pivot id wins ties
+      val best = pivots.map { case (pid, pe) => (cos(e, pe), pid) }
+        .reduceLeft((p, q) => if (q._1 > p._1 || (q._1 == p._1 && q._2 < p._2)) q else p)
+      id -> best._2
+    }.toMap
+    val dim = vecs.head._2.length
+    val centroids = vecs.groupBy { case (id, _) => cluster(id) }.map { case (c, members) =>
+      val sums = Array.fill(dim)(0L)
+      members.foreach { case (_, e) =>
+        var i = 0
+        while (i < dim) { sums(i) += math.round(e(i).toDouble * 1000000); i += 1 }
+      }
+      c -> sums.map(v => (v.toDouble / 1000000.0) / members.length)
+    }
+    val centrality = vecs.map { case (id, e) =>
+      val cent = centroids(cluster(id))
+      var dot = 0.0; var nv = 0.0; var i = 0
+      while (i < dim) { dot += e(i).toDouble * cent(i); nv += e(i).toDouble * e(i).toDouble; i += 1 }
+      id -> dot / math.sqrt(nv)
+    }.toMap
+    val expected = vecs.flatMap { case (xid, xe) =>
+      val partners = vecs.filter { case (yid, ye) =>
+        cluster(yid) == cluster(xid) &&
+          (centrality(yid) < centrality(xid) ||
+            (centrality(yid) == centrality(xid) && yid < xid)) &&
+          cos(xe, ye) >= 0.40
+      }
+      if (partners.isEmpty) None
+      else Some(xid -> (cluster(xid), partners.map(_._1).min, partners.length.toLong))
+    }.toMap
+    val got = SparkEntry.queries("x41_semantic_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty, "semantic dedup produced no rows — threshold dead")
+    assert(got === expected)
+    // and the paper's invariant: each cell's least-central member survives
+    val minCentral = vecs.groupBy { case (id, _) => cluster(id) }
+      .map { case (_, ms) => ms.map(m => (centrality(m._1), m._1)).min._2 }
+    minCentral.foreach(id =>
+      assert(!got.contains(id), s"least-central vector $id of its cell was dropped"))
+  }
 }
