@@ -342,12 +342,16 @@ object ScaleProbe {
     // appended-token corpus failed at this: 15 tokens COMMON to all docs
     // of a replica pulled unrelated docs' fingerprints together and
     // inflated within-replica pair density ~8×.)
-    if (args.contains("cascade")) {
+    // Shared by the cascade and incremental probes: an n× documents corpus
+    // whose duplicate RATE stays constant (per-replica Caesar rotation — a
+    // character bijection preserves every within-replica similarity exactly
+    // while cross-replica tokens share nothing).
+    def cascadeCorpus(): String = {
       // the per-replica Caesar rotation has period 26: replicas i and i+26
       // would carry byte-identical text under different doc_ids, creating
       // cross-replica near-dup pairs that silently break the documented
       // exactly-linear pair-count invariant — refuse rather than mislead
-      require(n <= 26, s"cascade mode supports n <= 26 (rotation period); got $n")
+      require(n <= 26, s"cascade corpus supports n <= 26 (rotation period); got $n")
       val dir = s"$scratch/graft_scale_cascade3_$n"
       val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
       if (!done2.exists()) {
@@ -372,6 +376,56 @@ object ScaleProbe {
           .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
         done2.createNewFile()
       }
+      dir
+    }
+
+    // Incremental-dedup probe (`incremental` arg): the cost x39's index
+    // reuse actually saves. On the 1x and nx corpora: (a) full-corpus
+    // simhash dedup (x27 — what a non-incremental pipeline pays every
+    // refresh), (b) x39 COLD (publish the base index + score the batch),
+    // (c) x39 WARM (index on disk — the nightly-refresh steady state).
+    // The claim under test: warm ≈ batch-only cost, cold − warm ≈ the
+    // base fingerprinting the index amortizes away, and warm stays far
+    // under (a) at every scale.
+    if (args.contains("incremental")) {
+      val dir = cascadeCorpus()
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      val entries = Seq(src, dir).map { d =>
+        val full = SparkEntry.queries("x27_simhash_neardup")
+        full(spark, d).count() // warm the JVM/scan before any timing
+        val tf = System.nanoTime()
+        full(spark, d).count()
+        val fullSecs = (System.nanoTime() - tf) / 1e9
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val idxDir = new java.io.File(s"${Scratch.dir(spark)}/graft_x39_index_$tag")
+        rmrf(idxDir)
+        val fn = SparkEntry.queries("x39_incremental_dedup")
+        val t0 = System.nanoTime()
+        val rowsCold = fn(spark, d).count()
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val rowsWarm = fn(spark, d).count()
+        val warm = (System.nanoTime() - t1) / 1e9
+        require(rowsCold == rowsWarm,
+          s"index reuse changed the result: $rowsCold cold vs $rowsWarm warm")
+        println(f"x27 full-dedup      $d%-34s $fullSecs%7.2f s")
+        println(f"x39 incremental     $d%-34s rows=$rowsCold%8d " +
+          f"cold=$cold%7.2f s warm=$warm%7.2f s saved=${cold - warm}%7.2f s")
+        f""""$d":{"full_x27_secs":$fullSecs%.2f,"x39_cold_secs":$cold%.2f,"x39_warm_secs":$warm%.2f,"rows":$rowsCold%d}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/incremental_probe.json"),
+        entries.mkString(s"""{"n":$n,"corpora":{""", ",", "}}").getBytes)
+      println("wrote docs/incremental_probe.json")
+      spark.stop()
+      return
+    }
+
+    if (args.contains("cascade")) {
+      val dir = cascadeCorpus()
       for (q <- Seq("x27_simhash_neardup", "x34_editdist_verify")) {
         for (d <- Seq(src, dir)) {
           val fn = SparkEntry.queries(q)
