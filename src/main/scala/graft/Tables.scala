@@ -77,6 +77,16 @@ object Tables {
     spark.read.schema(sch).parquet(path)
   }
 
+  /** Cached-schema parquet read for the engine's OWN published layouts
+    * (scratch/checkpoint materializations). Same contract as table reads:
+    * first touch per path pays the one footer-inference job, every later
+    * builder call constructs with zero jobs. Layout rewrites under a
+    * stamped `ensureLayout` never change the schema, so the cache stays
+    * valid across stamp invalidations.
+    */
+  private[graft] def cachedParquet(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+
   private def loadTable(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // timestamp[ns] parquet: read the physical int64, truncate to µs.

@@ -142,7 +142,7 @@ object MultiFormat {
         .write.partitionBy("day").mode("overwrite").parquet(path)
     }
     val view = s"graft_src2_part_$tag"
-    spark.read.parquet(path).createOrReplaceTempView(view)
+    graft.Tables.cachedParquet(spark, path).createOrReplaceTempView(view)
     spark.sql(
       s"""SELECT event_type, COUNT(*) AS cnt,
          |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -257,7 +257,7 @@ object MultiFormat {
         .write.partitionBy("shard").option("compression", "zstd")
         .mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.Tables.cachedParquet(spark, path)
       .filter(col("shard") === 3)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -371,7 +371,7 @@ object MultiFormat {
       frag.repartition(nFiles)
         .write.mode(SaveMode.Overwrite).parquet(compPath)
     }
-    spark.read.parquet(compPath)
+    graft.Tables.cachedParquet(spark, compPath)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(length(col("text"))).as("sum_text_chars"),
