@@ -2039,6 +2039,82 @@ object PipelineOps {
        |ORDER BY x.vec_id""".stripMargin
   }
 
+  // ===== x42: reference-trained bigram LM likelihood (CCNet shape) =======
+
+  /** CCNet-style perplexity filtering, integer-exact: a bigram language
+    * model is TRAINED on a designated reference slice (doc_id % 10 == 0 —
+    * the "clean Wikipedia" stand-in) and every document is scored by its
+    * smoothed conditional likelihood under that model. This differs from
+    * x32 (corpus-internal document frequency) exactly the way CCNet
+    * differs from heuristic filters: the model is fit on a reference
+    * distribution, so out-of-distribution documents score low even when
+    * internally self-consistent.
+    *
+    * Arithmetic is add-one-smoothed conditional probability per position
+    * bigram, p(w2|w1) = (c2+1)/(c1+M) with M = the 1000003 polyhash space
+    * (a uniform prior over hash identities — and a CONSTANT, so no
+    * in-plan scalar join is needed), carried in truncated 10⁻⁶ units:
+    * score = (10⁶·(c2+1)) div (c1+M). Integer division both engines
+    * replay exactly — no logs, no float summation order. Monotone in the
+    * true likelihood per position, which is all a rank-and-threshold
+    * filter consumes. Tokens travel as polyhash keys (the x2/x16/x20
+    * doctrine); c1 counts CONTEXT occurrences (positions 1..n-1), so
+    * numerator and denominator are fit on the same support.
+    *
+    * 100 TB shape: model fitting is two keyed counts over the reference
+    * slice (constant-width longs); scoring is two hash left-joins of the
+    * corpus bigram stream against the model tables. Stopword-hot keys
+    * skew the h1 join the way any vocabulary does — AQE skew-split is
+    * the declared posture (probed in `ScaleProbe skew`).
+    */
+  def x42LmScore(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        // positional (not distinct) bigrams: a likelihood counts every
+        // occurrence — contrast x32's DF semantics
+        "transform(sequence(1, size(toks)-1), i -> struct(" +
+          "graft_polyhash(element_at(toks, i)) AS h1, " +
+          "graft_polyhash(concat(element_at(toks, i), ' ', element_at(toks, i+1))) AS h12))"
+      )).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
+    val ref = bg.filter(col("doc_id") % 10 === 0)
+    val uni = ref.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val bi = ref.groupBy(col("h12")).agg(count(lit(1)).as("c2"))
+    bg.join(uni, Seq("h1"), "left").join(bi, Seq("h12"), "left")
+      .withColumn("p_micro", expr(
+        "(1000000L * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + 1000003L)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("ll_micro_sum"))
+      .withColumn("ll_micro_mean", expr("ll_micro_sum div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x42Sql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |             WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(regexp_split_to_array(t[i], ''),
+      |      c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS h1,
+      |    list_reduce(list_transform(regexp_split_to_array(
+      |      t[i] || ' ' || t[i+1], ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003) AS h12
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+      |uni AS (SELECT h1, COUNT(*) AS c1 FROM bg WHERE doc_id % 10 = 0 GROUP BY h1),
+      |bi AS (SELECT h12, COUNT(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY h12)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM((1000000 * (COALESCE(bi.c2, 0) + 1))
+      |                // (COALESCE(uni.c1, 0) + 1000003)) AS BIGINT) AS ll_micro_sum,
+      |       CAST(SUM((1000000 * (COALESCE(bi.c2, 0) + 1))
+      |                // (COALESCE(uni.c1, 0) + 1000003)) // COUNT(*) AS BIGINT)
+      |         AS ll_micro_mean
+      |FROM bg LEFT JOIN uni ON uni.h1 = bg.h1
+      |        LEFT JOIN bi ON bi.h12 = bg.h12
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   // ===== x29: hashed linear quality classifier ===========================
 
   private val ClsBuckets = 4096L
@@ -2412,6 +2488,7 @@ object PipelineOps {
     "x39b_refresh_merge" -> (x39bRefreshMerge _),
     "x40_ann_recall"     -> (x40AnnRecall _),
     "x41_semantic_dedup" -> (x41SemanticDedup _),
+    "x42_lm_score" -> (x42LmScore _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
@@ -2463,6 +2540,7 @@ object PipelineOps {
     "x39b_refresh_merge" -> x39bSql,
     "x40_ann_recall"     -> x40Sql,
     "x41_semantic_dedup" -> x41Sql,
+    "x42_lm_score" -> x42Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,

@@ -141,6 +141,24 @@ class Round6Spec extends SparkSpec {
       "extracted text is not 'doc <lang> <text>' — strip chain misordered or lossy")
   }
 
+  test("x42: the reference-trained LM scores its own distribution above out-of-slice docs") {
+    val rows = SparkEntry.queries("x42_lm_score")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // micro-unit probabilities are probabilities: mean per position in [0, 1e6)
+    assert(rows.forall { case (_, n, _, mean) => n >= 1 && mean >= 0 && mean < 1000000L })
+    // training-slice docs contribute their own bigrams to the model, so
+    // their average likelihood must sit strictly above the out-of-slice
+    // average — the "fit on a reference distribution" property that
+    // separates x42 from corpus-internal scoring (x32)
+    val (refDocs, rest) = rows.partition(_._1 % 10 == 0)
+    def avgMean(xs: Array[(Long, Long, Long, Long)]): Double =
+      xs.map(_._4.toDouble).sum / xs.length
+    assert(refDocs.nonEmpty && rest.nonEmpty)
+    assert(avgMean(refDocs) > avgMean(rest),
+      s"reference slice ${avgMean(refDocs)} did not outscore out-of-slice ${avgMean(rest)}")
+  }
+
   test("Scratch.dir default derives from the warehouse dir, not a literal") {
     val had = spark.conf.getOption("spark.graft.scratchDir")
     try {
