@@ -2115,6 +2115,193 @@ object PipelineOps {
       |        LEFT JOIN bi ON bi.h12 = bg.h12
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  // ===== x43: product quantization (PQ codes + reconstruction error) =====
+
+  /** Product quantization — the compression layer every billion-vector ANN
+    * index (IVF-PQ) actually serves from: each 64-dim embedding splits
+    * into 8 contiguous 8-dim subspaces, each sub-vector is assigned its
+    * nearest of 16 per-subspace codewords, and the vector is stored as
+    * 8×4 bits packed into one BIGINT — 16 bytes of float32 per subspace
+    * become half a byte. x37's int8 scalar quantization compresses 4×;
+    * PQ compresses 64× and is the declared at-scale memory path.
+    *
+    * Codebooks follow the x12/x41 quantizer discipline: the sub-vectors
+    * of vec_id < 16 are the codewords (deterministic, corpus-derived, no
+    * iterative training in-plan). Assignment minimizes squared L2,
+    * computed as ‖a‖² − 2a·c + ‖c‖² from three dot products — the one
+    * float primitive both engines provably fold identically (x8/x41
+    * precedent) — with (dist, code) total-order tie-break. Per-subspace
+    * reconstruction error is snapped to 10⁻⁶ units BEFORE the per-vector
+    * sum, so the output is a sum of longs, not an order-dependent float
+    * reduction.
+    *
+    * 100 TB shape: the codebook is a 128-row broadcast; assignment is one
+    * map-side broadcast equi-join on the subspace id plus two partial-agg
+    * groupBys keyed by (vec_id, s) then vec_id. No all-pairs anywhere; the
+    * only shuffle is the keyed aggregation of constant-width rows.
+    */
+  // shared by x43 (encode) and x43b (ADC serving): the left-to-right IEEE
+  // dot fold, the (vec, subspace) slicing, and the vec_id<16 codebook
+  private val pqDot = (x: String, y: String) =>
+    s"aggregate(zip_with($x, $y, (p, q) -> p * q), cast(0.0 as double), (acc, z) -> acc + z)"
+  private def pqSubspaces(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 7), s -> struct(s AS s, " +
+        "transform(slice(embedding, s * 8 + 1, 8), v -> cast(v as double)) AS sub))"
+    )).as("e"))
+    .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    pqSubspaces(emb.filter(col("vec_id") < 16))
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("sub").as("cw"))
+
+  def x43PqEncode(s: SparkSession, d: String): DataFrame = {
+    val dot = pqDot
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    pqSubspaces(emb).join(broadcast(pqCodebook(emb)), Seq("s"))
+      .withColumn("dist", expr(
+        s"${dot("sub", "sub")} - 2 * ${dot("sub", "cw")} + ${dot("cw", "cw")}"))
+      .groupBy(col("vec_id"), col("s"))
+      // min over the (dist, code) struct = lexicographic: nearest codeword,
+      // lower code on ties — an aggregate (map-side partial), not a window
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("shiftleft(cast(m.code as bigint), 4 * s)")).as("pq_code"),
+        sum(expr("cast(round(m.dist * 1000000) as long)")).as("err_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val pqDotSql = (x: String, y: String) => s"list_dot_product($x, $y)"
+
+  // the sub/cb/assigned CTE text both PQ oracles share — one source of
+  // truth for the slicing, codebook, and assignment arithmetic
+  private def pqAssignedCtes: String =
+    s"""sub AS (
+       |  SELECT vec_id, s,
+       |         (embedding[(s * 8 + 1):(s * 8 + 8)])::DOUBLE[] AS sub
+       |  FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS s
+       |        FROM embeddings)),
+       |cb AS (SELECT s, CAST(vec_id AS INT) AS code, sub AS cw
+       |       FROM sub WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, s, code, dist,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |                            ORDER BY dist, code) AS rn
+       |  FROM (SELECT sub.vec_id, sub.s, cb.code,
+       |               ${pqDotSql("sub.sub", "sub.sub")}
+       |                 - 2 * ${pqDotSql("sub.sub", "cb.cw")}
+       |                 + ${pqDotSql("cb.cw", "cb.cw")} AS dist
+       |        FROM sub JOIN cb ON cb.s = sub.s))""".stripMargin
+
+  val x43Sql: String =
+    s"""WITH $pqAssignedCtes
+       |SELECT vec_id,
+       |       CAST(SUM(code::BIGINT << (4 * s)) AS BIGINT) AS pq_code,
+       |       CAST(SUM(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT)
+       |         AS err_micro
+       |FROM assigned WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ===== x43b: PQ asymmetric-distance top-k + declared recall ============
+
+  private val PqAdcK = 5
+
+  /** The serving half of IVF-PQ: queries never touch the float vectors —
+    * each query builds its 8×16 lookup table of subspace distances to the
+    * codebook once, and every candidate's approximate distance is 8 LUT
+    * lookups summed (here: an equi-join of unpacked codes against the
+    * broadcast LUT plus a keyed sum). The declared output is recall@5 of
+    * ADC's top-5 against the exact-L2 top-5 per query, as hash-checked
+    * integers — the x40 discipline: the quality of the 64× compression is
+    * a CORRECTNESS row, not a comment.
+    *
+    * Determinism: LUT entries snap to 10⁻⁶ units at construction, so ADC
+    * distances are sums of longs with (adc, vec_id) total-order ranking;
+    * the exact side rounds to 6 dp like x1b. 100 TB shape: codes scan ×
+    * broadcast LUT (80 constant-width rows per vector), one keyed sum,
+    * one per-query top-k — the exact brute-force side exists only to
+    * score recall and is bounded by the 10-query panel (x1's role).
+    */
+  def x43bPqAdc(s: SparkSession, d: String): DataFrame = {
+    val dot = pqDot
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // unpack the declared x43 codes — serving reads the published encoding,
+    // never the float vectors
+    val vcodes = x43PqEncode(s, d)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s AS s, " +
+          "cast(shiftright(pq_code, 4 * s) & 15 as int) AS code))")).as("c"))
+      .select(col("vec_id"), col("c.s").as("s"), col("c.code").as("code"))
+    val lut = pqSubspaces(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+      .join(broadcast(pqCodebook(emb)), Seq("s"))
+      .withColumn("d2_micro", expr(
+        s"cast(round((${dot("qsub", "qsub")} - 2 * ${dot("qsub", "cw")} + " +
+          s"${dot("cw", "cw")}) * 1000000) as long)"))
+      .select(col("q_id"), col("s"), col("code"), col("d2_micro"))
+    val adc = vcodes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2_micro")).as("adc_micro"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc_micro").asc, col("vec_id"))
+    val topAdc = adc.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= PqAdcK).select(col("q_id"), col("vec_id"))
+    val qfull = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, v -> cast(v as double))").as("qx"))
+    val vfull = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))").as("vx"))
+    val exact = broadcast(qfull).join(vfull, col("q_id") =!= col("vec_id"))
+      .withColumn("rdist", round(expr(
+        s"${dot("qx", "qx")} - 2 * ${dot("qx", "vx")} + ${dot("vx", "vx")}"), 6))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rdist").asc, col("vec_id"))
+    val topEx = exact.withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= PqAdcK).select(col("q_id"), col("vec_id"))
+    val hits = topAdc.join(topEx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"))
+      .orderBy(col("q_id"))
+  }
+
+  val x43bSql: String = {
+    val l2 = (a: String, b: String) =>
+      s"${pqDotSql(s"$a.embedding::DOUBLE[]", s"$a.embedding::DOUBLE[]")} - " +
+        s"2 * ${pqDotSql(s"$a.embedding::DOUBLE[]", s"$b.embedding::DOUBLE[]")} + " +
+        s"${pqDotSql(s"$b.embedding::DOUBLE[]", s"$b.embedding::DOUBLE[]")}"
+    s"""WITH $pqAssignedCtes,
+       |codes AS (SELECT vec_id, s, code FROM assigned WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, s, sub AS qsub FROM sub WHERE vec_id < 10),
+       |lut AS (SELECT q_id, cb.s, cb.code,
+       |               CAST(round((${pqDotSql("qsub", "qsub")}
+       |                 - 2 * ${pqDotSql("qsub", "cb.cw")}
+       |                 + ${pqDotSql("cb.cw", "cb.cw")}) * 1000000) AS BIGINT)
+       |                 AS d2_micro
+       |        FROM q JOIN cb ON cb.s = q.s),
+       |adc AS (SELECT q_id, vec_id, SUM(d2_micro) AS adc_micro
+       |        FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+       |        WHERE vec_id <> q_id GROUP BY q_id, vec_id),
+       |topadc AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc_micro, vec_id) AS rn FROM adc) WHERE rn <= $PqAdcK),
+       |topex AS (SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(${l2("a", "b")}, 6), b.vec_id) AS rn
+       |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |    WHERE a.vec_id < 10) WHERE rn <= $PqAdcK),
+       |hits AS (SELECT t.q_id, COUNT(*) AS h FROM topadc t
+       |         JOIN topex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+       |         GROUP BY t.q_id)
+       |SELECT qq.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits
+       |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN hits h ON h.q_id = qq.q_id
+       |ORDER BY qq.q_id""".stripMargin
+  }
+
   // ===== x29: hashed linear quality classifier ===========================
 
   private val ClsBuckets = 4096L
@@ -2489,6 +2676,8 @@ object PipelineOps {
     "x40_ann_recall"     -> (x40AnnRecall _),
     "x41_semantic_dedup" -> (x41SemanticDedup _),
     "x42_lm_score" -> (x42LmScore _),
+    "x43_pq_encode" -> (x43PqEncode _),
+    "x43b_pq_adc" -> (x43bPqAdc _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
@@ -2541,6 +2730,8 @@ object PipelineOps {
     "x40_ann_recall"     -> x40Sql,
     "x41_semantic_dedup" -> x41Sql,
     "x42_lm_score" -> x42Sql,
+    "x43_pq_encode" -> x43Sql,
+    "x43b_pq_adc" -> x43bSql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,

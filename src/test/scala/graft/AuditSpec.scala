@@ -65,7 +65,8 @@ class AuditSpec extends SparkSpec {
       // 100 TB means an unbounded broadcast — must trip this audit and
       // argue its bound here.
       val boundedBnlj = Set("x9_ngram_jaccard", "x19_bm25", "x12_ann_ivf",
-        "x12b_ann_ivf8", "x41_semantic_dedup", "x1b_knn", "x40_ann_recall")
+        "x12b_ann_ivf8", "x41_semantic_dedup", "x1b_knn", "x40_ann_recall",
+        "x43b_pq_adc") // exact ground-truth side: 10-query broadcast panel
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet

@@ -159,6 +159,25 @@ class Round6Spec extends SparkSpec {
       s"reference slice ${avgMean(refDocs)} did not outscore out-of-slice ${avgMean(rest)}")
   }
 
+  test("x43: codeword vectors self-encode exactly; recall rows stay in range") {
+    val enc = SparkEntry.queries("x43_pq_encode")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.length >= 16)
+    // each vec_id < 16 IS the codebook in every subspace: its nearest
+    // codeword is itself at distance exactly 0, so the packed code is
+    // k replicated across all eight 4-bit fields and the error is 0
+    enc.filter(_._1 < 16).foreach { case (id, code, err) =>
+      assert(code === id * 0x11111111L, s"vec $id did not self-assign: $code")
+      assert(err === 0L, s"vec $id self-encode error $err != 0")
+    }
+    // non-codeword vectors must carry a strictly positive error (a zero
+    // would mean an exact duplicate of a codeword — not in this fixture)
+    assert(enc.filter(_._1 >= 16).forall(_._3 > 0L))
+    val hits = SparkEntry.queries("x43b_pq_adc")(spark, sf0001)
+      .collect().map(r => r.getLong(1))
+    assert(hits.length === 10 && hits.forall(h => h >= 0 && h <= 5))
+  }
+
   test("Scratch.dir default derives from the warehouse dir, not a literal") {
     val had = spark.conf.getOption("spark.graft.scratchDir")
     try {
