@@ -2222,24 +2222,52 @@ object PipelineOps {
     * one per-query top-k — the exact brute-force side exists only to
     * score recall and is bounded by the 10-query panel (x1's role).
     */
-  def x43bPqAdc(s: SparkSession, d: String): DataFrame = {
-    val dot = pqDot
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // unpack the declared x43 codes — serving reads the published encoding,
-    // never the float vectors
-    val vcodes = x43PqEncode(s, d)
+  /** x43's declared codes, unpacked back to (vec_id, s, code) rows —
+    * serving reads the published encoding, never the float vectors.
+    */
+  private def pqUnpackedCodes(s: SparkSession, d: String): DataFrame =
+    x43PqEncode(s, d)
       .select(col("vec_id"), explode(expr(
         "transform(sequence(0, 7), s -> struct(s AS s, " +
           "cast(shiftright(pq_code, 4 * s) & 15 as int) AS code))")).as("c"))
       .select(col("vec_id"), col("c.s").as("s"), col("c.code").as("code"))
-    val lut = pqSubspaces(emb.filter(col("vec_id") < 10))
+
+  /** Per-query 8×16 ADC lookup table over the 10-query panel, entries
+    * snapped to 10⁻⁶ units at construction.
+    */
+  private def pqQueryLut(emb: DataFrame): DataFrame = {
+    val dot = pqDot
+    pqSubspaces(emb.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
       .join(broadcast(pqCodebook(emb)), Seq("s"))
       .withColumn("d2_micro", expr(
         s"cast(round((${dot("qsub", "qsub")} - 2 * ${dot("qsub", "cw")} + " +
           s"${dot("cw", "cw")}) * 1000000) as long)"))
       .select(col("q_id"), col("s"), col("code"), col("d2_micro"))
-    val adc = vcodes.join(broadcast(lut), Seq("s", "code"))
+  }
+
+  /** Exact-L2 top-k per panel query — the ground truth both PQ recall
+    * keys score against (x1's role, bounded by the 10-query broadcast).
+    */
+  private def pqExactTop(emb: DataFrame): DataFrame = {
+    val dot = pqDot
+    val qfull = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, v -> cast(v as double))").as("qx"))
+    val vfull = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))").as("vx"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rdist").asc, col("vec_id"))
+    broadcast(qfull).join(vfull, col("q_id") =!= col("vec_id"))
+      .withColumn("rdist", round(expr(
+        s"${dot("qx", "qx")} - 2 * ${dot("qx", "vx")} + ${dot("vx", "vx")}"), 6))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= PqAdcK).select(col("q_id"), col("vec_id"))
+  }
+
+  def x43bPqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val adc = pqUnpackedCodes(s, d).join(broadcast(pqQueryLut(emb)), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2_micro")).as("adc_micro"))
@@ -2247,19 +2275,7 @@ object PipelineOps {
       .partitionBy(col("q_id")).orderBy(col("adc_micro").asc, col("vec_id"))
     val topAdc = adc.withColumn("rk", row_number().over(wA))
       .filter(col("rk") <= PqAdcK).select(col("q_id"), col("vec_id"))
-    val qfull = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"),
-        expr("transform(embedding, v -> cast(v as double))").as("qx"))
-    val vfull = emb.select(col("vec_id"),
-      expr("transform(embedding, v -> cast(v as double))").as("vx"))
-    val exact = broadcast(qfull).join(vfull, col("q_id") =!= col("vec_id"))
-      .withColumn("rdist", round(expr(
-        s"${dot("qx", "qx")} - 2 * ${dot("qx", "vx")} + ${dot("vx", "vx")}"), 6))
-    val wE = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("rdist").asc, col("vec_id"))
-    val topEx = exact.withColumn("rk", row_number().over(wE))
-      .filter(col("rk") <= PqAdcK).select(col("q_id"), col("vec_id"))
-    val hits = topAdc.join(topEx, Seq("q_id", "vec_id"))
+    val hits = topAdc.join(pqExactTop(emb), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
     emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
       .join(hits, Seq("q_id"), "left")
@@ -2267,13 +2283,14 @@ object PipelineOps {
       .orderBy(col("q_id"))
   }
 
-  val x43bSql: String = {
+  // the codes/q/lut serving CTEs plus the exact-L2 ground truth, shared by
+  // both PQ recall oracles (x43b global, x44 cell-blocked)
+  private def pqServingCtes: String = {
     val l2 = (a: String, b: String) =>
       s"${pqDotSql(s"$a.embedding::DOUBLE[]", s"$a.embedding::DOUBLE[]")} - " +
         s"2 * ${pqDotSql(s"$a.embedding::DOUBLE[]", s"$b.embedding::DOUBLE[]")} + " +
         s"${pqDotSql(s"$b.embedding::DOUBLE[]", s"$b.embedding::DOUBLE[]")}"
-    s"""WITH $pqAssignedCtes,
-       |codes AS (SELECT vec_id, s, code FROM assigned WHERE rn = 1),
+    s"""codes AS (SELECT vec_id, s, code FROM assigned WHERE rn = 1),
        |q AS (SELECT vec_id AS q_id, s, sub AS qsub FROM sub WHERE vec_id < 10),
        |lut AS (SELECT q_id, cb.s, cb.code,
        |               CAST(round((${pqDotSql("qsub", "qsub")}
@@ -2281,23 +2298,109 @@ object PipelineOps {
        |                 + ${pqDotSql("cb.cw", "cb.cw")}) * 1000000) AS BIGINT)
        |                 AS d2_micro
        |        FROM q JOIN cb ON cb.s = q.s),
+       |topex AS (SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(${l2("a", "b")}, 6), b.vec_id) AS rn
+       |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |    WHERE a.vec_id < 10) WHERE rn <= $PqAdcK)""".stripMargin
+  }
+
+  val x43bSql: String =
+    s"""WITH $pqAssignedCtes,
+       |$pqServingCtes,
        |adc AS (SELECT q_id, vec_id, SUM(d2_micro) AS adc_micro
        |        FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
        |        WHERE vec_id <> q_id GROUP BY q_id, vec_id),
        |topadc AS (SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY adc_micro, vec_id) AS rn FROM adc) WHERE rn <= $PqAdcK),
-       |topex AS (SELECT q_id, vec_id FROM (
-       |    SELECT a.vec_id AS q_id, b.vec_id,
-       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |             ORDER BY round(${l2("a", "b")}, 6), b.vec_id) AS rn
-       |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-       |    WHERE a.vec_id < 10) WHERE rn <= $PqAdcK),
        |hits AS (SELECT t.q_id, COUNT(*) AS h FROM topadc t
        |         JOIN topex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
        |         GROUP BY t.q_id)
        |SELECT qq.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits
        |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN hits h ON h.q_id = qq.q_id
+       |ORDER BY qq.q_id""".stripMargin
+
+  // ===== x44: IVF-PQ — cell-blocked candidates scored by ADC =============
+
+  /** The composed production ANN: IVF coarse quantization prunes the
+    * candidate set to the query's cell (x12's assignment, shared
+    * `ivfAssign`), and PQ asymmetric distance ranks ONLY those candidates
+    * from their 4-bit codes (x43b's LUT serving). This is the FAISS
+    * IVF-PQ shape — the index that serves billion-vector corpora: probe
+    * cost is |cell| ADC lookups, not N, and the declared `n_cand` column
+    * makes the pruning measurable while `hits` scores the COMPOSED
+    * recall@5 (cell pruning error × quantization error) against the
+    * global exact-L2 top-5.
+    *
+    * 100 TB shape: candidate generation is the cluster equi-join; ADC is
+    * an equi-join of unpacked codes against the broadcast LUT plus a
+    * keyed sum; the per-query top-k is a bounded window over one cell's
+    * candidates. The quantizer's k grows with the corpus to hold |cell|
+    * constant (x12's declared knob), so probe cost stays flat as N grows.
+    */
+  def x44IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssign(16)(s, d).select(col("vec_id"), col("cluster"))
+    val qc = assign.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"))
+    val cand = qc.join(assign,
+        col("q_cluster") === col("cluster") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adc = cand.join(pqUnpackedCodes(s, d), Seq("vec_id"))
+      .join(broadcast(pqQueryLut(emb)), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2_micro")).as("adc_micro"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc_micro").asc, col("vec_id"))
+    val topAdc = adc.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= PqAdcK).select(col("q_id"), col("vec_id"))
+    val hits = topAdc.join(pqExactTop(emb), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("nc"))
+    emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(nCand, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("nc"), lit(0L)).as("n_cand"),
+        coalesce(col("h"), lit(0L)).as("hits"))
+      .orderBy(col("q_id"))
+  }
+
+  val x44Sql: String = {
+    val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
+    s"""WITH $pqAssignedCtes,
+       |$pqServingCtes,
+       |a16 AS (SELECT vec_id, p_id AS cluster FROM (
+       |    SELECT e.vec_id, p.vec_id AS p_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEP DESC, p.vec_id) AS rn
+       |    FROM embeddings e JOIN embeddings p ON p.vec_id < 16)
+       |  WHERE rn = 1),
+       |cand AS (SELECT qc.vec_id AS q_id, a.vec_id
+       |         FROM a16 qc JOIN a16 a ON a.cluster = qc.cluster
+       |                              AND a.vec_id <> qc.vec_id
+       |         WHERE qc.vec_id < 10),
+       |adc AS (SELECT c.q_id, c.vec_id, SUM(l.d2_micro) AS adc_micro
+       |        FROM cand c
+       |        JOIN codes k ON k.vec_id = c.vec_id
+       |        JOIN lut l ON l.q_id = c.q_id AND l.s = k.s AND l.code = k.code
+       |        GROUP BY c.q_id, c.vec_id),
+       |topadc AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc_micro, vec_id) AS rn FROM adc) WHERE rn <= $PqAdcK),
+       |hits AS (SELECT t.q_id, COUNT(*) AS h FROM topadc t
+       |         JOIN topex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+       |         GROUP BY t.q_id),
+       |ncand AS (SELECT q_id, COUNT(*) AS nc FROM cand GROUP BY q_id)
+       |SELECT qq.q_id, CAST(COALESCE(nc.nc, 0) AS BIGINT) AS n_cand,
+       |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits
+       |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN ncand nc ON nc.q_id = qq.q_id
        |LEFT JOIN hits h ON h.q_id = qq.q_id
        |ORDER BY qq.q_id""".stripMargin
   }
@@ -2678,6 +2781,7 @@ object PipelineOps {
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
+    "x44_ivfpq_topk" -> (x44IvfPqTopk _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
@@ -2732,6 +2836,7 @@ object PipelineOps {
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
+    "x44_ivfpq_topk" -> x44Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,

@@ -176,6 +176,13 @@ class Round6Spec extends SparkSpec {
     val hits = SparkEntry.queries("x43b_pq_adc")(spark, sf0001)
       .collect().map(r => r.getLong(1))
     assert(hits.length === 10 && hits.forall(h => h >= 0 && h <= 5))
+    // IVF-PQ: the cell block must actually prune (candidates strictly
+    // below the corpus) while recall stays a valid 0..5 count
+    val n = Tables.embeddings(spark, sf0001).count()
+    val ivfpq = SparkEntry.queries("x44_ivfpq_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ivfpq.length === 10)
+    assert(ivfpq.forall { case (nc, h) => nc < n - 1 && h >= 0 && h <= 5 })
   }
 
   test("Scratch.dir default derives from the warehouse dir, not a literal") {
