@@ -321,7 +321,8 @@ object ScaleProbe {
           f"buckets=${occ.getLong(0)}%5d mean=${occ.getDouble(1)}%9.1f max=${occ.getLong(2)}%6d")
       }
       Seq(8, 12).foreach { p => occupancy(src, p); occupancy(big, p) }
-      for (q <- Seq("x8_ann_lsh", "x12_ann_ivf", "x13_embed_dedup")) {
+      for (q <- Seq("x8_ann_lsh", "x12_ann_ivf", "x13_embed_dedup",
+                    "x43_pq_encode", "x44_ivfpq_topk")) {
         time(q, src); time(q, big)
       }
       spark.stop()
