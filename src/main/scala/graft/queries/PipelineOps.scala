@@ -2067,25 +2067,45 @@ object PipelineOps {
     * skew the h1 join the way any vocabulary does — AQE skew-split is
     * the declared posture (probed in `ScaleProbe skew`).
     */
-  def x42LmScore(s: SparkSession, d: String): DataFrame = {
-    StringPolyHash.register(s)
-    val bg = Tables.documents(s, d)
+  /** Position bigrams of (doc_id, text) rows as (h1 context, h12 bigram)
+    * polyhash pairs — NOT distinct: a likelihood counts every occurrence
+    * (contrast x32's DF semantics). Shared by batch x42 and the streaming
+    * twin so the two formulations cannot drift.
+    */
+  private[graft] def lmPositionBigrams(docs: DataFrame): DataFrame = {
+    StringPolyHash.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
-        // positional (not distinct) bigrams: a likelihood counts every
-        // occurrence — contrast x32's DF semantics
         "transform(sequence(1, size(toks)-1), i -> struct(" +
           "graft_polyhash(element_at(toks, i)) AS h1, " +
           "graft_polyhash(concat(element_at(toks, i), ' ', element_at(toks, i+1))) AS h12))"
       )).as("b"))
       .select(col("doc_id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
-    val ref = bg.filter(col("doc_id") % 10 === 0)
-    val uni = ref.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-    val bi = ref.groupBy(col("h12")).agg(count(lit(1)).as("c2"))
+  }
+
+  /** The trained model: context and bigram counts over the doc_id % 10
+    * reference slice.
+    */
+  private[graft] def lmModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ref = lmPositionBigrams(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 10 === 0)
+    (ref.groupBy(col("h1")).agg(count(lit(1)).as("c1")),
+      ref.groupBy(col("h12")).agg(count(lit(1)).as("c2")))
+  }
+
+  /** Add-one-smoothed conditional probability in truncated 10⁻⁶ units. */
+  private[graft] val lmPMicroExpr: String =
+    "(1000000L * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + 1000003L)"
+
+  def x42LmScore(s: SparkSession, d: String): DataFrame = {
+    val bg = lmPositionBigrams(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val (uni, bi) = lmModel(s, d)
     bg.join(uni, Seq("h1"), "left").join(bi, Seq("h12"), "left")
-      .withColumn("p_micro", expr(
-        "(1000000L * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + 1000003L)"))
+      .withColumn("p_micro", expr(lmPMicroExpr))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("ll_micro_sum"))
       .withColumn("ll_micro_mean", expr("ll_micro_sum div n_bigrams"))
@@ -2404,6 +2424,76 @@ object PipelineOps {
        |LEFT JOIN hits h ON h.q_id = qq.q_id
        |ORDER BY qq.q_id""".stripMargin
   }
+
+  // ===== x45: hybrid retrieval — BM25 ⊕ dense ranks via RRF ==============
+
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    * serving-side primitive of a RAG stack: a BM25 keyword ranking (x19's
+    * exact-rational scorer, unchanged — one source of truth) and a dense
+    * cosine ranking against a fixed query vector (x1b's round-to-6
+    * discipline) are fused by RRF, score(d) = Σ_lists 1/(60 + rank_d),
+    * carried in integer micro-units (`1000000 div (60 + rank)`) so both
+    * engines replay the fusion exactly — no float rank reciprocals.
+    * Fixture alignment: the synthetic corpus keys `documents.doc_id` and
+    * `embeddings.vec_id` in the same id space, standing in for the
+    * production pairing where the embedding row carries the doc_id it was
+    * computed from. Ids appearing in only one top-50 list contribute one
+    * reciprocal term (rank 0 marks "absent from that list").
+    *
+    * Scale: both rank lists are top-50 — constant-size — so the windows
+    * and the full-outer fusion join run on bounded inputs whatever the
+    * corpus size; the heavy lifting (corpus-wide BM25 stats, dense scan)
+    * is the already-audited x19/x1b shape, and the dense side's linear
+    * scan swaps for the x8/x12/x44 ANN keys at scale without touching the
+    * fusion. RRF needs no score calibration between the two lists — only
+    * ranks — which is exactly why it is the production default.
+    */
+  def x45HybridRrf(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = x19Bm25(s, d)
+      .withColumn("rank_s", row_number().over(wS).cast("long"))
+      .select(col("doc_id").as("id"), col("rank_s"))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("vec_id"))
+    val dense = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(50)
+      .withColumn("rank_d", row_number().over(wD).cast("long"))
+      .select(col("vec_id").as("id"), col("rank_d"))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rank_s"), lit(0L)).as("rank_s"),
+        coalesce(col("rank_d"), lit(0L)).as("rank_d"),
+        expr("coalesce(1000000L div (60 + rank_s), 0L) + " +
+          "coalesce(1000000L div (60 + rank_d), 0L)").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(20)
+  }
+
+  val x45Sql: String =
+    s"""WITH sparse AS (
+       |  SELECT doc_id AS id,
+       |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_s
+       |  FROM ($x19Sql) bm),
+       |dense AS (
+       |  SELECT n_id AS id,
+       |         ROW_NUMBER() OVER (ORDER BY sim DESC, n_id) AS rank_d
+       |  FROM (SELECT b.vec_id AS n_id, ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
+       |        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |        WHERE a.vec_id = 0
+       |        ORDER BY sim DESC, n_id LIMIT 50) dn)
+       |SELECT COALESCE(sp.id, de.id) AS id,
+       |       CAST(COALESCE(rank_s, 0) AS BIGINT) AS rank_s,
+       |       CAST(COALESCE(rank_d, 0) AS BIGINT) AS rank_d,
+       |       CAST(COALESCE(1000000 // (60 + rank_s), 0)
+       |            + COALESCE(1000000 // (60 + rank_d), 0) AS BIGINT) AS rrf_micro
+       |FROM sparse sp FULL OUTER JOIN dense de ON sp.id = de.id
+       |ORDER BY rrf_micro DESC, id LIMIT 20""".stripMargin
 
   // ===== x29: hashed linear quality classifier ===========================
 
@@ -2782,6 +2872,7 @@ object PipelineOps {
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
     "x44_ivfpq_topk" -> (x44IvfPqTopk _),
+    "x45_hybrid_rrf" -> (x45HybridRrf _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
@@ -2837,6 +2928,7 @@ object PipelineOps {
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
     "x44_ivfpq_topk" -> x44Sql,
+    "x45_hybrid_rrf" -> x45Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,

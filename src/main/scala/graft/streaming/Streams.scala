@@ -375,6 +375,31 @@ object Streams {
         expr("CAST(bit_count(sh ^ idx_sh) AS LONG)").as("hamming"))
   }
 
+  /** Streaming twin of x42's reference-trained bigram LM scoring: arriving
+    * documents explode into position bigrams through the SAME
+    * [[graft.queries.PipelineOps.lmPositionBigrams]] the batch key uses (one
+    * formulation — the two cannot drift), then score each position against
+    * the STATIC pre-trained model tables (context counts `uni`, bigram
+    * counts `bi` — [[graft.queries.PipelineOps.lmModel]]'s output,
+    * materialized once at training time) via stream-static broadcast left
+    * joins. Zero stream-side state: like decontamStream, this emits one
+    * scored row per (doc, position bigram) and leaves the per-doc
+    * aggregation to the sink — a keyed fold the consumer already owns —
+    * so ingest cost per doc is O(tokens) lookups regardless of stream
+    * history, and a document's scores are independent of arrival order and
+    * micro-batch boundaries (StreamingSpec proves sink-side re-aggregation
+    * is bit-identical to batch x42). This is CCNet's serving half: the
+    * model is fit offline on the reference slice; the stream is the
+    * at-the-door perplexity filter. Expects stream columns (doc_id, text);
+    * static columns (h1, c1) and (h12, c2).
+    */
+  def lmScoreStream(docs: DataFrame, uni: DataFrame, bi: DataFrame): DataFrame =
+    graft.queries.PipelineOps.lmPositionBigrams(docs)
+      .join(broadcast(uni), Seq("h1"), "left")
+      .join(broadcast(bi), Seq("h12"), "left")
+      .select(col("doc_id"), col("h1"), col("h12"),
+        expr(graft.queries.PipelineOps.lmPMicroExpr).as("p_micro"))
+
   /** Streaming twin of x30's corpus upsert: a change feed (doc_id,
     * new_text, op ∈ U/D/I) applied to a versioned parquet corpus state via
     * foreachBatch — each micro-batch MERGEs into the latest version with

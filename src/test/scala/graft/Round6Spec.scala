@@ -202,6 +202,30 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("x45: RRF fusion arithmetic is exact and the sparse ranks are x19's own") {
+    val fused = SparkEntry.queries("x45_hybrid_rrf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.length === 20)
+    assert(fused.map(_._1).distinct.length === 20, "fused ids must be unique")
+    // integer replay of the RRF formula from the declared rank columns
+    fused.foreach { case (id, rs, rd, rrf) =>
+      val expect = (if (rs > 0) 1000000L / (60 + rs) else 0L) +
+        (if (rd > 0) 1000000L / (60 + rd) else 0L)
+      assert(rrf === expect, s"id $id: rrf $rrf != replay $expect")
+      assert(rs > 0 || rd > 0, s"id $id is in neither top-50 list")
+    }
+    // declared total order: (rrf_micro DESC, id)
+    assert(fused.sameElements(fused.sortBy(t => (-t._4, t._1))))
+    // sparse ranks are exactly x19's: rank i in the fused output means
+    // position i of the BM25 top-50 (one scorer, one source of truth)
+    val bm25 = SparkEntry.queries("x19_bm25")(spark, sf0001)
+      .collect().map(_.getLong(0))
+    fused.filter(_._2 > 0).foreach { case (id, rs, _, _) =>
+      assert(bm25(rs.toInt - 1) === id,
+        s"fused rank_s $rs claims id $id but x19 has ${bm25(rs.toInt - 1)}")
+    }
+  }
+
   test("x41 semantic dedup matches an independent in-test replay of the SemDeDup rule") {
     // full plain-Scala reimplementation (third formulation besides the
     // Spark plan and the DuckDB oracle): IVF assignment, micro-unit

@@ -382,6 +382,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM scorer re-aggregates to exactly the batch x42 likelihoods") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the model is trained OFFLINE (batch lmModel over the reference slice);
+    // the stream only consumes it as static lookup tables
+    val (uni, bi) = graft.queries.PipelineOps.lmModel(spark, TestSpark.sf0001)
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.lmScoreStream(mem.toDF().toDF("doc_id", "text"), uni, bi)
+      .writeStream.format("memory").queryName("lmscore_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      // two micro-batches: the stateless scorer must be batch-boundary-blind
+      mem.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      // sink-side per-doc fold — the declared contract — must be
+      // bit-identical to batch x42 (integer micro-units: no float order)
+      val streamed = spark.table("lmscore_test")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("ll_micro_sum"))
+        .withColumn("ll_micro_mean", expr("ll_micro_sum div n_bigrams"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val batch = SparkEntry.queries("x42_lm_score")(spark, TestSpark.sf0001)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(streamed === batch && streamed.nonEmpty)
+      // reference-slice docs exist in the scored set (the model's own
+      // training rows score too — CCNet scores everything, then thresholds)
+      assert(streamed.keys.exists(_ % 10 == 0))
+    } finally q.stop()
+  }
+
   test("streaming embedding dedup marks same-bucket duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
