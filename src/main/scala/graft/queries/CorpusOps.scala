@@ -482,7 +482,54 @@ object CorpusOps {
        |      FROM documents)
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ===== x47: mixture rebalancing — per-domain repeat factors =============
+
+  /** Token-budget mixture rebalancing: given a target mix (uniform over
+    * `source` domains here — the target is a policy input, not data) and a
+    * total token budget of one corpus-worth, compute each domain's repeat
+    * factor — how many times its documents are seen in training. This is
+    * the upsampling half of data mixing, complementing x24's
+    * temperature-weighted downsampling: recipes like The Pile and LLaMA
+    * publish exactly this table (epochs per source). The factor is carried
+    * in integer micro-units and split the way schedulers consume it:
+    * `epochs_full` whole passes plus a `resid_micro` Bernoulli rate for
+    * the fractional pass (pairing with x14's hash-membership trick at
+    * apply time). All divisions are integer — both engines replay exactly.
+    *
+    * Scale: one groupBy on the low-cardinality domain key with map-side
+    * partial aggregation; the `over ()` window runs on the per-domain
+    * aggregate (dozens of rows at any corpus size), not the corpus.
+    */
+  def x47MixtureWeights(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .withColumn("tot", sum(col("tokens")).over(Window.partitionBy()))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("share_micro", expr("(1000000L * tokens) div tot"))
+      .withColumn("repeat_micro", expr("(1000000L * (tot div ns)) div tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("share_micro"),
+        col("repeat_micro"),
+        expr("repeat_micro div 1000000L").as("epochs_full"),
+        expr("repeat_micro % 1000000L").as("resid_micro"))
+      .orderBy(col("source"))
+
+  val x47Sql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot, COUNT(*) AS ns FROM s)
+      |SELECT source, n_docs, tokens,
+      |       CAST((1000000 * tokens) // tot AS BIGINT) AS share_micro,
+      |       CAST((1000000 * (tot // ns)) // tokens AS BIGINT) AS repeat_micro,
+      |       CAST(((1000000 * (tot // ns)) // tokens) // 1000000 AS BIGINT) AS epochs_full,
+      |       CAST(((1000000 * (tot // ns)) // tokens) % 1000000 AS BIGINT) AS resid_micro
+      |FROM s, t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x47_mixture_weights" -> (x47MixtureWeights _),
     "x31_split"          -> (x31Split _),
     "x30_corpus_upsert"  -> (x30CorpusUpsert _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
@@ -495,6 +542,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x47_mixture_weights" -> x47Sql,
     "x31_split"          -> x31Sql,
     "x30_corpus_upsert"  -> x30Sql,
     "p1_curation_pipeline" -> p1Sql,

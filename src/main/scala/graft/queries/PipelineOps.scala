@@ -1248,6 +1248,57 @@ object PipelineOps {
        |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ===== x46: bloom-pruned decontamination (runtime-filter shape) =========
+
+  /** The shared shingle CTEs of the decontamination family, as SQL text —
+    * x46 composes them with a bloom prune; Round6Spec composes them with
+    * bare counts to measure how much the prune actually removes.
+    */
+  private[graft] def decontamCteSql(w: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, split(text, ' ') AS t FROM documents
+       |  WHERE size(split(text, ' ')) >= $w),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sha2(concat_ws(' ', slice(t, i, $w)), 256) AS h
+       |  FROM (SELECT doc_id, t, explode(sequence(1, size(t) - ${w - 1})) AS i FROM toks)),
+       |test AS (SELECT doc_id AS test_doc, h FROM sh WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
+       |pruned AS (
+       |  SELECT doc_id, h FROM train
+       |  WHERE graft_might_contain(
+       |    (SELECT graft_bloom_agg(xxhash64(h), 1000000L, 8388608L) FROM test),
+       |    xxhash64(h)))""".stripMargin
+
+  /** x20's decontamination with an EXPLICIT runtime Bloom filter between
+    * the scan and the shuffle — the pattern that decides decontamination
+    * cost at 100 TB. The test side (an eval benchmark) is tiny and fixed;
+    * the train side is the whole corpus, and x20's plan shuffles every
+    * train shingle to meet it. Here a `BloomFilterAggregate` scalar
+    * subquery digests the test shingles into one ~1 MB filter (Spark's own
+    * runtime-filter expressions — [[graft.functions.BloomFunctions]]),
+    * which `BloomFilterMightContain` probes MAP-SIDE over the train
+    * shingles: the shuffle then carries only true matches plus the bloom's
+    * false positives (~10⁻³ at these sizes) instead of the full corpus —
+    * a ~1000× shuffle-volume cut on a clean corpus, bought with one extra
+    * scan of the tiny side. Correctness is unconditional: bloom filters
+    * have no false negatives, and the exact digest join downstream drops
+    * the false positives, so the result is bit-identical to x20 (same
+    * oracle SQL; Round6Spec also pins result-equality and the pruning
+    * fraction directly). This is exactly what Catalyst's
+    * `InjectRuntimeFilter` plants when its heuristics fire; declaring it
+    * makes the prune deterministic instead of threshold-dependent.
+    */
+  def x46DecontamBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    graft.GraftSession.registerTables(s, d)
+    s.sql(
+      s"""${decontamCteSql(DecontamW)}
+         |SELECT pruned.doc_id AS doc_id, COUNT(DISTINCT h) AS n_shingles,
+         |       COUNT(DISTINCT test_doc) AS n_test_docs
+         |FROM pruned JOIN test USING (h)
+         |GROUP BY pruned.doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   // ===== x21: apply near-dup dedup (materialize the kept corpus) ==========
 
   /** The "apply" step the dedup family feeds: keep one canonical document
@@ -2905,6 +2956,7 @@ object PipelineOps {
     "x18_repetition"     -> (x18Repetition _),
     "x19_bm25"           -> (x19Bm25 _),
     "x20_decontam"       -> (x20Decontam _),
+    "x46_decontam_bloom" -> (x46DecontamBloom _),
     "x21_dedup_apply"    -> (x21DedupApply _),
     "x22_centroid"       -> (x22Centroid _),
     "m1_byte_features"  -> (m1ByteFeatures _),
@@ -2955,6 +3007,7 @@ object PipelineOps {
     "x18_repetition"     -> x18Sql,
     "x19_bm25"           -> x19Sql,
     "x20_decontam"       -> x20Sql,
+    "x46_decontam_bloom" -> x20Sql, // bloom only prunes; exact join ⇒ x20's oracle verbatim
     "x21_dedup_apply"    -> x21Sql,
     "x22_centroid"       -> x22Sql,
     "m1_byte_features"  -> m1Sql,

@@ -226,6 +226,50 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("x46: bloom prune is plan-visible, lossless vs exact x20, and actually prunes") {
+    val bloom = SparkEntry.queries("x46_decontam_bloom")(spark, sf0001)
+    // the prune must survive optimization into the physical plan
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom probe missing from the physical plan")
+    // no false negatives + exact downstream join ⇒ bit-identical to x20
+    val exact = SparkEntry.queries("x20_decontam")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = bloom.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exact && exact.nonEmpty)
+    // the filter genuinely cuts shuffle input: pruned strictly below train
+    // (x46's builder registered the views and functions above)
+    val Array(total, kept) = spark.sql(
+      s"""${graft.queries.PipelineOps.decontamCteSql(4)}
+         |SELECT (SELECT COUNT(*) FROM train) AS total,
+         |       (SELECT COUNT(*) FROM pruned) AS kept""".stripMargin)
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(kept < total, s"bloom kept $kept of $total train shingles — no pruning")
+    assert(kept > 0, "bloom pruned everything — filter is broken")
+  }
+
+  test("x47: repeat factors are the exact floor of the uniform token budget") {
+    val rows = SparkEntry.queries("x47_mixture_weights")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    val tot = rows.map(_._3).sum
+    val target = tot / rows.length // uniform share of the one-corpus budget
+    rows.foreach { case (src, _, tokens, share, repeat, epochs, resid) =>
+      // floor definition, replayed: largest micro-factor not exceeding target
+      assert(repeat * tokens <= 1000000L * target, s"$src over budget")
+      assert((repeat + 1) * tokens > 1000000L * target, s"$src not tight")
+      assert(share === 1000000L * tokens / tot)
+      assert(epochs === repeat / 1000000L && resid === repeat % 1000000L)
+      // scheduler contract: whole passes + one Bernoulli fractional pass
+      assert(epochs * 1000000L + resid === repeat)
+    }
+    // rebalancing direction: under-represented domains get repeat > 1 epoch
+    val small = rows.minBy(_._3); val big = rows.maxBy(_._3)
+    if (small._3 < target) assert(small._5 > 1000000L)
+    if (big._3 > target) assert(big._5 < 1000000L)
+  }
+
   test("x41 semantic dedup matches an independent in-test replay of the SemDeDup rule") {
     // full plain-Scala reimplementation (third formulation besides the
     // Spark plan and the DuckDB oracle): IVF assignment, micro-unit
