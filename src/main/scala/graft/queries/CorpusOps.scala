@@ -528,8 +528,62 @@ object CorpusOps {
       |       CAST(((1000000 * (tot // ns)) // tokens) % 1000000 AS BIGINT) AS resid_micro
       |FROM s, t ORDER BY source""".stripMargin
 
+  /** Apply x47's schedule to the corpus: every document is seen
+    * `epochs_full` whole times, plus one more with probability
+    * `resid_micro`/10⁶ decided by the x14/x31 doc_id-hash membership trick
+    * — deterministic, append-stable, and replayable in both engines (no
+    * RNG). Output is the per-domain realized schedule (docs and tokens
+    * counted with multiplicity), i.e. what the training dataloader will
+    * actually see; the realized token mass lands within Bernoulli noise of
+    * x47's uniform target per domain.
+    *
+    * Scale: the factor table is domain-cardinality — broadcast; copies are
+    * decided map-side per document; one partial-agg groupBy on the domain
+    * key. No shuffle of document bodies anywhere.
+    */
+  def x47bMixtureApply(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val factors = x47MixtureWeights(s, d)
+      .select(col("source"), col("epochs_full"), col("resid_micro"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dtok"))
+      .join(broadcast(factors), Seq("source"))
+      // salt the membership hash: bare short ids hash far below 10⁶ under
+      // the rolling polyhash (3 chars ⇒ ≲5×10⁴), which would bias the
+      // Bernoulli trial toward firing; the prefix lengthens every input
+      // past the mixing horizon. % 100 users (x31) don't need this.
+      .withColumn("copies", col("epochs_full") +
+        when(pmod(expr("graft_polyhash(concat('mix:', cast(doc_id as string)))"),
+          lit(1000000L)) < col("resid_micro"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("scheduled_docs"),
+        sum(col("copies") * col("dtok")).as("scheduled_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val x47bSql: String =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot, COUNT(*) AS ns FROM s),
+       |f AS (SELECT source,
+       |             CAST((1000000 * (tot // ns)) // tokens AS BIGINT) AS repeat_micro
+       |      FROM s, t),
+       |c AS (SELECT d.source,
+       |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dtok,
+       |             (f.repeat_micro // 1000000) +
+       |               CASE WHEN ${polyhashSqlOf("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |                         < f.repeat_micro % 1000000 THEN 1 ELSE 0 END AS copies
+       |      FROM documents d JOIN f USING (source))
+       |SELECT source, CAST(SUM(copies) AS BIGINT) AS scheduled_docs,
+       |       CAST(SUM(copies * dtok) AS BIGINT) AS scheduled_tokens
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x47_mixture_weights" -> (x47MixtureWeights _),
+    "x47b_mixture_apply" -> (x47bMixtureApply _),
     "x31_split"          -> (x31Split _),
     "x30_corpus_upsert"  -> (x30CorpusUpsert _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
@@ -543,6 +597,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "x47_mixture_weights" -> x47Sql,
+    "x47b_mixture_apply" -> x47bSql,
     "x31_split"          -> x31Sql,
     "x30_corpus_upsert"  -> x30Sql,
     "p1_curation_pipeline" -> p1Sql,

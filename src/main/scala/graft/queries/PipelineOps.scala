@@ -1277,10 +1277,14 @@ object PipelineOps {
     * subquery digests the test shingles into one ~1 MB filter (Spark's own
     * runtime-filter expressions — [[graft.functions.BloomFunctions]]),
     * which `BloomFilterMightContain` probes MAP-SIDE over the train
-    * shingles: the shuffle then carries only true matches plus the bloom's
-    * false positives (~10⁻³ at these sizes) instead of the full corpus —
-    * a ~1000× shuffle-volume cut on a clean corpus, bought with one extra
-    * scan of the tiny side. Correctness is unconditional: bloom filters
+    * shingles: the shuffles then carry only true matches plus the bloom's
+    * false positives (~10⁻³ at these sizes) instead of the full corpus.
+    * Catalyst pushes the probe below the per-doc shingle DISTINCT (the
+    * predicate references only the grouping column) and propagates it to
+    * the test side through the join constraint, so EVERY exchange in the
+    * plan is pruned — `ScaleProbe bloom` measures 27× less shuffle write
+    * and 2.5× lower latency at sf0.1, bit-identical results
+    * (docs/bloom_probe.json). Correctness is unconditional: bloom filters
     * have no false negatives, and the exact digest join downstream drops
     * the false positives, so the result is bit-identical to x20 (same
     * oracle SQL; Round6Spec also pins result-equality and the pruning

@@ -270,6 +270,31 @@ class Round6Spec extends SparkSpec {
     if (big._3 > target) assert(big._5 < 1000000L)
   }
 
+  test("x47b: the realized schedule is consistent with x47's factors") {
+    val factors = SparkEntry.queries("x47_mixture_weights")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    val applied = SparkEntry.queries("x47b_mixture_apply")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(applied.map(_._1).toSet === factors.keySet)
+    applied.foreach { case (src, schedDocs, schedToks) =>
+      val (nDocs, tokens, epochs, resid) = factors(src)
+      // copies ∈ {epochs, epochs+1} per doc, so the realized totals are
+      // bracketed by the whole-epoch floor and ceiling — exactly
+      assert(schedDocs >= epochs * nDocs && schedDocs <= (epochs + 1) * nDocs,
+        s"$src: $schedDocs docs outside [$epochs, ${epochs + 1}] epochs")
+      assert(schedToks >= epochs * tokens && schedToks <= (epochs + 1) * tokens)
+      // fractional pass fires for SOME docs iff resid > 0 on a big domain
+      if (resid == 0) assert(schedDocs === epochs * nDocs, s"$src: resid=0 but extras")
+    }
+    // the whole realized budget lands near one corpus-worth of tokens
+    // (uniform target × ns domains = tot, up to floor truncation + Bernoulli)
+    val tot = factors.values.map(_._2).sum
+    val realized = applied.map(_._3).sum
+    assert(math.abs(realized - tot).toDouble / tot < 0.25,
+      s"realized $realized vs budget $tot — schedule is not budget-shaped")
+  }
+
   test("x41 semantic dedup matches an independent in-test replay of the SemDeDup rule") {
     // full plain-Scala reimplementation (third formulation besides the
     // Spark plan and the DuckDB oracle): IVF assignment, micro-unit
