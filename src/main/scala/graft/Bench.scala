@@ -154,7 +154,12 @@ object Bench {
         }.mkString("{", ",", "}")
     }
 
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
+    // A run with failures must never print a smaller-is-better headline: the
+    // sum over the surviving queries is NOT comparable to a clean round's
+    // total (r7 postmortem — 25 failed keys made 118.9s look faster than a
+    // clean 142.4s). `comparable:false` marks it explicitly.
+    val comparable = failed == 0
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the
     // driver's artifact keeps only a stdout tail, so per-key timings were
@@ -175,7 +180,7 @@ object Bench {
     // BENCH_r{N}.json without needing the full line.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"headline","value":$total,"unit":"sec","failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

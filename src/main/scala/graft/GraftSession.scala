@@ -54,10 +54,19 @@ object GraftSession {
     * surface is reachable from plain `spark.sql` — the SQL-first workflow
     * the reference harness assumes (its queries are SQL strings over
     * external tables). Views go through [[Tables.load]], so the events
-    * ns-timestamp shim and session tuning apply identically to SQL users.
+    * timestamp shim and session tuning apply identically to SQL users.
+    *
+    * Registration is per-table fault-isolated: one unreadable/missing table
+    * must not take down views over the other nine (r7 postmortem — a broken
+    * events loader killed four relational-only sql2 parity keys). SQL that
+    * actually touches the broken table still fails, now with
+    * TABLE_OR_VIEW_NOT_FOUND naming it.
     */
   def registerTables(spark: SparkSession, sfDir: String): Unit =
     (Tables.relational ++ Seq("events", "documents", "embeddings")).foreach { t =>
-      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+      try Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+      catch { case e: Exception =>
+        System.err.println(s"[graft] registerTables: skipping '$t' (${e.getMessage})")
+      }
     }
 }

@@ -89,11 +89,39 @@ object Tables {
 
   private def loadTable(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // timestamp[ns] parquet: read the physical int64, truncate to µs.
+      // The events file has shipped with two physical layouts for `ts`
+      // (testdata regenerations flip between them), so branch on the dtype
+      // the reader actually sees instead of assuming one era forever:
+      //   - INT64 TIMESTAMP(NANOS): Spark 4 reads it as `long` under
+      //     `nanosAsLong=true`; truncate to µs for the logical `ts`.
+      //   - INT64 TIMESTAMP_MICROS (isAdjustedToUTC=0): Spark 4 reads it as
+      //     `timestamp_ntz`; the session TZ is UTC on both engines so the
+      //     NTZ→timestamp cast is value-preserving, and `ts_ns` is rebuilt
+      //     as unix_micros·1000 (sub-µs digits were never present).
+      // Both branches expose the identical schema AND column order
+      // (event_id, ts_ns long, user_id, event_type, value, props, ts
+      // timestamp) so the 25 downstream consumers and their DuckDB oracles
+      // (`epoch_us(ts)`) are layout-agnostic.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      read(spark, s"$sfDir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val raw = read(spark, s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case TimestampNTZType | TimestampType =>
+          raw.select(
+            col("event_id"),
+            (unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).as("ts_ns"),
+            col("user_id"),
+            col("event_type"),
+            col("value"),
+            col("props"),
+            col("ts").cast(TimestampType).as("ts"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported physical type $other — " +
+              "expected INT64 nanos (read as long) or timestamp[_ntz]")
+      }
     case other =>
       read(spark, s"$sfDir/$other.parquet")
   }

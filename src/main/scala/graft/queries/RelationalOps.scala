@@ -287,15 +287,27 @@ object RelationalOps {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** HLL++ sketch distinct — algorithm differs from DuckDB's, so declared
-    * without an oracle (driver records rows-only); accuracy bound is
-    * asserted in the unit spec against the exact count.
+  /** HLL++ sketch distinct. The raw sketch value can't be oracle-checked
+    * (DuckDB's approx algorithm differs), so the key exports the exact
+    * COUNT(DISTINCT) wrapper instead: the sketch is still computed in-plan,
+    * and `within_bound` asserts it lands inside 5× the declared 1% rsd —
+    * the oracle side pins the exact count and expects the flag TRUE, which
+    * turns a sketch regression into a hash mismatch instead of an unchecked
+    * rows-only pass (SURVEY §2.2's "exact wrapper" option, r7 verdict #6).
     */
   def a1bApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("within_bound"))
       .orderBy(col("event_type"))
+
+  val a1bSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- a2: rollup ----
   def a2Rollup(s: SparkSession, d: String): DataFrame =
@@ -948,7 +960,7 @@ object RelationalOps {
     "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,
     // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check
-    // a1b_approx_distinct: no oracle (sketch != DuckDB's) — rows-only check
+    "a1b_approx_distinct" -> a1bSql,
     "a2_rollup"      -> a2Sql,
     "a3_cube"        -> a3Sql,
     "a4_pivot"       -> a4Sql,

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: every window ORDER BY carries a unique tie-break column
   * (event_id / o_orderkey); timestamps are exported as epoch integers at the
-  * µs precision both engines share (events is ns in parquet; Spark reads it
-  * truncated to µs, the oracle uses epoch_us which truncates identically).
+  * µs precision both engines share (Tables.loadTable normalizes events.ts to
+  * µs whatever the file's physical layout — micros-NTZ today, legacy nanos
+  * truncated — so the oracle's epoch_us matches identically).
   *
   * Scale notes: all windows partition by a key (event_type / user_id /
   * o_custkey) — no global windows, so no single-partition sort bottleneck.

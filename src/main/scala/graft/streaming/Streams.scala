@@ -493,13 +493,17 @@ object Streams {
     */
   def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String): Long = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val src = spark.readStream.schema(schema)
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // File streams need an explicit schema; take it from a batch read of the
+    // same directory so the stream follows whichever physical `ts` layout
+    // the files actually have (legacy INT64-nanos read as long, or
+    // TIMESTAMP_MICROS read as timestamp[_ntz] — same drift branch as
+    // Tables.loadTable).
+    val schema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val src = schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
     val counted = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = tumblingCounts(src).writeStream
       .outputMode(OutputMode.Append())

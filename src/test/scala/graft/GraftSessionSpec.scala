@@ -34,4 +34,20 @@ class GraftSessionSpec extends SparkSpec {
     assert(spark.sql("SELECT size(embedding) FROM embeddings LIMIT 1")
       .head().getInt(0) > 0)
   }
+
+  test("registerTables fault isolation: one missing table cannot sink the other views") {
+    // stage a dataset dir with events.parquet absent (the r7 failure mode
+    // was a broken events loader taking down relational-only sql2 keys)
+    val dir = java.nio.file.Files.createTempDirectory("graft_noevents")
+    (Tables.relational ++ Seq("documents", "embeddings")).foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"${TestSpark.sf0001}/$t.parquet"))
+    }
+    val df = SparkEntry.queries("sql2_q1_text")(spark, dir.toString)
+    assert(df.count() > 0, "relational SQL keys must run without the events table")
+    // re-register the real dataset so later suites sharing the session see
+    // the full view set again
+    GraftSession.registerTables(spark, TestSpark.sf0001)
+  }
 }

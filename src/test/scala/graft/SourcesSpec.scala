@@ -47,7 +47,7 @@ class SourcesSpec extends SparkSpec {
     assert(got.sameElements(want))
     // the container really is a snappy SequenceFile: the header names the
     // codec class (SEQ magic + key/value classes + codec)
-    val dir = new java.io.File("/tmp/graft_src4_seq__root_testdata_sf0_001")
+    val dir = new java.io.File(s"${Scratch.dir(spark)}/graft_src4_seq__root_testdata_sf0_001")
     val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
     val head = java.nio.file.Files.readAllBytes(part.toPath).take(300)
     val headStr = new String(head.filter(b => b >= 32 && b < 127).map(_.toChar))
@@ -59,7 +59,7 @@ class SourcesSpec extends SparkSpec {
     // run the key once to materialize the layout
     val got = MultiFormat.src5ShardSink(spark, TestSpark.sf0001)
     assert(got.count() > 0)
-    val dir = new java.io.File("/tmp/graft_src5_shard__root_testdata_sf0_001")
+    val dir = new java.io.File(s"${Scratch.dir(spark)}/graft_src5_shard__root_testdata_sf0_001")
     val shards = dir.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
     assert(shards.toSeq === (0 until 8).map(i => s"shard=$i"))
     // each shard holds one fully doc_id-sorted file (the training-reader
@@ -85,7 +85,7 @@ class SourcesSpec extends SparkSpec {
     assert(row.getLong(1) === nCorrupt)
     // the SAME files under FAILFAST must abort the scan
     val tag = TestSpark.sf0001.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_src7_corrupt_$tag"
+    val path = s"${Scratch.dir(spark)}/graft_src7_corrupt_$tag"
     val ex = intercept[org.apache.spark.SparkException] {
       spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
         .option("mode", "FAILFAST").json(path).count()
@@ -99,13 +99,13 @@ class SourcesSpec extends SparkSpec {
     val tag = TestSpark.sf0001.replaceAll("[^a-zA-Z0-9]", "_")
     def parts(p: String) = new java.io.File(p).listFiles()
       .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val frag = parts(s"/tmp/graft_src8_frag_$tag")
-    val comp = parts(s"/tmp/graft_src8_comp_$tag")
+    val frag = parts(s"${Scratch.dir(spark)}/graft_src8_frag_$tag")
+    val comp = parts(s"${Scratch.dir(spark)}/graft_src8_comp_$tag")
     assert(frag === 64, s"fragmented layout should have 64 files, had $frag")
     assert(comp < frag / 8, s"compaction left $comp files (from $frag)")
     // row-level content identical across the re-layout
-    val a = spark.read.parquet(s"/tmp/graft_src8_frag_$tag")
-    val b = spark.read.parquet(s"/tmp/graft_src8_comp_$tag")
+    val a = spark.read.parquet(s"${Scratch.dir(spark)}/graft_src8_frag_$tag")
+    val b = spark.read.parquet(s"${Scratch.dir(spark)}/graft_src8_comp_$tag")
     assert(a.count() === b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
