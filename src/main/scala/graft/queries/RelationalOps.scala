@@ -344,20 +344,37 @@ object RelationalOps {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  /** t-digest-family sketch percentiles — like a1b, the sketch differs from
-    * DuckDB's, so no oracle; the unit spec bounds it against the exact
-    * percentile instead. Projected to SCALAR columns (not one array<double>)
-    * so the harness's rows-only canon-sort can handle the result.
+  /** Sketch percentiles with an exact-wrapper oracle (same discipline as
+    * a1b): the raw `percentile_approx` values can't be hash-compared (the
+    * sketch differs from DuckDB's t-digest), so the key exports the exact
+    * `percentile_disc` order statistics — DISC picks an actual data element
+    * (SQL-standard first-value-with-cdf≥p), no interpolation arithmetic, so
+    * both engines return the identical parquet double bit-for-bit — plus a
+    * `within_bound` flag asserting the in-plan sketch lands within 2% of
+    * exact. A sketch regression flips the flag → hash mismatch, instead of
+    * the old unchecked rows-only pass.
     */
   def a5ApproxPercentile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 10000)")
-        .as("pcts"))
-      .select(col("l_returnflag"),
-        element_at(col("pcts"), 1).as("approx_p50"),
-        element_at(col("pcts"), 2).as("approx_p90"))
+             .as("pcts"),
+           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+             .as("p50_disc"),
+           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+             .as("p90_disc"))
+      .select(col("l_returnflag"), col("p50_disc"), col("p90_disc"),
+        (abs(element_at(col("pcts"), 1) - col("p50_disc")) <= col("p50_disc") * lit(0.02) &&
+         abs(element_at(col("pcts"), 2) - col("p90_disc")) <= col("p90_disc") * lit(0.02))
+          .as("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  val a5Sql: String =
+    """SELECT l_returnflag,
+      |       percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+      |       percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_disc,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- a4: pivot (wide counts per event_type) ----
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -959,7 +976,7 @@ object RelationalOps {
     "j9_full_outer" -> j9Sql,
     "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,
-    // a5_approx_percentile: no oracle (sketch != DuckDB's) — rows-only check
+    "a5_approx_percentile" -> a5Sql,
     "a1b_approx_distinct" -> a1bSql,
     "a2_rollup"      -> a2Sql,
     "a3_cube"        -> a3Sql,

@@ -22,7 +22,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 class AuditSpec extends SparkSpec {
 
   test("every declared key has an oracle or is explicitly declared no-oracle") {
-    val noOracle = Set("a1b_approx_distinct", "a5_approx_percentile")
+    // every key is oracle-checked since r8 (a1b/a5 use exact-wrapper oracles)
+    val noOracle = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracle
     assert(missing.isEmpty, s"keys missing an oracle: ${missing.toSeq.sorted}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
