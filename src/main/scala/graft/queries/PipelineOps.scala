@@ -843,6 +843,62 @@ object PipelineOps {
       |      (a, b) -> (a * 31 + b) % 1000003) % 100 < 5
       |ORDER BY doc_id""".stripMargin
 
+  // ===== x48: deterministic epoch shuffle (training-reader ordering) ======
+
+  /** Per-epoch global permutation + shard assignment — the "global shuffle"
+    * a training reader needs between epochs, done WITHOUT a global sort.
+    * Each (doc, epoch) gets a position key from an affine integer mix in
+    * pure modular arithmetic both engines share; `shard = key mod 8` gives
+    * the reader slice, and within-shard order is `ORDER BY key`. The output
+    * aggregates to (epoch, shard) with an order-weighted checksum — a fold
+    * of key×rank over the shard's read order — so the oracle pins the exact
+    * PERMUTATION per epoch, not just membership: reordering any two docs
+    * flips the checksum.
+    *
+    * 100 TB shape: `repartition(shard)` + `sortWithinPartitions(key)` — one
+    * shuffle moving (doc_id, key) pairs, then shard-local sorts; no global
+    * ordering anywhere, and epochs differ by re-keying (a map-side change),
+    * not by re-shuffling the corpus bytes.
+    */
+  private val ShufEpochs = 3
+  private val ShufShards = 8L
+  private val ShufMod    = 1000000007L
+
+  def x48EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val epochs = s.range(0, ShufEpochs).toDF("epoch")
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("k",
+        (col("doc_id") * lit(2654435761L) + (col("epoch") + lit(1)) * lit(40503L)) % lit(ShufMod))
+      .withColumn("shard", pmod(col("k"), lit(ShufShards)))
+    val readOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(readOrder))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           (sum((col("k") % lit(1000003L)) * (col("rn") % lit(1000003L))) % lit(ShufMod))
+             .as("order_checksum"),
+           min(col("k")).as("first_key"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  val x48Sql: String =
+    """WITH keyed AS (
+      |  SELECT d.doc_id, e.epoch,
+      |         (d.doc_id * 2654435761 + (e.epoch + 1) * 40503) % 1000000007 AS k
+      |  FROM documents d CROSS JOIN range(0, 3) e(epoch)),
+      |ranked AS (
+      |  SELECT epoch, k % 8 AS shard, k,
+      |         ROW_NUMBER() OVER (PARTITION BY epoch, k % 8 ORDER BY k, doc_id) AS rn
+      |  FROM keyed)
+      |SELECT epoch, shard, COUNT(*) AS n_docs,
+      |       CAST(SUM((k % 1000003) * (rn % 1000003)) % 1000000007 AS BIGINT)
+      |         AS order_checksum,
+      |       MIN(k) AS first_key
+      |FROM ranked GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   // ===== x17: stratified (per-language) hash sampling — data mixing =======
 
   /** Stratified deterministic sampling — the mixture-weighting primitive of
@@ -2954,6 +3010,7 @@ object PipelineOps {
     "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
     "x13_embed_dedup"    -> (x13EmbedDedup _),
     "x14_hash_sample"    -> (x14HashSample _),
+    "x48_epoch_shuffle"  -> (x48EpochShuffle _),
     "x15_dedup_clusters" -> (x15DedupClusters _),
     "x16_passage_dedup"  -> (x16PassageDedup _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
@@ -3005,6 +3062,7 @@ object PipelineOps {
     "x12b_ann_ivf8"      -> x12bSql,
     "x13_embed_dedup"    -> x13Sql,
     "x14_hash_sample"    -> x14Sql,
+    "x48_epoch_shuffle"  -> x48Sql,
     "x15_dedup_clusters" -> x15Sql,
     "x16_passage_dedup" -> x16Sql,
     "x17_stratified_sample" -> x17Sql,

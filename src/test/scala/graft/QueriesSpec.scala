@@ -107,6 +107,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("x48 epoch shuffle: every doc in every epoch, permutation differs per epoch") {
+    val out = run("x48_epoch_shuffle").collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(out.length === 3 * 8, "3 epochs x 8 shards")
+    // membership: each epoch partitions the full corpus across its shards
+    (0 until 3).foreach { e =>
+      val rows = out.filter(_.getAs[Long]("epoch") == e)
+      assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+      // no shard starves: affine keys spread uniformly (loose 2x bound)
+      assert(rows.map(_.getAs[Long]("n_docs")).min > nDocs / 16)
+    }
+    // the point of an epoch shuffle: a DIFFERENT read order each epoch
+    val checksumsByEpoch = (0 until 3).map { e =>
+      out.filter(_.getAs[Long]("epoch") == e)
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("order_checksum"))).toSet
+    }
+    assert(checksumsByEpoch.distinct.size === 3,
+      "per-shard order checksums must differ across epochs")
+  }
+
   test("s1 tumble golden count at sf0.1: 3600 hourly buckets x 5 types") {
     assert(run("s1_tumble", sf01).count() === 3600L)
   }
