@@ -26,9 +26,9 @@ object ScaleProbe {
       .config("spark.memory.fraction",
         if (isSpill) sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.04") else "0.6")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is timestamp[ns]; the raw copy below needs the same
-      // legacy shim graft.Tables uses (ts stays a plain int64 in the copy,
-      // which Tables.events handles identically)
+      // harmless on current micros-NTZ events files; kept so a legacy
+      // nanos-era events.parquet (or a raw copy of one) stays readable —
+      // Tables.events branches on whichever dtype the copy surfaces
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
