@@ -532,6 +532,62 @@ object PipelineOps {
       |  WHERE token <> '')
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ===== x49: within-document block dedup (boilerplate-removal apply) =====
+
+  /** Intra-document repetition REMOVAL — the apply-side twin of x18's
+    * repetition detection (CCNet/RefinedWeb-style boilerplate stripping,
+    * done inside each document rather than across the corpus like x16/x21).
+    * The token stream is cut into fixed blocks; only the FIRST occurrence
+    * of each block survives, order preserved; the cleaned text is pinned
+    * by a polyhash the oracle replays. Entirely per-row (higher-order
+    * functions inside one projection): ZERO shuffle beyond the output sort
+    * — at 100 TB this is embarrassingly parallel map work, the cheapest
+    * kind of operator there is. Block size is a parameter; 2 is chosen so
+    * the removal path actually fires on this corpus (181/500 docs at
+    * sf0.01 — the synthetic 128-token docs carry no repeated 8-grams,
+    * while real pipelines would block on sentences/paragraphs).
+    */
+  private val IntraBlock = 2
+
+  def x49IntradocDedup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${IntraBlock}.0) AS INT) - 1), " +
+             s"i -> array_join(slice(split(text, ' '), i * $IntraBlock + 1, $IntraBlock), ' '))")
+          .as("blocks"))
+      .select(col("doc_id"), col("blocks"),
+        expr("aggregate(blocks, cast(array() as array<string>), " +
+             "(acc, b) -> IF(array_contains(acc, b), acc, concat(acc, array(b))))")
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("bigint").as("n_blocks"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        expr("graft_polyhash(array_join(kept, ' '))").as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x49Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, i, array_to_string(t[(i*$IntraBlock+1):(i*$IntraBlock+$IntraBlock)], ' ') AS b
+       |  FROM (SELECT doc_id, t,
+       |               unnest(range(0, CAST(ceil(len(t) / ${IntraBlock}.0) AS BIGINT))) AS i
+       |        FROM toks)),
+       |firsts AS (
+       |  SELECT doc_id, i, b,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id, b ORDER BY i) AS rn
+       |  FROM blocks),
+       |clean AS (
+       |  SELECT doc_id, string_agg(b, ' ' ORDER BY i) AS ct, COUNT(*) AS n_kept
+       |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+       |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id)
+       |SELECT c.doc_id, nb.n_blocks, c.n_kept,
+       |       CAST(list_reduce(list_transform(regexp_split_to_array(c.ct, ''),
+       |              ch -> ascii(ch)), (a, b2) -> (a * 31 + b2) % 1000003) AS BIGINT)
+       |         AS clean_hash
+       |FROM clean c JOIN nb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ================= x8: LSH-bucketed ANN (the 100 TB similarity path) ====
 
   private def projSql(j: Int): String =
@@ -3011,6 +3067,7 @@ object PipelineOps {
     "x13_embed_dedup"    -> (x13EmbedDedup _),
     "x14_hash_sample"    -> (x14HashSample _),
     "x48_epoch_shuffle"  -> (x48EpochShuffle _),
+    "x49_intradoc_dedup" -> (x49IntradocDedup _),
     "x15_dedup_clusters" -> (x15DedupClusters _),
     "x16_passage_dedup"  -> (x16PassageDedup _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
@@ -3063,6 +3120,7 @@ object PipelineOps {
     "x13_embed_dedup"    -> x13Sql,
     "x14_hash_sample"    -> x14Sql,
     "x48_epoch_shuffle"  -> x48Sql,
+    "x49_intradoc_dedup" -> x49Sql,
     "x15_dedup_clusters" -> x15Sql,
     "x16_passage_dedup" -> x16Sql,
     "x17_stratified_sample" -> x17Sql,

@@ -127,6 +127,21 @@ class QueriesSpec extends SparkSpec {
       "per-shard order checksums must differ across epochs")
   }
 
+  test("x49 intradoc dedup keeps the first occurrence of each block, in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x49").toString
+    // 2-token blocks: "a b | c d | a b | e f" → cleaned "a b c d e f"
+    Seq((1L, "a b c d a b e f", "en", "synth", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("x49_intradoc_dedup")(spark, dir).head()
+    assert(row.getAs[Long]("n_blocks") === 4L)
+    assert(row.getAs[Long]("n_kept") === 3L)
+    graft.functions.StringPolyHash.register(spark)
+    val want = spark.sql("SELECT graft_polyhash('a b c d e f')").head().getLong(0)
+    assert(row.getAs[Long]("clean_hash") === want)
+  }
+
   test("s1 tumble golden count at sf0.1: 3600 hourly buckets x 5 types") {
     assert(run("s1_tumble", sf01).count() === 3600L)
   }
