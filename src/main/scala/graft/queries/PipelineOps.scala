@@ -583,8 +583,9 @@ object PipelineOps {
        |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id)
        |SELECT c.doc_id, nb.n_blocks, c.n_kept,
-       |       CAST(list_reduce(list_transform(regexp_split_to_array(c.ct, ''),
-       |              ch -> ascii(ch)), (a, b2) -> (a * 31 + b2) % 1000003) AS BIGINT)
+       |       CAST(CASE WHEN c.ct = '' THEN 0 ELSE
+       |            list_reduce(list_transform(regexp_split_to_array(c.ct, ''),
+       |              ch -> ascii(ch)), (a, b2) -> (a * 31 + b2) % 1000003) END AS BIGINT)
        |         AS clean_hash
        |FROM clean c JOIN nb USING (doc_id) ORDER BY doc_id""".stripMargin
 
@@ -915,6 +916,14 @@ object PipelineOps {
     * shuffle moving (doc_id, key) pairs, then shard-local sorts; no global
     * ordering anywhere, and epochs differ by re-keying (a map-side change),
     * not by re-shuffling the corpus bytes.
+    *
+    * Checksum overflow bound: each summed term is reduced mod ShufMod
+    * (~1e9) BEFORE the sum (identical result — mod distributes over
+    * addition, and the oracle applies the same per-term mod), so the Long
+    * accumulator only overflows past ~9.2e9 rows per (epoch, shard); the
+    * shard count is the knob that keeps per-shard rows below that at any
+    * corpus size. The final `orderBy(epoch, shard)` is over ShufEpochs x
+    * ShufShards rows — constant-size, not a corpus sort.
     */
   private val ShufEpochs = 3
   private val ShufShards = 8L
@@ -934,7 +943,7 @@ object PipelineOps {
       .withColumn("rn", row_number().over(readOrder))
       .groupBy(col("epoch"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
-           (sum((col("k") % lit(1000003L)) * (col("rn") % lit(1000003L))) % lit(ShufMod))
+           (sum(((col("k") % lit(1000003L)) * (col("rn") % lit(1000003L))) % lit(ShufMod)) % lit(ShufMod))
              .as("order_checksum"),
            min(col("k")).as("first_key"))
       .orderBy(col("epoch"), col("shard"))
@@ -950,7 +959,7 @@ object PipelineOps {
       |         ROW_NUMBER() OVER (PARTITION BY epoch, k % 8 ORDER BY k, doc_id) AS rn
       |  FROM keyed)
       |SELECT epoch, shard, COUNT(*) AS n_docs,
-      |       CAST(SUM((k % 1000003) * (rn % 1000003)) % 1000000007 AS BIGINT)
+      |       CAST(SUM((k % 1000003) * (rn % 1000003) % 1000000007) % 1000000007 AS BIGINT)
       |         AS order_checksum,
       |       MIN(k) AS first_key
       |FROM ranked GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin

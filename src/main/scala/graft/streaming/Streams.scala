@@ -493,12 +493,13 @@ object Streams {
     */
   def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String): Long = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // File streams need an explicit schema; take it from a batch read of the
-    // same directory so the stream follows whichever physical `ts` layout
-    // the files actually have (legacy INT64-nanos read as long, or
-    // TIMESTAMP_MICROS read as timestamp[_ntz] — same drift branch as
-    // Tables.loadTable).
-    val schema = spark.read.parquet(srcDir).schema
+    // File streams need an explicit schema; take it from a cached-schema
+    // batch read of the same directory (Tables' per-path cache — one
+    // footer-inference job on first touch, zero jobs after) so the stream
+    // follows whichever physical `ts` layout the files actually have
+    // (legacy INT64-nanos read as long, or TIMESTAMP_MICROS read as
+    // timestamp[_ntz] — same drift branch as Tables.loadTable).
+    val schema = Tables.cachedParquet(spark, srcDir).schema
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val src = schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -44,10 +44,14 @@ class GraftSessionSpec extends SparkSpec {
         dir.resolve(s"$t.parquet"),
         java.nio.file.Paths.get(s"${TestSpark.sf0001}/$t.parquet"))
     }
-    val df = SparkEntry.queries("sql2_q1_text")(spark, dir.toString)
-    assert(df.count() > 0, "relational SQL keys must run without the events table")
-    // re-register the real dataset so later suites sharing the session see
-    // the full view set again
-    GraftSession.registerTables(spark, TestSpark.sf0001)
+    try {
+      val df = SparkEntry.queries("sql2_q1_text")(spark, dir.toString)
+      assert(df.count() > 0, "relational SQL keys must run without the events table")
+    } finally {
+      // re-register the real dataset even on assertion failure, so later
+      // suites sharing the session never see views pointed at the
+      // events-less temp dir (cascading-failure guard)
+      GraftSession.registerTables(spark, TestSpark.sf0001)
+    }
   }
 }

@@ -31,14 +31,24 @@ class TablesDriftSpec extends SparkSpec {
         $"user_id", $"event_type", $"value", $"props")
       .write.mode("overwrite").parquet(s"$dirA/events.parquet")
 
-    // Variant B — legacy era: the nanos file surfaces to the reader as a
-    // plain INT64 `ts` holding epoch-nanos (nanosAsLong=true), which a bare
-    // long column emulates exactly at the DataFrame level.
+    // Variant B — legacy era: a REAL `INT64 TIMESTAMP(NANOS,
+    // isAdjustedToUTC=false)` file, written with parquet-mr's Group API
+    // (Spark cannot write this annotation itself). This exercises the
+    // genuine [PARQUET_TYPE_ILLEGAL]-unless-nanosAsLong read path that
+    // actually failed in r7, not a plain-long emulation of it.
     val dirB = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
-    base.select($"event_id",
-        ($"us" * 1000L).as("ts"),
-        $"user_id", $"event_type", $"value", $"props")
-      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+    writeNanosEventsFile(s"$dirB/events.parquet",
+      base.select($"event_id", ($"us" * 1000L).as("ns"),
+          $"user_id", $"event_type", $"value", $"props")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5))))
+
+    // The annotation must actually round-trip: under nanosAsLong the raw
+    // read surfaces `ts` as LongType (the r7 failure path), not timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(spark.read.parquet(s"$dirB/events.parquet").schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "variant B must be a genuine TIMESTAMP(NANOS) file read as long")
 
     val a = Tables.events(spark, dirA)
     val b = Tables.events(spark, dirB)
@@ -54,5 +64,42 @@ class TablesDriftSpec extends SparkSpec {
       .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rowsA.sameElements(rowsB), "epoch values must be identical across layouts")
     assert(rowsA(0) === ((1L, us * 1000L, us)))
+  }
+
+  /** Writes a single-row-group parquet file whose `ts` column is annotated
+    * `INT64 TIMESTAMP(NANOS, isAdjustedToUTC=false)` — the legacy events
+    * layout — using parquet-mr's example Group writer directly, since no
+    * Spark writer can emit the NANOS annotation.
+    */
+  private def writeNanosEventsFile(
+      dir: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/part-00000.parquet"))
+      .withType(schema)
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, ns, uid, et, v, props) =>
+      val g = gf.newGroup()
+      g.add("event_id", id); g.add("ts", ns); g.add("user_id", uid)
+      g.add("event_type", et); g.add("value", v); g.add("props", props)
+      writer.write(g)
+    } finally writer.close()
   }
 }
