@@ -79,6 +79,26 @@ object Media {
     b.array()
   }
 
+  /** Per-partition reusable decoder for one ImageIO format. `ImageIO.read`
+    * per row pays a plugin-registry scan AND (with ImageIO's default
+    * `useCache=true`) a DISK-BACKED stream cache — one temp file created
+    * and deleted per image. For ~300-byte payloads that filesystem churn
+    * dwarfs the actual decode and tracks tmpfs load run-to-run (the r8
+    * m3 bench drift). Looking the format's `ImageReader` up ONCE per
+    * partition and feeding it memory-cached streams runs the same codec
+    * with zero temp files and zero registry scans per row.
+    */
+  private def partitionImageReader(
+      format: String): Array[Byte] => java.awt.image.BufferedImage = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
+    bytes => {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally iis.close()
+    }
+  }
+
   /** REAL-codec decode: the BMP container above read back through the
     * JDK's ImageIO BMP plugin (an actual image decoder, no external libs)
     * into a BufferedImage, then pixel features. Features are deliberately
@@ -90,9 +110,9 @@ object Media {
   def decodeImages(records: Dataset[(Long, Array[Byte])]): DataFrame = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      val readBmp = partitionImageReader("bmp")
       it.map { case (id, payload) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodeBmp(payload)))
+        val img = readBmp(encodeBmp(payload))
         var sum = 0L; var mx = 0
         var y = 0
         while (y < img.getHeight) {
@@ -128,9 +148,9 @@ object Media {
   def resizeImages(records: Dataset[(Long, Array[Byte])]): DataFrame = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      val readBmp = partitionImageReader("bmp")
       it.map { case (id, payload) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodeBmp(payload)))
+        val img = readBmp(encodeBmp(payload))
         val outW = img.getWidth / 2
         val outH = (img.getHeight + 1) / 2
         var sum = 0L; var mx = 0
@@ -217,7 +237,12 @@ object Media {
       i += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    // explicit memory-cached output stream: ImageIO.write(_, _, OutputStream)
+    // would otherwise spool through a disk temp file per image (useCache)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try { writer.setOutput(ios); writer.write(img); ios.flush() }
+    finally { ios.close(); writer.dispose() }
     out.toByteArray
   }
 
@@ -231,9 +256,9 @@ object Media {
   def decodePng(records: Dataset[(Long, Array[Byte])]): DataFrame = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      val readPng = partitionImageReader("png")
       it.map { case (id, payload) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodePng(payload)))
+        val img = readPng(encodePng(payload))
         val raster = img.getRaster
         var sum = 0L; var mx = 0
         var y = 0
