@@ -66,7 +66,8 @@ class AuditSpec extends SparkSpec {
       // 100 TB means an unbounded broadcast — must trip this audit and
       // argue its bound here.
       val boundedBnlj = Set("x9_ngram_jaccard", "x19_bm25", "x12_ann_ivf",
-        "x12b_ann_ivf8", "x41_semantic_dedup", "x1b_knn", "x40_ann_recall",
+        "x12b_ann_ivf8", "x12c_ann_ivf_trained", // 16-row trained-centroid broadcast per Lloyd step
+        "x41_semantic_dedup", "x1b_knn", "x40_ann_recall",
         "x43b_pq_adc", "x44_ivfpq_topk", // exact ground-truth side: 10-query broadcast panel
         "x45_hybrid_rrf", // dense side: single-row query-vector broadcast (x1b's shape)
         "x48_epoch_shuffle") // 3-row epoch table broadcast (ShufEpochs constant)
