@@ -589,6 +589,111 @@ object PipelineOps {
        |         AS clean_hash
        |FROM clean c JOIN nb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ===== x50: cross-document exact substring dedup (Lee et al. shape) ====
+
+  /** Cross-document VARIABLE-LENGTH exact substring removal — the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022) dedup flavor, re-expressed as the distributed
+    * seed-mark-sweep its MapReduce ports use instead of the paper's
+    * single-node suffix array. x16 detects fixed block-ALIGNED windows
+    * and x49 removes intra-doc blocks; this removes every duplicated
+    * token span of length ≥ K anywhere across the corpus, keeping only
+    * the globally first occurrence.
+    *
+    * Mechanics: a stride-1 K-token anchor window at every position,
+    * digested with sha256 (collision-free digest-bucketed candidate
+    * generation — NEVER all-pairs). A span duplicated anywhere contains
+    * a duplicated anchor at every offset, so the union of non-canonical
+    * duplicated anchors covers exactly the maximal duplicated spans —
+    * consecutive anchors chain into variable-length removals, which is
+    * what makes this the suffix-array semantic at granularity K rather
+    * than x16's fixed windows. Canonical copy = the (doc_id, pos)-least
+    * occurrence of each anchor, so one copy of every span survives.
+    * Survivor text is pinned by a replayed polyhash (the x49 contract).
+    *
+    * K = 8 here so the path fires on this corpus's ~128-token synthetic
+    * docs (24 docs carry non-canonical 8-gram occurrences at sf0.01);
+    * the paper's 50-token threshold is the production setting of the
+    * same knob.
+    *
+    * 100 TB shape: the anchor stream is one row per token (linear), the
+    * canonical/count pass is one shuffle keyed by digest with tiny
+    * per-digest groups, and the sweep regroups by doc_id — two keyed
+    * shuffles total, no pairwise joins. Boilerplate-hot anchors skew the
+    * digest shuffle exactly like any hot key: AQE skew-split posture
+    * (ScaleProbe skew), and the Lee-et-al move of dropping anchors with
+    * pathological counts bounds the window memory. The final
+    * `orderBy(doc_id)` exists for the hash-compare contract only; a
+    * production deployment drops it.
+    */
+  private val SubstrK = 8
+
+  def x50SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val occ = toks
+      .filter(size(col("t")) >= SubstrK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $SubstrK), " +
+          s"i -> struct(i AS pos, sha2(concat_ws(' ', slice(t, i + 1, $SubstrK)), 256) AS h))"))
+        .as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+    val rm = occ
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+      .withColumn("cnt", count(lit(1)).over(w.partitionBy(col("h"))))
+      .filter(col("cnt") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${SubstrK - 1})")).as("p"))
+      .distinct()
+    val rl = rm.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p"))).as("rmp"))
+    toks.join(rl, Seq("doc_id"), "left")
+      .withColumn("rmp", coalesce(col("rmp"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        size(col("rmp")).cast("bigint").as("n_removed"),
+        expr("graft_polyhash(array_join(transform(" +
+          "filter(sequence(0, size(t) - 1), j -> NOT array_contains(rmp, j)), " +
+          "j -> element_at(t, j + 1)), ' '))").as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x50Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, sha256(array_to_string(t[i+1:i+$SubstrK], ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - $SubstrK + 1)) AS i
+       |        FROM toks WHERE len(t) >= $SubstrK)),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |         COUNT(*) OVER (PARTITION BY h) AS cnt
+       |  FROM occ),
+       |rmpos AS (SELECT DISTINCT doc_id, p FROM (
+       |  SELECT doc_id, unnest(range(pos, pos + $SubstrK)) AS p FROM marked
+       |  WHERE cnt >= 2 AND rn > 1)),
+       |rlist AS (SELECT doc_id, list(p) AS rmp, COUNT(*) AS n_removed
+       |          FROM rmpos GROUP BY doc_id),
+       |clean AS (
+       |  SELECT t.doc_id, len(t.t) AS n_tokens,
+       |         COALESCE(r.n_removed, 0) AS n_removed,
+       |         array_to_string(list_transform(
+       |           list_filter(range(0, len(t.t)),
+       |             j -> NOT list_contains(COALESCE(r.rmp, CAST([] AS BIGINT[])), j)),
+       |           j -> t.t[j + 1]), ' ') AS ct
+       |  FROM toks t LEFT JOIN rlist r USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_removed AS BIGINT) AS n_removed,
+       |       -- array_to_string([]) is NULL in DuckDB, '' on the Spark side:
+       |       -- both collapse to polyhash 0 (fully-removed documents)
+       |       CAST(CASE WHEN ct IS NULL OR ct = '' THEN 0 ELSE
+       |            list_reduce(list_transform(regexp_split_to_array(ct, ''),
+       |              ch -> ascii(ch)), (a, b2) -> (a * 31 + b2) % 1000003) END AS BIGINT)
+       |         AS clean_hash
+       |FROM clean ORDER BY doc_id""".stripMargin
+
   // ================= x8: LSH-bucketed ANN (the 100 TB similarity path) ====
 
   private def projSql(j: Int): String =
@@ -3212,6 +3317,7 @@ object PipelineOps {
     "x14_hash_sample"    -> (x14HashSample _),
     "x48_epoch_shuffle"  -> (x48EpochShuffle _),
     "x49_intradoc_dedup" -> (x49IntradocDedup _),
+    "x50_substring_dedup" -> (x50SubstringDedup _),
     "x15_dedup_clusters" -> (x15DedupClusters _),
     "x16_passage_dedup"  -> (x16PassageDedup _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
@@ -3266,6 +3372,7 @@ object PipelineOps {
     "x14_hash_sample"    -> x14Sql,
     "x48_epoch_shuffle"  -> x48Sql,
     "x49_intradoc_dedup" -> x49Sql,
+    "x50_substring_dedup" -> x50Sql,
     "x15_dedup_clusters" -> x15Sql,
     "x16_passage_dedup" -> x16Sql,
     "x17_stratified_sample" -> x17Sql,
