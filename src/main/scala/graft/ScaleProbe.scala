@@ -7,6 +7,30 @@ import org.apache.spark.sql.functions._
   * Nx to demonstrate near-linear scaling.
   */
 object ScaleProbe {
+
+  /** Content-addressed fixture stamp: md5 over the SORTED per-file
+    * content digests under `root` (names and mtimes excluded). The spill
+    * evidence is keyed by this instead of mtime+size because the round
+    * driver REGENERATES the testdata each round with byte-identical
+    * contents but fresh mtimes (and, for multi-part layouts, fresh
+    * part-file names) — an mtime stamp invalidated the evidence every
+    * round (the r8→r9 recurring Round5Spec cancel) even when nothing
+    * changed.
+    */
+  def contentStamp(root: java.io.File): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val digests = walk(root).map { f =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    digests.foreach(dg => md.update(dg.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(32)
     // `spill` mode strangles the execution-memory pool; pair with a small
@@ -32,6 +56,10 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // The spill probe exists to stress the partial→final HASH-agg path
+    // under memory pressure; pin the q2 stress shape (the shipped default
+    // is the pre-partitioned one-stage shape — ReferenceQueries.presorted).
+    if (isSpill) spark.conf.set("spark.graft.q2.prepartition", "false")
     val src = "/root/testdata/sf0.1"
     // probe corpora follow the operators' conf-driven scratch resolution —
     // a probe must not fill a driver disk the operators were told to avoid
@@ -76,11 +104,7 @@ object ScaleProbe {
           f"${dd / 1048576.0}%9.1f MB disk-spill $secs%7.1f s fp=$fp%d")
         f""""$k":{"mem_spill_mb":${dm / 1048576.0}%.1f,"disk_spill_mb":${dd / 1048576.0}%.1f,"secs":$secs%.1f,"fingerprint":$fp%d}"""
       }
-      val li = new java.io.File(s"$src/lineitem.parquet")
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-        else Seq(f)
-      val stamp = s"${walk(li).map(_.lastModified()).max}:${walk(li).map(_.length()).sum}"
+      val stamp = contentStamp(new java.io.File(s"$src/lineitem.parquet"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/spill_probe.json"),
         (s"""{"sf_dir":"$src","lineitem_stamp":"$stamp","heap":"${Runtime.getRuntime.maxMemory() / 1048576} MB","memory_fraction":${sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.04")},""" +
@@ -176,6 +200,64 @@ object ScaleProbe {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/partition_probe.json"), json.getBytes)
       println("wrote docs/partition_probe.json")
+      spark.stop()
+      return
+    }
+
+    // Aggregate-lever probe (`agglever` arg): the r8 verdict asked for
+    // `spark.sql.aggregate.skipPartialAgg*` on the q2e/f/g singleton-group
+    // keys — that conf is SPARK-31973, never merged into OSS Spark
+    // (absent from 4.1.2's SQLConf). This probe measures the lever the
+    // library ships instead: `spark.graft.q2.prepartition` — shuffle the
+    // raw rows by the group key first, so partial+final run back-to-back
+    // co-located in one stage with no mid-aggregate exchange and no
+    // wide-buffer partial-row shuffle. (A sortWithinPartitions +
+    // replaceHashWithSortAgg streaming variant cannot work: EliminateSorts
+    // drops a sort below an aggregate, so that rule never fires here.)
+    // Three trials per (key, shape); fingerprints must match across
+    // shapes. Evidence lands in docs/agglever_probe.json.
+    if (args.contains("agglever")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          memSpill.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+      })
+      def fingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+        val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(expr("bit_xor(__fp)")).first()
+        if (h.isNullAt(0)) 0L else h.getLong(0)
+      }
+      val keys = Seq("q2e_substr_agg", "q2f_substr_agg", "q2g_substr_agg")
+      val rows = for (k <- keys; presort <- Seq(false, true)) yield {
+        spark.conf.set("spark.graft.q2.prepartition", presort.toString)
+        val trials = (1 to 3).map { _ =>
+          val m0 = memSpill.get
+          val t0 = System.nanoTime()
+          val fp = fingerprint(SparkEntry.queries(k)(spark, src))
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500)
+          (secs, memSpill.get - m0, fp)
+        }
+        val med = trials.map(_._1).sorted.apply(1)
+        val fp = trials.head._3
+        require(trials.map(_._3).distinct.size == 1, s"$k fingerprint unstable")
+        val shape = if (presort) "prepartition_agg" else "hash_partial"
+        println(f"$k%-16s $shape%-16s median $med%6.2f s " +
+          f"(${trials.map(t => f"${t._1}%.2f").mkString("/")}) " +
+          f"spill ${trials.map(_._2).max / 1048576.0}%8.1f MB fp=$fp%d")
+        (k, shape, med, trials, fp)
+      }
+      keys.foreach { k =>
+        val fps = rows.filter(_._1 == k).map(_._5)
+        require(fps.distinct.size == 1, s"$k: presort changed the result! $fps")
+      }
+      val json = rows.map { case (k, shape, med, trials, fp) =>
+        f""""${k}.$shape":{"median_secs":$med%.2f,"trials":[${trials.map(t => f"${t._1}%.2f").mkString(",")}],"max_spill_mb":${trials.map(_._2).max / 1048576.0}%.1f,"fingerprint":$fp%d}"""
+      }.mkString(s"""{"sf_dir":"$src","identical_per_key":true,""", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/agglever_probe.json"), json.getBytes)
+      println("wrote docs/agglever_probe.json")
       spark.stop()
       return
     }

@@ -304,7 +304,9 @@ object Media {
       payload: Array[Byte], width: Int = 16,
       frameBytes: Int = 64): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // memory-cached, not ImageIO.createImageOutputStream: the default
+    // disk-backed cache spools one temp file per record (the m3 pathology)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     writer.reset()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
@@ -349,7 +351,7 @@ object Media {
         if (payload.isEmpty) (id, 0L, 0L, 0L)
         else {
           reader.reset()
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(encodeGifWith(writer, payload))))
           val n = reader.getNumImages(true)
           var sum = 0L; var mx = 0L

@@ -694,6 +694,125 @@ object PipelineOps {
        |         AS clean_hash
        |FROM clean ORDER BY doc_id""".stripMargin
 
+  // ===== x51: heavy hitters via count-min sketch ==========================
+
+  /** Heavy hitters (frequent-token top-k) with Spark's own
+    * `count_min_sketch` aggregate doing the streaming-sketch pass and
+    * [[graft.functions.CmsQuery]] probing it in-plan — the classic
+    * constant-memory frequency sketch the a1b (HLL) / a5 (KLL-style)
+    * family was missing. Shape of the declared result follows the a1b
+    * exact-wrapper doctrine: the EXACT top-10 token counts (TakeOrdered —
+    * no global sort) are the oracle-checkable payload, and the sketch's
+    * estimate is reduced to a `within_bound` boolean asserting the CMS
+    * contract — estimate ≥ exact always (one-sided error), and
+    * estimate ≤ exact + ε·N with ε = 10⁻³ (deterministic here: seed 42 is
+    * fixed, so the bound either holds reproducibly or the key fails loudly
+    * at every SF).
+    *
+    * 100 TB shape: the sketch aggregate is map-side combined into a
+    * CONSTANT ~d×w-counter buffer per task regardless of corpus size (the
+    * entire point of CMS — the exact groupBy it replaces shuffles the
+    * vocabulary); the exact side here exists only as the test oracle's
+    * ground truth. The two single-row broadcasts (sketch, total count) are
+    * the x9/x19 bounded-scalar pattern.
+    */
+  def x51HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CmsQuery.register(s)
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(10)
+    val sk = toks.agg(expr(
+      "count_min_sketch(tok, cast(0.001 as double), cast(0.99 as double), 42)").as("sk"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    top.crossJoin(broadcast(sk)).crossJoin(broadcast(total))
+      .withColumn("cms_est", expr("graft_cms_query(sk, tok)"))
+      .select(col("tok"), col("n_exact"),
+        (col("cms_est") >= col("n_exact") &&
+          col("cms_est") <= col("n_exact") + ceil(col("n_total") * lit(0.001)))
+          .as("within_bound"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  val x51Sql: String =
+    """WITH toks AS (
+      |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |                   FROM documents) WHERE len(tok) > 0)
+      |SELECT tok, COUNT(*) AS n_exact, TRUE AS within_bound
+      |FROM toks GROUP BY tok
+      |ORDER BY n_exact DESC, tok LIMIT 10""".stripMargin
+
+  // ===== x52: NDCG ranking-quality eval ===================================
+
+  /** NDCG@3 of the trained-IVF ANN ranking (x12c) against the exact
+    * brute-force ranking (x1b) — the position-aware companion to x40's
+    * set-overlap recall: recall says WHETHER the true neighbors were
+    * found, NDCG says whether they were ranked in the right ORDER.
+    * Graded relevance is integer (exact rank 1/2/3 → rel 3/2/1, else 0)
+    * and the 1/log₂(pos+1) discounts are micro-scaled LITERALS
+    * (1000000, 630930, 500000), so DCG accumulates as an exact integer
+    * on both engines; the only float is the final division by the
+    * constant ideal DCG (3·10⁶ + 2·630930 + 500000 = 4761860) — one
+    * identical IEEE divide per row.
+    *
+    * 100 TB shape: joins are (q_id, n_id)-keyed over two top-k lists —
+    * constant rows per query — and the exact side is the eval-time
+    * ground-truth panel (queries × corpus via the x1b broadcast), priced
+    * exactly like x40's: you run it on an eval slice, not the corpus.
+    */
+  def x52Ndcg(s: SparkSession, d: String): DataFrame = {
+    val exact = x1bKnn(s, d).filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id"), (lit(4L) - col("rk")).as("rel"))
+    val approx = x12cAnnIvfTrained(s, d)
+      .select(col("q_id"), col("rk").as("pos"), col("n_id"))
+    val scored = approx.join(exact, Seq("q_id", "n_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .withColumn("g", col("rel") *
+        when(col("pos") === 1, lit(1000000L))
+          .when(col("pos") === 2, lit(630930L)).otherwise(lit(500000L)))
+      .groupBy(col("q_id")).agg(sum(col("g")).as("dcg"))
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"))
+    qs.join(scored, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_micro"),
+        (coalesce(col("dcg"), lit(0L)) / lit(4761860.0)).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  val x52Sql: String =
+    s"""WITH ${trainedAssignCtes(16, 2)},
+       |approx AS (
+       |  SELECT q_id, rk AS pos, n_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(${cosineSqlOf("a", "b")}, 6) DESC, b.vec_id) AS rk
+       |    FROM asg3 ca
+       |    JOIN embeddings a ON a.vec_id = ca.vec_id AND a.vec_id < 10
+       |    JOIN asg3 cb ON cb.cluster = ca.cluster
+       |    JOIN embeddings b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 3),
+       |exact AS (
+       |  SELECT q_id, n_id, 4 - rk AS rel FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(${cosineSqlOf("a", "b")}, 6) DESC, b.vec_id) AS rk
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 10)
+       |  WHERE rk <= 3),
+       |scored AS (
+       |  SELECT ap.q_id,
+       |         COALESCE(e.rel, 0) * (CASE ap.pos WHEN 1 THEN 1000000
+       |           WHEN 2 THEN 630930 ELSE 500000 END) AS g
+       |  FROM approx ap LEFT JOIN exact e
+       |    ON e.q_id = ap.q_id AND e.n_id = ap.n_id),
+       |qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10)
+       |SELECT q.q_id, CAST(COALESCE(SUM(sc.g), 0) AS BIGINT) AS dcg_micro,
+       |       CAST(COALESCE(SUM(sc.g), 0) AS BIGINT) / 4761860.0 AS ndcg
+       |FROM qs q LEFT JOIN scored sc ON sc.q_id = q.q_id
+       |GROUP BY q.q_id ORDER BY q.q_id""".stripMargin
+
   // ================= x8: LSH-bucketed ANN (the 100 TB similarity path) ====
 
   private def projSql(j: Int): String =
@@ -1647,7 +1766,9 @@ object PipelineOps {
     * LEFT TO THE OPTIMIZER (no broadcast() hint — a forced broadcast is
     * exactly the thing that OOMs at 100 TB). The filter keeps
     * `cluster IS NULL OR cluster = doc_id`. One pass over the corpus, no
-    * extra shuffle beyond x15's own.
+    * extra shuffle beyond x15's own. The final corpus-sized
+    * `orderBy(doc_id)` exists for the hash-compare contract only; a
+    * production deployment writes the survivors unsorted.
     */
   def x21DedupApply(s: SparkSession, d: String): DataFrame = {
     val clusters = x15SharedLabels(s, d)
@@ -2387,7 +2508,30 @@ object PipelineOps {
   def x41SemanticDedup(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorSumLong.register(s)
-    val assign = ivfAssign(semDedupCells(s))(s, d)
+    semDedupOver(ivfAssign(semDedupCells(s))(s, d))
+  }
+
+  /** x41b: the SemDeDup keep-rule over TRAINED cells — x41's quantizer is
+    * the degenerate first-N-seed one; this runs the identical in-cell
+    * keep-the-outlier pass over [[ivfTrainedAssign]](16, 2)'s Lloyd-refined
+    * cells (the x12c quantizer). Cell quality is the whole game for
+    * SemDeDup at scale: x40's ivf16t row measures the same training
+    * doubling ivf16 recall, and better-shaped cells mean over-threshold
+    * pairs actually land in the same cell instead of being split apart.
+    * Cost shape is unchanged from x41 (train adds iters × (scan + tiny
+    * integer-vector shuffle)).
+    */
+  def x41bSemdedupTrained(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    graft.functions.VectorSumLong.register(s)
+    semDedupOver(ivfTrainedAssign(16, 2)(s, d))
+  }
+
+  /** Shared SemDeDup body: exact-integer cell centroid, division-free
+    * centrality rank, in-cell over-threshold pairing with the
+    * keep-the-outlier rule. `assign` supplies (vec_id, embedding, cluster).
+    */
+  private def semDedupOver(assign: DataFrame): DataFrame = {
     val cents = assign
       .select(col("cluster"),
         expr("transform(embedding, v -> cast(round(cast(v as double) * 1000000) as long))")
@@ -2415,18 +2559,13 @@ object PipelineOps {
       .orderBy(col("vec_id"))
   }
 
-  val x41Sql: String = {
-    val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
-      "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
-      "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
-    s"""WITH a16 AS (SELECT vec_id, p_id AS cluster FROM (
-       |    SELECT e.vec_id, p.vec_id AS p_id,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cosEP DESC, p.vec_id) AS rn
-       |    FROM embeddings e JOIN embeddings p ON p.vec_id < 16)
-       |  WHERE rn = 1),
+  /** DuckDB replay of [[semDedupOver]] given a WITH prefix ending in an
+    * assignment CTE named `assignCte` with (vec_id, cluster) columns.
+    */
+  private def semDedupSqlOver(withPrefix: String, assignCte: String): String =
+    s"""WITH $withPrefix,
        |av AS (SELECT a.vec_id, a.cluster, e.embedding
-       |       FROM a16 a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |       FROM $assignCte a JOIN embeddings e ON e.vec_id = a.vec_id),
        |ex AS (SELECT cluster,
        |              unnest(range(0, len(embedding))) AS dim,
        |              unnest(embedding) AS v
@@ -2452,7 +2591,22 @@ object PipelineOps {
        | AND ${cosineSqlOf("x", "y")} >= $SemDedupThreshold
        |GROUP BY x.vec_id, x.cluster
        |ORDER BY x.vec_id""".stripMargin
+
+  val x41Sql: String = {
+    val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))"
+    semDedupSqlOver(
+      s"""a16 AS (SELECT vec_id, p_id AS cluster FROM (
+         |    SELECT e.vec_id, p.vec_id AS p_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosEP DESC, p.vec_id) AS rn
+         |    FROM embeddings e JOIN embeddings p ON p.vec_id < 16)
+         |  WHERE rn = 1)""".stripMargin,
+      "a16")
   }
+
+  val x41bSql: String = semDedupSqlOver(trainedAssignCtes(16, 2), "asg3")
 
   // ===== x42: reference-trained bigram LM likelihood (CCNet shape) =======
 
@@ -3283,6 +3437,9 @@ object PipelineOps {
     "x39b_refresh_merge" -> (x39bRefreshMerge _),
     "x40_ann_recall"     -> (x40AnnRecall _),
     "x41_semantic_dedup" -> (x41SemanticDedup _),
+    "x41b_semdedup_trained" -> (x41bSemdedupTrained _),
+    "x51_heavy_hitters"  -> (x51HeavyHitters _),
+    "x52_ndcg"           -> (x52Ndcg _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3344,6 +3501,9 @@ object PipelineOps {
     "x39b_refresh_merge" -> x39bSql,
     "x40_ann_recall"     -> x40Sql,
     "x41_semantic_dedup" -> x41Sql,
+    "x41b_semdedup_trained" -> x41bSql,
+    "x51_heavy_hitters"  -> x51Sql,
+    "x52_ndcg"           -> x52Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,

@@ -102,18 +102,52 @@ object ReferenceQueries {
     * its SF). Partial aggregation is pure overhead here — every partial map
     * fills with singleton groups and falls back to sort-based merge — which
     * is precisely the pathology a 100 TB Q2c run meets per-executor, and
-    * what AQE's partial-agg skipping (spark.sql.aggregate.skipPartialAgg*)
-    * exists to detect. Wider agg list than q2d so the fallback carries
-    * multi-column aggregation buffers, not one counter.
+    * the pathology the (unmerged — SPARK-31973; NOT in OSS Spark 4.1.2,
+    * verified against SQLConf) skip-partial-aggregation proposal targets.
+    * The lever this library ships for the regime is [[presorted]]:
+    * repartition the raw rows on the group key so the whole aggregation
+    * runs co-located in one stage, making the partial phase harmless
+    * instead of trying (and failing, in OSS Spark) to skip it. Conf
+    * `spark.graft.q2.prepartition` flips the q2e/q2f/q2g plan shape at
+    * DataFrame-build time; results are bit-identical (ScaleProbe
+    * `agglever` mode fingerprints both shapes and times them). Wider agg
+    * list than q2d so the aggregation buffers carry multiple columns, not
+    * one counter.
     */
   def q2e(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
-        col("l_linenumber").cast("string")).as("line_key"))
+    presorted(s, Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_quantity"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("line_key")))
+      .groupBy(col("line_key"))
       .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
            sum(money(col("l_quantity"))).cast("double").as("total_qty"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("line_key"))
+
+  /** The q2e/f/g high-cardinality plan-shape lever: when
+    * `spark.graft.q2.prepartition` is true (the DEFAULT, read at
+    * plan-build time), shuffle the RAW rows by the group key first, so the
+    * aggregate runs as partial+final back-to-back in one co-located stage
+    * — every group is complete within its partition, and EnsureRequirements
+    * inserts no mid-aggregate exchange. When false, keep the stock
+    * partial→shuffle→final hash path, whose 100%-singleton partial maps
+    * (pure overhead in this regime: partial combining collapses nothing)
+    * fall back to sort-based merge per task — these keys' documented
+    * stress semantics, which the spill/stress probes pin explicitly. The
+    * shuffled volume is ~unchanged (singleton partial output ≈ raw rows);
+    * what the lever removes is the wasted partial map + fallback sort +
+    * wide-buffer row shuffle. Measured at sf0.1 (ScaleProbe `agglever`,
+    * docs/agglever_probe.json): q2g 35.6 → 13.2 s median and q2f
+    * 6.8 → 2.9 s with bit-identical fingerprints; q2e neutral. (A
+    * sortWithinPartitions + replaceHashWithSortAgg streaming-sort-agg
+    * variant was tried first: Catalyst's EliminateSorts removes a sort
+    * below an aggregate, so that rule can never fire on this pattern.)
+    */
+  private def presorted(s: SparkSession, keyed: DataFrame): DataFrame =
+    if (s.conf.get("spark.graft.q2.prepartition", "true").toBoolean)
+      keyed.repartition(col("line_key"))
+    else keyed
 
   val q2eSql: String =
     """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_key,
@@ -132,12 +166,13 @@ object ReferenceQueries {
     * agg is effectively a re-keyed shuffle of the whole input.
     */
   def q2f(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        explode(expr("sequence(0, 3)")).as("rep"))
-      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
-        col("l_linenumber").cast("string"), lit("-"),
-        col("rep").cast("string")).as("line_key"))
+    presorted(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          explode(expr("sequence(0, 3)")).as("rep"))
+        .withColumn("line_key", concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"), lit("-"),
+          col("rep").cast("string"))))
+      .groupBy(col("line_key"))
       .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("line_key"))
@@ -162,20 +197,25 @@ object ReferenceQueries {
     * and (c) a deterministic per-group key checksum
     * (`SUM(graft_polyhash(line_key))`, replayed literally in DuckDB): a
     * single dropped, duplicated, or mis-keyed group anywhere in the 10⁷
-    * shifts the checksum. Inner agg: partial maps are 100% singleton
-    * groups → sort-based fallback per task, the exact per-executor
-    * pathology of a 10⁸-group 100 TB run (spill evidence: ScaleProbe
-    * `spill` mode runs this key under a capped heap and records
-    * memoryBytesSpilled > 0 with unchanged results).
+    * shifts the checksum. Inner agg, two shapes via [[presorted]]: the
+    * shipped default is the pre-partitioned single-stage agg (2.7× faster
+    * at sf0.1, same shuffle count, bit-identical results —
+    * docs/agglever_probe.json); `spark.graft.q2.prepartition=false`
+    * restores the partial→final hash path whose 100%-singleton partial
+    * maps fall back to sort-based merge per task — the per-executor
+    * pathology of a 10⁸-group 100 TB run, which ScaleProbe `spill` mode
+    * pins and runs under a capped heap, recording memoryBytesSpilled > 0
+    * with unchanged results.
     */
   def q2g(s: SparkSession, d: String): DataFrame = {
     graft.functions.StringPolyHash.register(s)
-    val groups = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        explode(expr("sequence(0, 31)")).as("rep"))
-      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
-        col("l_linenumber").cast("string"), lit("-"),
-        col("rep").cast("string")).as("line_key"))
+    val groups = presorted(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          explode(expr("sequence(0, 31)")).as("rep"))
+        .withColumn("line_key", concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"), lit("-"),
+          col("rep").cast("string"))))
+      .groupBy(col("line_key"))
       .agg(sum(money(col("l_extendedprice"))).as("price_dec"),
            count(lit(1)).as("n_lines"))
     groups

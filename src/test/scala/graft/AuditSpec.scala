@@ -68,8 +68,11 @@ class AuditSpec extends SparkSpec {
       val boundedBnlj = Set("x9_ngram_jaccard", "x19_bm25", "x12_ann_ivf",
         "x12b_ann_ivf8", "x12c_ann_ivf_trained", // 16-row trained-centroid broadcast per Lloyd step
         "x41_semantic_dedup", "x1b_knn", "x40_ann_recall",
+        "x41b_semdedup_trained", // 16-row trained-centroid broadcast (x12c's)
         "x43b_pq_adc", "x44_ivfpq_topk", // exact ground-truth side: 10-query broadcast panel
         "x45_hybrid_rrf", // dense side: single-row query-vector broadcast (x1b's shape)
+        "x51_heavy_hitters", // two single-row broadcasts: CMS bytes + total count
+        "x52_ndcg", // x1b's 10-query ground-truth panel + x12c's 16-centroid broadcast
         "x48_epoch_shuffle") // 3-row epoch table broadcast (ShufEpochs constant)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k

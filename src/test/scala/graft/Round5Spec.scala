@@ -47,11 +47,7 @@ class Round5Spec extends SparkSpec {
     val json = new String(java.nio.file.Files.readAllBytes(f.toPath))
     val stampRe = """"lineitem_stamp":"([^"]+)"""".r
     val stamp = stampRe.findFirstMatchIn(json).map(_.group(1)).getOrElse("?")
-    def walk(x: java.io.File): Seq[java.io.File] =
-      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(x)
-    val li = walk(new java.io.File(s"$sf01/lineitem.parquet"))
-    val current = s"${li.map(_.lastModified()).max}:${li.map(_.length()).sum}"
+    val current = ScaleProbe.contentStamp(new java.io.File(s"$sf01/lineitem.parquet"))
     assume(stamp == current,
       "testdata regenerated since the spill probe ran — re-run ScaleProbe spill")
     val entryRe =

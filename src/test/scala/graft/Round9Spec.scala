@@ -31,4 +31,50 @@ class Round9Spec extends SparkSpec {
     assert(recall("ivf16t") >= recall("ivf16"),
       s"trained recall ${recall("ivf16t")} < untrained ${recall("ivf16")}")
   }
+
+  test("x41b: trained cells regroup the SemDeDup pass without losing pairs") {
+    val d = TestSpark.sf0001
+    val untrained = graft.queries.PipelineOps.x41SemanticDedup(spark, d)
+    val trained = graft.queries.PipelineOps.x41bSemdedupTrained(spark, d)
+    // same keep-rule, same threshold: both must find duplicates on this
+    // corpus, and the trained quantizer must actually move cell labels
+    assert(trained.count() > 0, "trained semdedup found no in-cell pairs")
+    val uAssign = untrained.select(col("vec_id"), col("cluster"))
+    val tAssign = trained.select(col("vec_id"), col("cluster"))
+    assert(uAssign.except(tAssign).count() + tAssign.except(uAssign).count() > 0,
+      "training changed no cell assignment — Lloyd step inert")
+  }
+
+  /** The q2 aggregate lever (r8 verdict item 5): both plan shapes must be
+    * bit-identical in results, and the shipped shape must shuffle the raw
+    * rows by the group key (REPARTITION_BY_COL) with NO exchange between
+    * the inner aggregate's partial and final phases.
+    */
+  test("q2g prepartition lever: identical results, one-stage inner agg") {
+    val d = TestSpark.sf0001
+    def fp(df: org.apache.spark.sql.DataFrame): Long = {
+      val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+        .agg(expr("bit_xor(__fp)")).head()
+      if (h.isNullAt(0)) 0L else h.getLong(0)
+    }
+    val shipped = graft.queries.ReferenceQueries.q2g(spark, d)
+    val plan = shipped.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_COL"),
+      s"shipped shape lost the raw-row repartition:\n$plan")
+    // the two line_key HashAggregates must sit in one stage: no Exchange
+    // line between the partial (the later match, lower in the tree) and
+    // the final aggregate over line_key
+    val lines = plan.linesIterator.toVector
+    val aggIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate(keys=[line_key") => i }
+    assert(aggIdx.size == 2, s"expected 2 line_key aggs:\n$plan")
+    assert(!lines.slice(aggIdx.min, aggIdx.max).exists(_.contains("Exchange")),
+      s"exchange between partial and final line_key aggs:\n$plan")
+    val a = fp(shipped)
+    try {
+      spark.conf.set("spark.graft.q2.prepartition", "false")
+      val b = fp(graft.queries.ReferenceQueries.q2g(spark, d))
+      assert(a == b, s"prepartition changed q2g results: $a vs $b")
+    } finally spark.conf.unset("spark.graft.q2.prepartition")
+  }
 }
