@@ -447,6 +447,57 @@ object CorpusOps {
       |    FROM capped) WHERE rn = 1)
       |SELECT doc_id, source, score_sum FROM deduped ORDER BY doc_id""".stripMargin
 
+  // ===== p2: dedup → length-filter → pack (the modern curation chain) =====
+
+  /** Second end-to-end composition, built from the round-9 dedup family:
+    * x50's cross-document exact-substring dedup supplies the per-document
+    * CLEAN token counts (n_tokens − n_removed — what actually survives
+    * dedup, the number a shard packer must budget on), a minimum-length
+    * filter drops gutted documents (fully-removed exact copies pack to
+    * zero), and the survivors pack into [[PackShards]] hash shards with
+    * x23's cumulative-window greedy packing. p1 chains the FILTER side of
+    * curation (extract→langid→quality→cap→exact-dedup); p2 chains the
+    * TRANSFORM side (substring-dedup reshapes documents, and packing must
+    * see the post-dedup sizes). One oracle replays the whole composition,
+    * so a drift anywhere in the chain (the sweep, the filter threshold,
+    * the shard hash, the bin geometry) shifts the compared bins.
+    *
+    * 100 TB shape: inherits x50's two keyed shuffles, then one
+    * shard-window pass — per-shard local sorts only, no global sort (the
+    * final orderBy is over shard×bin summary rows, constant-size).
+    */
+  def p2DedupPackPipeline(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val cleaned = graft.queries.PipelineOps.x50SubstringDedup(s, d)
+      .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_toks"))
+      .filter(col("n_toks") >= 8)
+      .withColumn("shard",
+        pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(PackShards))
+          .cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    cleaned
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_toks) div $PackBudget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val p2Sql: String =
+    s"""WITH x50out AS (${graft.queries.PipelineOps.x50Sql.replace("\n", "\n|")}),
+       |t AS (
+       |  SELECT doc_id,
+       |         CAST(${polyhashSqlOf("doc_id")} % $PackShards AS BIGINT) AS shard,
+       |         n_tokens - n_removed AS n_toks
+       |  FROM x50out WHERE n_tokens - n_removed >= 8),
+       |c AS (
+       |  SELECT shard, n_toks,
+       |         SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM t)
+       |SELECT shard, CAST((cum - n_toks) // $PackBudget AS BIGINT) AS seq_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+       |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
   // ===== x31: stratified train/val/test split ============================
 
   /** Deterministic 3-way corpus split, stratified per language: doc_id's
@@ -587,6 +638,7 @@ object CorpusOps {
     "x31_split"          -> (x31Split _),
     "x30_corpus_upsert"  -> (x30CorpusUpsert _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
+    "p2_dedup_pack_pipeline" -> (p2DedupPackPipeline _),
     "b1_html_extract"    -> (b1HtmlExtract _),
     "x23_pack_shards"    -> (x23PackShards _),
     "x23b_pack_subword"  -> (x23bPackSubword _),
@@ -601,6 +653,7 @@ object CorpusOps {
     "x31_split"          -> x31Sql,
     "x30_corpus_upsert"  -> x30Sql,
     "p1_curation_pipeline" -> p1Sql,
+    "p2_dedup_pack_pipeline" -> p2Sql,
     "b1_html_extract"    -> b1Sql,
     "x23_pack_shards"    -> x23Sql,
     "x23b_pack_subword"  -> x23bSql,

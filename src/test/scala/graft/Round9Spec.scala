@@ -77,4 +77,43 @@ class Round9Spec extends SparkSpec {
       assert(a == b, s"prepartition changed q2g results: $a vs $b")
     } finally spark.conf.unset("spark.graft.q2.prepartition")
   }
+
+  test("x51: CMS estimate honors the one-sided error contract on every row") {
+    val rows = graft.queries.PipelineOps.x51HeavyHitters(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")),
+      "a CMS estimate fell outside [exact, exact + eps*N]")
+    val counts = rows.map(_.getAs[Long]("n_exact"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "top-10 not count-descending")
+  }
+
+  test("x52: NDCG bounded in [0,1]; trained-IVF ranking finds signal") {
+    val rows = graft.queries.PipelineOps.x52Ndcg(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.length == 10, "one row per probe query")
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"ndcg out of range: $ndcg")
+      assert(r.getAs[Long]("dcg_micro") <= 4761860L, "dcg exceeds ideal")
+    }
+    assert(rows.map(_.getAs[Double]("ndcg")).max > 0.0,
+      "trained-IVF top-3 shares no neighbor with exact top-3 on ANY query")
+  }
+
+  test("p2: packed bins conserve the deduped corpus") {
+    val d = TestSpark.sf0001
+    val bins = graft.queries.CorpusOps.p2DedupPackPipeline(spark, d)
+      .agg(sum(col("n_docs")).as("docs"), sum(col("sum_toks")).as("toks"))
+      .head()
+    val survivors = graft.queries.PipelineOps.x50SubstringDedup(spark, d)
+      .select((col("n_tokens") - col("n_removed")).as("n"))
+      .filter(col("n") >= 8)
+      .agg(count(lit(1)), sum(col("n"))).head()
+    assert(bins.getLong(0) == survivors.getLong(0),
+      "packing dropped or duplicated documents")
+    assert(bins.getLong(1) == survivors.getLong(1),
+      "packing changed the token total")
+  }
 }
