@@ -1075,6 +1075,16 @@ object PipelineOps {
     * ceiling is ~0.51, so the declared key uses 0.40 to exercise the
     * pipeline with a non-trivial result.
     */
+  /** Bucket-skew note (r9): the regenerated sf0.1 embeddings carry two
+    * dominant sign-pattern clusters — buckets 255 and 0 hold 769+755 of
+    * 2000 vectors (measured via the oracle's own bucket expression), so
+    * in-bucket verification covers ~30% of all pairs and dominates this
+    * key's cost; the bench moving 0.57→1.1 s across the regeneration is
+    * that occupancy shift, not a plan change. The scale knobs are x8's
+    * planes ∝ log₂N rule plus multi-probe splitting (x8c); production
+    * embedding dedup additionally whitens/centers before projecting so
+    * sign patterns spread.
+    */
   def x13EmbedDedup(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
