@@ -400,6 +400,28 @@ object Streams {
       .select(col("doc_id"), col("h1"), col("h12"),
         expr(graft.queries.PipelineOps.lmPMicroExpr).as("p_micro"))
 
+  /** Streaming half of x51's heavy hitters: a GLOBAL `count_min_sketch`
+    * aggregate over the token stream, complete-mode. This is the sketch
+    * family's whole streaming argument made concrete — a streaming
+    * token-count aggregate keeps state ∝ vocabulary (unbounded on an open
+    * stream), while this keeps exactly ONE constant-size d×w counter
+    * table as the aggregation buffer no matter how long the stream runs;
+    * each micro-batch folds its tokens in and complete-mode emits the
+    * current sketch bytes. Same (ε, δ, seed) as batch x51, and CMS
+    * insertion is pure counter addition, so the sketch after any prefix
+    * of micro-batches is BYTE-IDENTICAL to a batch sketch over the same
+    * rows — batch-boundary-blind by construction (StreamingSpec proves
+    * byte equality and estimate equality against the batch path).
+    * Consumers point-query the emitted bytes with `graft_cms_query`
+    * (the x51 probe side) — at the door, without a vocabulary shuffle.
+    */
+  def cmsHeavyHittersStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(expr(
+        "count_min_sketch(tok, cast(0.001 as double), cast(0.99 as double), 42)")
+        .as("sk"))
+
   /** Streaming twin of x30's corpus upsert: a change feed (doc_id,
     * new_text, op ∈ U/D/I) applied to a versioned parquet corpus state via
     * foreachBatch — each micro-batch MERGEs into the latest version with

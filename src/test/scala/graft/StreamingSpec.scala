@@ -236,6 +236,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch is byte-identical to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.cmsHeavyHittersStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // three micro-batches: the constant-size sketch state must fold
+      // them identically to one batch pass
+      docs.grouped(math.max(1, docs.length / 3)).foreach { g =>
+        mem.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      val streamedSk = spark.table("cms_test")
+        .head().getAs[Array[Byte]]("sk")
+      val batchSk = Streams.cmsHeavyHittersStream(docs.toSeq.toDF("doc_id", "text"))
+        .head().getAs[Array[Byte]]("sk")
+      assert(java.util.Arrays.equals(streamedSk, batchSk),
+        "streamed CMS bytes diverge from the batch sketch")
+      // and the probe side agrees with exact counts on the top token
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(streamedSk))
+      val top = SparkEntry.queries("x51_heavy_hitters")(spark, TestSpark.sf0001)
+        .head()
+      val est = cms.estimateCount(top.getAs[String]("tok")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(est >= top.getAs[Long]("n_exact"),
+        "CMS under-counted — one-sided error contract broken")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup flags exactly the batch x39 index hits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
