@@ -236,6 +236,68 @@ object RelationalOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- j11: dynamic partition pruning over a partitioned fact layout ----
+
+  /** Dynamic partition pruning, demonstrated for real: orders written as a
+    * HIVE-PARTITIONED layout on the derived month column (the one-time
+    * fixture under the scratch dir, stamped like j8's bucketed tables),
+    * then joined to a small month-dimension with a selective predicate on
+    * a NON-join column (`m_minkey % 2 = 0` — deliberately not derivable
+    * from the join key, so constraint propagation cannot turn it into a
+    * static partition filter; the ONLY way the fact scan skips months is
+    * the `dynamicpruning` subquery Catalyst plants in PartitionFilters,
+    * fed by the reused dim broadcast). Round9Spec asserts the plan
+    * carries it. This is THE 100 TB date-partitioned-fact access path:
+    * the dim filter decides at runtime which partitions the fact scan
+    * reads, and everything else is never listed, opened, or scanned.
+    * The oracle replays the month derivation + dim filter over the raw
+    * table — the partition layout must not change a single row.
+    */
+  private val j11Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def j11DppJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"${graft.Scratch.dir(s)}/graft_j11_$tag"
+    val factDir = s"$root/fact"
+    val dimDir = s"$root/dim"
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(d), root,
+      force = !new java.io.File(factDir).exists || !new java.io.File(dimDir).exists) {
+      val withMonth = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      withMonth.write.mode("overwrite").partitionBy("o_month").parquet(factDir)
+      withMonth.groupBy(col("o_month"))
+        .agg(min(col("o_orderkey")).as("m_minkey"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    }
+    // partition discovery over a many-partition layout (~45 months × part
+    // files > the 32-path parallel-listing threshold) legitimately runs a
+    // distributed LISTING job on first touch; memoize the resolved
+    // relation so later builder calls stay zero-job (the AuditSpec
+    // re-build contract). The layout only changes under ensureLayout's
+    // stamp, which this cache follows by construction (same session run).
+    val fact = j11Memo.computeIfAbsent((s, factDir),
+      _ => Tables.cachedParquet(s, factDir))
+    val dim = j11Memo.computeIfAbsent((s, dimDir),
+      _ => Tables.cachedParquet(s, dimDir)).filter(col("m_minkey") % 2 === 0)
+    fact.join(dim, Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_month"))
+  }
+
+  val j11Sql: String =
+    """WITH base AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey, o_totalprice
+      |  FROM orders),
+      |dim AS (SELECT o_month, MIN(o_orderkey) AS mk FROM base GROUP BY o_month)
+      |SELECT b.o_month, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM base b JOIN dim ON dim.o_month = b.o_month AND dim.mk % 2 = 0
+      |GROUP BY b.o_month ORDER BY b.o_month""".stripMargin
+
   // ---- l1: Z-order (Morton) clustering key for 2-D data layout ----
   // The OPTIMIZE-ZORDER primitive: interleave (user bucket, minute-of-day)
   // so sort-and-write by z makes any aligned 2-D rectangle near-contiguous
@@ -934,6 +996,7 @@ object RelationalOps {
     "j6_range_bucket"    -> (j6RangeBucket _),
     "j7_salted_join"     -> (j7SaltedJoin _),
     "j8_bucketed_join"   -> (j8BucketedJoin _),
+    "j11_dpp_join"       -> (j11DppJoin _),
     "l1_zorder_cluster"  -> (l1ZorderCluster _),
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
@@ -973,6 +1036,7 @@ object RelationalOps {
     "j6_range_bucket" -> j6Sql,
     "j7_salted_join" -> j7Sql,
     "j8_bucketed_join" -> j8Sql,
+    "j11_dpp_join" -> j11Sql,
     "j9_full_outer" -> j9Sql,
     "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,

@@ -102,6 +102,14 @@ class Round9Spec extends SparkSpec {
       "trained-IVF top-3 shares no neighbor with exact top-3 on ANY query")
   }
 
+  test("j11: the fact scan carries a dynamicpruning partition filter") {
+    val df = graft.queries.RelationalOps.j11DppJoin(spark, TestSpark.sf0001)
+    df.collect() // materialize fixture + exercise the pruned scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the j11 plan:\n$plan")
+  }
+
   test("p2: packed bins conserve the deduped corpus") {
     val d = TestSpark.sf0001
     val bins = graft.queries.CorpusOps.p2DedupPackPipeline(spark, d)
