@@ -184,6 +184,71 @@ object MultiFormat {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Point-lookup keys for src13 — literal in the oracle, so both engines
+    * probe the identical set. */
+  private val BloomProbeKeys = Seq(1L, 7L, 32L)
+
+  /** Parquet COLUMN BLOOM FILTERS — the row-group skipping lever for point
+    * lookups on high-cardinality UNSORTED columns, where min/max stats
+    * prune nothing (every row group spans nearly the full key range).
+    * Fixture: lineitem rewritten with
+    * `parquet.bloom.filter.enabled#l_orderkey` and a small block size so
+    * the file carries many row groups; the declared query is a 3-key IN
+    * probe that parquet-mr answers from the blooms before touching pages
+    * (Spark pushes In() to the reader — visible as PushedFilters — and
+    * `parquet.filter.bloom.enabled` is on by default). Round9Spec opens
+    * the footer with parquet-mr and asserts every row group's l_orderkey
+    * chunk REALLY carries a bloom offset — the option silently no-ops on
+    * typos, so the fixture is pinned, not assumed. At 100 TB this is the
+    * needle-in-haystack access path that doesn't require re-sorting the
+    * corpus by the probe key (that re-sort is l1/Z-order's job).
+    */
+  def src13ParquetBloom(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src13_bloom_$tag"
+    ensureLayout(new java.io.File(s"$d/lineitem.parquet"), path) {
+      // the bloom properties ride the Hadoop conf parquet-mr actually
+      // reads (scoped to the build, restored after); Round9Spec opens the
+      // footer and fails loudly if they ever stop taking effect
+      val hc = spark.sparkContext.hadoopConfiguration
+      val keys = Seq(
+        "parquet.bloom.filter.enabled#l_orderkey" -> "true",
+        "parquet.bloom.filter.expected.ndv#l_orderkey" -> "2000000",
+        // parquet-mr OMITS the bloom when a chunk ends up fully
+        // dictionary-encoded (the dictionary already answers point
+        // probes exactly). At test SFs the key set fits a dictionary
+        // page, so force plain encoding on the probe column — the regime
+        // a 100 TB key column reaches by itself when its cardinality
+        // overflows the dictionary-page budget.
+        "parquet.enable.dictionary#l_orderkey" -> "false",
+        "parquet.block.size" -> (1 << 20).toString)
+      val saved = keys.map { case (k, _) => k -> Option(hc.get(k)) }
+      try {
+        keys.foreach { case (k, v) => hc.set(k, v) }
+        graft.Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").parquet(path)
+      } finally saved.foreach {
+        case (k, Some(v)) => hc.set(k, v)
+        case (k, None)    => hc.unset(k)
+      }
+    }
+    graft.Tables.cachedParquet(spark, path)
+      .filter(col("l_orderkey").isin(BloomProbeKeys: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double")
+             .as("sum_price"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val src13Sql: String =
+    s"""SELECT l_orderkey, COUNT(*) AS n_lines,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM lineitem WHERE l_orderkey IN (${BloomProbeKeys.mkString(", ")})
+       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** Declared SequenceFile key — the LITERAL container the reference
     * harness provisions (amplab/benchmark `runner/prepare_benchmark.py`,
     * the `sequence/` and `sequence-snappy/` s3 prefixes): round-trip
@@ -633,6 +698,7 @@ object MultiFormat {
         "src10_deflate_text_scan" -> (src10DeflateTextScan _),
         "src11_text_scan" -> (src11TextScan _),
         "src12_sequencefile_plain" -> (src12SequencefilePlain _),
+        "src13_parquet_bloom" -> (src13ParquetBloom _),
         "src9_avro_scan" -> (src9AvroScan _),
         "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
@@ -648,6 +714,7 @@ object MultiFormat {
         "src10_deflate_text_scan" -> src10Sql,
         "src11_text_scan" -> src11Sql,
         "src12_sequencefile_plain" -> src12Sql,
+        "src13_parquet_bloom" -> src13Sql,
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
         "src8_compaction" -> src8Sql,

@@ -110,6 +110,39 @@ class Round9Spec extends SparkSpec {
       s"no dynamic partition pruning in the j11 plan:\n$plan")
   }
 
+  test("src13: every row group's l_orderkey chunk carries a real bloom filter") {
+    val d = TestSpark.sf0001
+    val df = graft.sources.MultiFormat.src13ParquetBloom(spark, d)
+    assert(df.count() > 0, "probe keys found no rows")
+    // the write option silently no-ops when misspelled — open the footer
+    // with parquet-mr and check the bloom offsets are actually there
+    val dir = new java.io.File(
+      s"${graft.Scratch.dir(spark)}/graft_src13_bloom_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, "fixture wrote no parquet parts")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    parts.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val groups = rd.getFooter.getBlocks.asScala
+        assert(groups.nonEmpty)
+        groups.foreach { b =>
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_orderkey").get
+          assert(chunk.getBloomFilterOffset >= 0,
+            s"${f.getName}: l_orderkey row-group chunk has no bloom filter")
+        }
+      } finally rd.close()
+    }
+    // and the probe predicate reaches the reader
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(l_orderkey"),
+      s"IN probe not pushed to the parquet reader:\n$plan")
+  }
+
   test("p2: packed bins conserve the deduped corpus") {
     val d = TestSpark.sf0001
     val bins = graft.queries.CorpusOps.p2DedupPackPipeline(spark, d)
