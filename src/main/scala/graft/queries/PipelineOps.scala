@@ -743,6 +743,57 @@ object PipelineOps {
       |FROM toks GROUP BY tok
       |ORDER BY n_exact DESC, tok LIMIT 10""".stripMargin
 
+  // ===== x53: adaptive percentile length filter ===========================
+
+  /** Data-driven length filtering (the Gopher/CCNet "drop the tails"
+    * step): instead of a fixed min/max, each language's own 10th/90th
+    * length percentiles decide the cut — integer RANK logic, not
+    * `percentile_approx`, so both engines select the identical documents
+    * (rk > n/10 and rk ≤ n − n/10 under a total (n_chars, doc_id) order;
+    * all integer division). Declared output is the per-language audit a
+    * curation run keeps: population, kept count, and the realized kept
+    * length band.
+    *
+    * 100 TB shape: one window rank per language partition plus the
+    * per-language count — a single shuffle keyed by lang; thresholds are
+    * never collected to the driver, they live in-row as rank arithmetic.
+    * Languages are the natural partition key and skew with corpus mix;
+    * the per-lang windows sort only within a language (AQE skew-split
+    * posture applies to a mega-language shard).
+    */
+  def x53AdaptiveLengthFilter(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w.partitionBy(col("lang"))))
+    ranked
+      .withColumn("kept",
+        expr("rk > n div 10 AND rk <= n - n div 10"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           count(when(col("kept"), 1)).as("n_kept"),
+           min(when(col("kept"), col("n_chars"))).as("lo_chars"),
+           max(when(col("kept"), col("n_chars"))).as("hi_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val x53Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+      |         COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |k AS (SELECT lang, n_chars,
+      |             (rk > n // 10 AND rk <= n - n // 10) AS kept
+      |      FROM ranked)
+      |SELECT lang, COUNT(*) AS n_total,
+      |       COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+      |       MIN(CASE WHEN kept THEN n_chars END) AS lo_chars,
+      |       MAX(CASE WHEN kept THEN n_chars END) AS hi_chars
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   // ===== x52: NDCG ranking-quality eval ===================================
 
   /** NDCG@3 of the trained-IVF ANN ranking (x12c) against the exact
@@ -3450,6 +3501,7 @@ object PipelineOps {
     "x41b_semdedup_trained" -> (x41bSemdedupTrained _),
     "x51_heavy_hitters"  -> (x51HeavyHitters _),
     "x52_ndcg"           -> (x52Ndcg _),
+    "x53_adaptive_lengthfilter" -> (x53AdaptiveLengthFilter _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3514,6 +3566,7 @@ object PipelineOps {
     "x41b_semdedup_trained" -> x41bSql,
     "x51_heavy_hitters"  -> x51Sql,
     "x52_ndcg"           -> x52Sql,
+    "x53_adaptive_lengthfilter" -> x53Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
