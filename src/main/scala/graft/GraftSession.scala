@@ -45,6 +45,7 @@ object GraftSession {
     TopKTokensAgg.register(spark)
     WeightedSum.register(spark)
     VectorSumLong.register(spark)
+    NfcNormalize.register(spark)
     GraftPlanner.install(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark

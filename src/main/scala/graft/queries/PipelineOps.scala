@@ -794,6 +794,54 @@ object PipelineOps {
       |       MAX(CASE WHEN kept THEN n_chars END) AS hi_chars
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ===== x54: unicode NFC normalization ===================================
+
+  /** Unicode NFC text normalization — the canonical-composition cleaning
+    * pass a curation pipeline runs BEFORE any exact-hash dedup or
+    * tokenization (decomposed `e + U+0301` and precomposed `é` are
+    * different byte strings; unnormalized corpora silently split
+    * duplicate groups and inflate vocabularies). The corpus here is
+    * ASCII, so the key first manufactures a decomposed variant IN-PLAN
+    * (every `e` → `e + COMBINING ACUTE`, the same rewrite on both
+    * engines), then normalizes it back with [[graft.functions.NfcNormalize]]
+    * and audits: per-language codepoint counts before/after (composition
+    * must shrink each substituted pair to one codepoint) and an exact
+    * equality count against the directly-precomposed `é` rewrite — the
+    * end-to-end proof that JDK NFC and DuckDB's utf8proc
+    * `nfc_normalize` compose identically.
+    *
+    * 100 TB shape: pure map-side (regexp + one codegen'd static call per
+    * row, zero-copy for already-normalized rows) feeding one per-lang
+    * aggregate — a single tiny shuffle on the 4-language key.
+    */
+  def x54NfcNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.attach(s)
+    val n = Tables.documents(s, d)
+      .select(col("lang"),
+        regexp_replace(col("text"), "e", "é").as("dtext"),
+        regexp_replace(col("text"), "e", "é").as("expect"))
+      .withColumn("ntext", expr("graft_nfc(dtext)"))
+    n.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("dtext"))).as("chars_decomposed"),
+           sum(length(col("ntext"))).as("chars_nfc"),
+           count(when(col("ntext") === col("expect"), 1)).as("n_composed_exact"))
+      .orderBy(col("lang"))
+  }
+
+  val x54Sql: String =
+    """WITH n AS (
+      |  SELECT lang,
+      |         regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dtext,
+      |         regexp_replace(text, 'e', chr(233), 'g') AS expect
+      |  FROM documents),
+      |m AS (SELECT lang, dtext, nfc_normalize(dtext) AS ntext, expect FROM n)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(length(dtext)) AS BIGINT) AS chars_decomposed,
+      |       CAST(SUM(length(ntext)) AS BIGINT) AS chars_nfc,
+      |       COUNT(CASE WHEN ntext = expect THEN 1 END) AS n_composed_exact
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
   // ===== x52: NDCG ranking-quality eval ===================================
 
   /** NDCG@3 of the trained-IVF ANN ranking (x12c) against the exact
@@ -3502,6 +3550,7 @@ object PipelineOps {
     "x51_heavy_hitters"  -> (x51HeavyHitters _),
     "x52_ndcg"           -> (x52Ndcg _),
     "x53_adaptive_lengthfilter" -> (x53AdaptiveLengthFilter _),
+    "x54_nfc_normalize"  -> (x54NfcNormalize _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3567,6 +3616,7 @@ object PipelineOps {
     "x51_heavy_hitters"  -> x51Sql,
     "x52_ndcg"           -> x52Sql,
     "x53_adaptive_lengthfilter" -> x53Sql,
+    "x54_nfc_normalize"  -> x54Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,

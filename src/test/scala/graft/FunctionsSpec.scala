@@ -138,4 +138,26 @@ class FunctionsSpec extends SparkSpec {
     val many = df.repartition(7).agg(sum(Tables.money(col("v")))).head().getDecimal(0)
     assert(once === many)
   }
+
+  test("NfcNormalize: composes decomposed sequences, zero-copy when already NFC") {
+    import spark.implicits._
+    graft.functions.NfcNormalize.register(spark)
+    // decomposed e + COMBINING ACUTE (U+0301) must compose to U+00E9
+    val decomposed = "café résumé"
+    val composed = "café résumé"
+    val rows = Seq(decomposed, "plain ascii", "", composed).toDF("t")
+      .selectExpr("t", "graft_nfc(t) AS n", "length(t) AS lt", "length(n) AS ln")
+      .collect()
+    val byInput = rows.map(r => r.getString(0) -> r).toMap
+    assert(byInput(decomposed).getString(1) === composed)
+    assert(byInput(decomposed).getInt(3) === byInput(decomposed).getInt(2) - 3,
+      "each of the 3 combining pairs must shrink by one codepoint")
+    // already-NFC inputs round-trip unchanged (the zero-copy fast path)
+    Seq("plain ascii", "", composed).foreach { s =>
+      assert(byInput(s).getString(1) === s)
+    }
+    // kernel-level zero-copy: same UTF8String instance comes back
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("already nfc")
+    assert(graft.functions.NfcKernel.nfc(u) eq u)
+  }
 }
