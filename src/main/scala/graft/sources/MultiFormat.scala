@@ -249,6 +249,75 @@ object MultiFormat {
        |FROM lineitem WHERE l_orderkey IN (${BloomProbeKeys.mkString(", ")})
        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Range probed by src14 — literal in the oracle so both engines scan the
+    * identical slice. */
+  private val PageIndexRange: (Long, Long) = (100L, 400L)
+
+  /** Parquet PAGE-LEVEL min/max pruning via the COLUMN INDEX (parquet-mr's
+    * ColumnIndex/OffsetIndex footer structures) — the complementary
+    * skipping lever to src13's blooms: blooms answer POINT probes on
+    * unsorted keys; the column index answers RANGE probes, but only pays
+    * off when the layout is sorted so page min/max bands are narrow and
+    * disjoint. Fixture: lineitem range-partitioned + sorted by
+    * `l_orderkey` with `parquet.page.row.count.limit` forced low, so every
+    * row group carries MANY small pages with monotonic non-overlapping
+    * min/max bands; the declared query is a BETWEEN probe that the reader
+    * answers by decoding only the covering pages (Spark pushes the range —
+    * visible as PushedFilters gte/lte — and parquet-mr's
+    * `parquet.filter.columnindex.enabled` is on by default). Round9Spec
+    * opens the footer and asserts the l_orderkey chunk REALLY carries a
+    * column index with multiple pages and sorted/BOUNDED bands — page
+    * structure silently degrades to one-page-per-group if the limit conf
+    * stops taking effect, which would leave the query correct but the
+    * skipping lever gone. At 100 TB this is the time-range/id-range scan
+    * path: sort (or Z-order, l1) the layout once, and every range probe
+    * reads O(result) pages instead of O(corpus) — finer-grained than
+    * row-group min/max alone and free at read time (the index lives in the
+    * footer, loaded before any page IO).
+    */
+  def src14ParquetPageindex(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src14_pageidx_$tag"
+    ensureLayout(new java.io.File(s"$d/lineitem.parquet"), path) {
+      val hc = spark.sparkContext.hadoopConfiguration
+      val keys = Seq(
+        // many pages per row group: cut pages every 500 rows instead of
+        // the 20k default (the fixture-scale stand-in for a 100 TB file's
+        // natural thousands-of-pages-per-group shape)
+        "parquet.page.row.count.limit" -> "500")
+      val saved = keys.map { case (k, _) => k -> Option(hc.get(k)) }
+      try {
+        keys.foreach { case (k, v) => hc.set(k, v) }
+        graft.Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          // 2 sorted range shards — enough parts to prove the layout is a
+          // distributed write, few enough that every part spans many pages
+          .repartitionByRange(2, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(path)
+      } finally saved.foreach {
+        case (k, Some(v)) => hc.set(k, v)
+        case (k, None)    => hc.unset(k)
+      }
+    }
+    val (lo, hi) = PageIndexRange
+    graft.Tables.cachedParquet(spark, path)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)).as("n_lines"),
+           countDistinct(col("l_orderkey")).as("n_orders"),
+           sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double")
+             .as("sum_price"))
+  }
+
+  val src14Sql: String = {
+    val (lo, hi) = PageIndexRange
+    s"""SELECT COUNT(*) AS n_lines,
+       |       COUNT(DISTINCT l_orderkey) AS n_orders,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM lineitem WHERE l_orderkey BETWEEN $lo AND $hi""".stripMargin
+  }
+
   /** Declared SequenceFile key — the LITERAL container the reference
     * harness provisions (amplab/benchmark `runner/prepare_benchmark.py`,
     * the `sequence/` and `sequence-snappy/` s3 prefixes): round-trip
@@ -699,6 +768,7 @@ object MultiFormat {
         "src11_text_scan" -> (src11TextScan _),
         "src12_sequencefile_plain" -> (src12SequencefilePlain _),
         "src13_parquet_bloom" -> (src13ParquetBloom _),
+        "src14_parquet_pageindex" -> (src14ParquetPageindex _),
         "src9_avro_scan" -> (src9AvroScan _),
         "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
@@ -715,6 +785,7 @@ object MultiFormat {
         "src11_text_scan" -> src11Sql,
         "src12_sequencefile_plain" -> src12Sql,
         "src13_parquet_bloom" -> src13Sql,
+        "src14_parquet_pageindex" -> src14Sql,
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
         "src8_compaction" -> src8Sql,

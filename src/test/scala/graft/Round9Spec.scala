@@ -143,6 +143,55 @@ class Round9Spec extends SparkSpec {
       s"IN probe not pushed to the parquet reader:\n$plan")
   }
 
+  test("src14: l_orderkey pages carry a sorted multi-page column index") {
+    val d = TestSpark.sf0001
+    val df = graft.sources.MultiFormat.src14ParquetPageindex(spark, d)
+    assert(df.head().getLong(0) > 0, "probe range found no rows")
+    val dir = new java.io.File(
+      s"${graft.Scratch.dir(spark)}/graft_src14_pageidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 2, "range-partitioned fixture should have >= 2 parts")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    var pagesTotal = 0
+    parts.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        rd.getFooter.getBlocks.asScala.foreach { b =>
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_orderkey").get
+          val ci = rd.readColumnIndex(chunk)
+          val oi = rd.readOffsetIndex(chunk)
+          assert(ci != null && oi != null,
+            s"${f.getName}: l_orderkey chunk has no column/offset index")
+          val n = oi.getPageCount
+          assert(n > 1,
+            s"${f.getName}: one page per row group — the page.row.count.limit conf stopped taking effect")
+          pagesTotal += n
+          // sorted layout ⇒ page [min,max] bands are monotonic and
+          // non-overlapping: page i's max <= page i+1's min
+          def lv(bb: java.nio.ByteBuffer): Long =
+            bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+          val mins = ci.getMinValues.asScala.map(lv).toSeq
+          val maxs = ci.getMaxValues.asScala.map(lv).toSeq
+          (0 until n - 1).foreach { i =>
+            assert(maxs(i) <= mins(i + 1),
+              s"${f.getName}: page $i band [${mins(i)},${maxs(i)}] overlaps page ${i + 1} [${mins(i + 1)},${maxs(i + 1)}]")
+          }
+        }
+      } finally rd.close()
+    }
+    assert(pagesTotal >= 8, s"expected many pages across the fixture, got $pagesTotal")
+    // and the range probe reaches the parquet reader
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_orderkey") &&
+      plan.contains("LessThanOrEqual(l_orderkey"),
+      s"BETWEEN probe not pushed to the parquet reader:\n$plan")
+  }
+
   test("p2: packed bins conserve the deduped corpus") {
     val d = TestSpark.sf0001
     val bins = graft.queries.CorpusOps.p2DedupPackPipeline(spark, d)
