@@ -842,6 +842,65 @@ object PipelineOps {
       |       COUNT(CASE WHEN ntext = expect THEN 1 END) AS n_composed_exact
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ===== x55: PMI collocation mining ======================================
+
+  /** Pointwise-mutual-information collocation mining — the phrase-discovery
+    * pass a tokenizer/vocabulary pipeline runs over the corpus (word2vec's
+    * phrase step, BPE-merge seeding: bigrams whose joint count beats the
+    * independence expectation are phrases, not chance adjacency). Ranking
+    * is the INTEGER-EXACT monotone transform of exp(PMI):
+    * `(cab * N * 10⁶) div (c1 * c2)` — no logs, no floats, so both engines
+    * produce the identical ordering bit-for-bit; ties break on the bigram
+    * itself. A `cab >= 5` min-count prefilter (the word2vec default)
+    * drops the hapax noise BEFORE the unigram joins.
+    *
+    * 100 TB shape: two wordcount-shaped aggregations (unigram, bigram) and
+    * two vocab-keyed shuffle joins on the min-count-shrunk bigram table —
+    * no broadcast of the vocabulary, only of the single-row total. Integer
+    * headroom: the scaled product needs `cab·N·10⁶ < 2⁶³`; past that
+    * (corpus beyond ~10¹² token-pairs) drop SCALE or widen the product to
+    * DECIMAL(38,0) on both engines — the ordering is unchanged either way.
+    */
+  def x55PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bi = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val n = uni.agg(sum(col("cw")).as("n_tok"))
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_scaled", expr("(cab * n_tok * 1000000) div (c1 * c2)"))
+      .select(col("w1"), col("w2"), col("cab"), col("c1"), col("c2"),
+        col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val x55Sql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS cw
+      |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |bi AS (SELECT w1, w2, COUNT(*) AS cab FROM (
+      |         SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |         FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+      |               FROM t WHERE len(toks) >= 2))
+      |       GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+      |n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tok FROM uni)
+      |SELECT w1, w2, cab, c1, c2,
+      |       (cab * n_tok * 1000000) // (c1 * c2) AS pmi_scaled
+      |FROM bi
+      |JOIN (SELECT w AS w1, cw AS c1 FROM uni) u1 USING (w1)
+      |JOIN (SELECT w AS w2, cw AS c2 FROM uni) u2 USING (w2), n
+      |ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ===== x52: NDCG ranking-quality eval ===================================
 
   /** NDCG@3 of the trained-IVF ANN ranking (x12c) against the exact
@@ -3551,6 +3610,7 @@ object PipelineOps {
     "x52_ndcg"           -> (x52Ndcg _),
     "x53_adaptive_lengthfilter" -> (x53AdaptiveLengthFilter _),
     "x54_nfc_normalize"  -> (x54NfcNormalize _),
+    "x55_pmi_collocations" -> (x55PmiCollocations _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3617,6 +3677,7 @@ object PipelineOps {
     "x52_ndcg"           -> x52Sql,
     "x53_adaptive_lengthfilter" -> x53Sql,
     "x54_nfc_normalize"  -> x54Sql,
+    "x55_pmi_collocations" -> x55Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,

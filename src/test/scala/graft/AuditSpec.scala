@@ -73,7 +73,8 @@ class AuditSpec extends SparkSpec {
         "x45_hybrid_rrf", // dense side: single-row query-vector broadcast (x1b's shape)
         "x51_heavy_hitters", // two single-row broadcasts: CMS bytes + total count
         "x52_ndcg", // x1b's 10-query ground-truth panel + x12c's 16-centroid broadcast
-        "x48_epoch_shuffle") // 3-row epoch table broadcast (ShufEpochs constant)
+        "x48_epoch_shuffle", // 3-row epoch table broadcast (ShufEpochs constant)
+        "x55_pmi_collocations") // single-row total-token-count broadcast (x19's avgdl shape)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet
