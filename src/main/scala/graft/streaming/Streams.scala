@@ -74,6 +74,45 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Generalized stream-STREAM watermarked interval join —
+    * [[clickToPurchaseJoin]]'s mechanics with the join type as a knob,
+    * because the OUTER variants are where stream-stream joins get
+    * genuinely harder than batch. A `view` row matches every later `act`
+    * row by the same user within 30 event-time minutes; both sides carry
+    * a 10-minute watermark AND the join condition bounds `act_ts`
+    * relative to `view_ts` — that pair is what lets Spark evict buffered
+    * view state once the act-side watermark passes `view_ts + 30min` (and
+    * vice versa); an unbounded-time stream-stream equi-join would buffer
+    * both streams forever. `joinType="leftOuter"` additionally emits
+    * never-matched views with null act columns AFTER their interval
+    * expires — the "impression with no conversion" record — which is only
+    * decidable, and only emitted, once the watermark proves no future
+    * match can arrive (the spec pins both the suppression before that
+    * point and the exactly-once null emission after it).
+    *
+    * 100 TB shape: state partitions by the equi-key (user_id) across
+    * executors, each side's buffer bounded to watermark + interval; the
+    * interval condition keeps the per-key cross product to the
+    * time-adjacent window rather than the full history.
+    */
+  def intervalJoinStream(views: DataFrame, acts: DataFrame,
+                         joinType: String = "inner"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val a = acts.select(col("event_id").as("act_id"),
+        col("user_id").as("act_user"), col("ts").as("act_ts"),
+        col("value").as("act_value"))
+      .withWatermark("act_ts", "10 minutes")
+    v.join(a,
+        col("user_id") === col("act_user") &&
+          col("act_ts") >= col("view_ts") &&
+          col("act_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("act_id"), col("act_ts"), col("act_value"))
+  }
+
   /** Custom keyed state: running per-user event count + running value sum
     * via mapGroupsWithState (the arbitrary-state API; update mode).
     */

@@ -547,4 +547,64 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
     assert(diff.count() === 0L, "every finalized streaming window must match the batch twin")
   }
+
+  test("stream-stream interval join: in-window pairs only, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val acts = MemoryStream[Event]
+    val q = Streams.intervalJoinStream(views.toDF(), acts.toDF())
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // view at :10 for users 1 and 2; acts at :20 (in window), :50 (out:
+      // 40 min later), and user-3 act with no view at all
+      views.addData(ev(100, 10, user = 1), ev(101, 10, user = 2))
+      acts.addData(ev(200, 20, user = 1), ev(201, 50, user = 1),
+        ev(202, 25, user = 3))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test")
+        .select(col("view_id"), col("act_id")).as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 200L)),
+        s"only the in-interval same-user pair may join, got $got")
+      // batch parity: the identical join expression over the same rows
+      val vb = Seq(ev(100, 10, user = 1), ev(101, 10, user = 2)).toDS().toDF()
+      val ab = Seq(ev(200, 20, user = 1), ev(201, 50, user = 1),
+        ev(202, 25, user = 3)).toDS().toDF()
+      val batch = Streams.intervalJoinStream(vb, ab)
+        .select(col("view_id"), col("act_id")).as[(Long, Long)].collect().toSet
+      assert(batch === got, "streamed pairs must equal the batch replay")
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits unmatched views after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val acts = MemoryStream[Event]
+    val q = Streams.intervalJoinStream(views.toDF(), acts.toDF(), "leftOuter")
+      .writeStream.format("memory").queryName("ssj_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(ev(100, 10, user = 1), ev(101, 10, user = 2))
+      acts.addData(ev(200, 20, user = 1))
+      q.processAllAvailable()
+      // user-2's view is unmatched but its interval (until :40 + 10min wm)
+      // has not expired — it must NOT have been emitted as a null row yet
+      val early = spark.table("ssj_outer_test")
+      assert(early.filter(col("view_id") === 101L).count() === 0L,
+        "outer row emitted before the watermark proved no match can come")
+      // advance BOTH watermarks far past view_ts + 30min + 10min
+      views.addData(ev(110, 300, user = 9))
+      acts.addData(ev(210, 300, user = 9))
+      q.processAllAvailable()
+      views.addData(ev(111, 310, user = 9))
+      acts.addData(ev(211, 310, user = 9))
+      q.processAllAvailable()
+      val out = spark.table("ssj_outer_test")
+        .filter(col("view_id") === 101L).collect()
+      assert(out.length === 1 && out(0).isNullAt(out(0).fieldIndex("act_id")),
+        "expired unmatched view must surface exactly once with null act columns")
+    } finally q.stop()
+  }
 }
