@@ -318,6 +318,62 @@ object MultiFormat {
        |FROM lineitem WHERE l_orderkey BETWEEN $lo AND $hi""".stripMargin
   }
 
+  /** Parquet SCHEMA EVOLUTION scan — a corpus written over years is never
+    * one schema: early shards lack the columns later writers added. The
+    * fixture writes orders as two partition "eras" (`era=1` without
+    * `o_orderpriority`, `era=2` with it) and reads the whole directory
+    * with `mergeSchema=true`, which resolves the union schema from BOTH
+    * footers and null-fills the column where the era-1 files have no
+    * chunk for it — no rewrite of the old shards, the read path absorbs
+    * the drift. The declared query audits exactly what an evolution-aware
+    * scan must get right: per-era row counts, non-null counts for the
+    * late-added column (zero for era 1, total for era 2), and an
+    * aggregate over a column present in both eras.
+    *
+    * 100 TB posture: mergeSchema's cost is a footer-reading job over the
+    * parts at planning time — pay it once and pin the merged schema (the
+    * production pattern is to resolve it, then pass the explicit schema on
+    * subsequent reads, exactly what [[graft.Tables.cachedParquet]] does
+    * with its per-path cache); per-row cost is zero because null-filling
+    * a missing chunk is the columnar reader's cheapest path. This is the
+    * read-side HALF of evolution; src0's schema probe is the guard that
+    * NAMES the drift when a new era changes a column's TYPE instead of
+    * adding one (that case needs a loader branch, Tables.loadTable's
+    * events precedent, not mergeSchema).
+    */
+  def src15SchemaEvolution(spark: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src15_evo_$tag"
+    ensureLayout(new java.io.File(s"$d/orders.parquet"), path) {
+      val orders = graft.Tables.orders(spark, d)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/era=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$path/era=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("era"))
+      .agg(count(lit(1)).as("n_orders"),
+           count(col("o_orderpriority")).as("n_with_priority"),
+           countDistinct(col("o_orderpriority")).as("n_priorities"),
+           sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double")
+             .as("sum_price"))
+      .orderBy(col("era"))
+  }
+
+  val src15Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS era,
+      |       COUNT(*) AS n_orders,
+      |       COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+      |         AS n_with_priority,
+      |       COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+      |         AS n_priorities,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY era""".stripMargin
+
   /** Declared SequenceFile key — the LITERAL container the reference
     * harness provisions (amplab/benchmark `runner/prepare_benchmark.py`,
     * the `sequence/` and `sequence-snappy/` s3 prefixes): round-trip
@@ -769,6 +825,7 @@ object MultiFormat {
         "src12_sequencefile_plain" -> (src12SequencefilePlain _),
         "src13_parquet_bloom" -> (src13ParquetBloom _),
         "src14_parquet_pageindex" -> (src14ParquetPageindex _),
+        "src15_schema_evolution" -> (src15SchemaEvolution _),
         "src9_avro_scan" -> (src9AvroScan _),
         "src8_compaction" -> (src8Compaction _),
         "src6_jsonl_scan" -> (src6JsonlScan _),
@@ -786,6 +843,7 @@ object MultiFormat {
         "src12_sequencefile_plain" -> src12Sql,
         "src13_parquet_bloom" -> src13Sql,
         "src14_parquet_pageindex" -> src14Sql,
+        "src15_schema_evolution" -> src15Sql,
         "src6_jsonl_scan" -> src6Sql,
         "src7_corrupt_scan" -> src7Sql,
         "src8_compaction" -> src8Sql,

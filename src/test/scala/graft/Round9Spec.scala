@@ -192,6 +192,35 @@ class Round9Spec extends SparkSpec {
       s"BETWEEN probe not pushed to the parquet reader:\n$plan")
   }
 
+  test("src15: era-1 footers really lack the late-added column") {
+    val d = TestSpark.sf0001
+    val df = graft.sources.MultiFormat.src15SchemaEvolution(spark, d)
+    val rows = df.collect()
+    assert(rows.length === 2)
+    val byEra = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byEra(1).getLong(2) === 0L, "era 1 must have zero non-null priorities")
+    assert(byEra(2).getLong(2) === byEra(2).getLong(1),
+      "era 2 must have a priority on every row")
+    // physical pin: the null-filled column must be ABSENT from era-1
+    // footers (otherwise the fixture degenerated into a same-schema read)
+    val dir = new java.io.File(
+      s"${graft.Scratch.dir(spark)}/graft_src15_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}/era=1")
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    parts.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val names = (0 until rd.getFooter.getFileMetaData.getSchema.getFieldCount)
+          .map(rd.getFooter.getFileMetaData.getSchema.getFieldName)
+        assert(!names.contains("o_orderpriority"),
+          s"${f.getName}: era-1 part unexpectedly carries the evolved column")
+      } finally rd.close()
+    }
+  }
+
   test("p2: packed bins conserve the deduped corpus") {
     val d = TestSpark.sf0001
     val bins = graft.queries.CorpusOps.p2DedupPackPipeline(spark, d)
