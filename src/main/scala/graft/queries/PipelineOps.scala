@@ -1957,6 +1957,64 @@ object PipelineOps {
        |WHERE l.doc_id IS NULL OR l.cluster = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ===== x56: quality-aware dedup survivor selection ======================
+
+  /** Keep-BEST dedup survivor selection — x21 keeps each cluster's
+    * canonical (min-id) member, which is the cheap default but throws away
+    * information: near-dup clusters usually mix a clean copy with
+    * boilerplate-mangled ones, and a curation pipeline wants the highest
+    * QUALITY member, not the first-crawled one. Per x15 cluster: rank
+    * members by integer type-token ratio (unique tokens per million
+    * tokens — ppm so the ordering is integer-exact cross-engine; BIGINT
+    * product first, the ratio overflows int32 past ~2k-token docs) with
+    * doc_id as the tiebreak, keep rank 1, and report whether the choice
+    * DIFFERS from x21's canonical — the rows where quality-aware selection
+    * actually changes the corpus.
+    *
+    * 100 TB shape: the quality score is map-side per doc; selection is one
+    * window rank partitioned by cluster (clusters are tiny — bounded by
+    * near-dup group size — so no skew concern), joined on the already-
+    * materialized x15 label table. Cost is O(cluster members), not
+    * O(corpus).
+    */
+  def x56DedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val labels = x15SharedLabels(s, d)
+      .select(col("doc_id").as("m_doc"), col("cluster"))
+    val q = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("(cast(1000000 as bigint) * size(array_distinct(toks))) div size(toks)")
+          .as("ttr_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("ttr_ppm").desc, col("doc_id"))
+    q.join(labels, col("doc_id") === col("m_doc"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n_members"),
+        col("doc_id").as("best_doc"), col("ttr_ppm").as("best_ttr_ppm"),
+        (col("doc_id") === col("cluster")).as("canonical_is_best"))
+      .orderBy(col("cluster"))
+  }
+
+  val x56Sql: String =
+    s"""WITH labels AS (${x15Sql.replace("\n", "\n|")}),
+       |q AS (SELECT doc_id,
+       |        (1000000::BIGINT * len(list_distinct(string_split(text, ' '))))
+       |          // len(string_split(text, ' ')) AS ttr_ppm
+       |      FROM documents),
+       |j AS (SELECT l.cluster, l.doc_id, q.ttr_ppm,
+       |        ROW_NUMBER() OVER (PARTITION BY l.cluster
+       |          ORDER BY q.ttr_ppm DESC, l.doc_id) AS rk,
+       |        COUNT(*) OVER (PARTITION BY l.cluster) AS n_members
+       |      FROM labels l JOIN q USING (doc_id))
+       |SELECT cluster, n_members, doc_id AS best_doc, ttr_ppm AS best_ttr_ppm,
+       |       (doc_id = cluster) AS canonical_is_best
+       |FROM j WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   // ===== x22: per-label embedding centroids ===============================
 
   /** Per-label embedding centroids via the VectorSumLong DeclarativeAggregate:
@@ -3611,6 +3669,7 @@ object PipelineOps {
     "x53_adaptive_lengthfilter" -> (x53AdaptiveLengthFilter _),
     "x54_nfc_normalize"  -> (x54NfcNormalize _),
     "x55_pmi_collocations" -> (x55PmiCollocations _),
+    "x56_dedup_keep_best" -> (x56DedupKeepBest _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3678,6 +3737,7 @@ object PipelineOps {
     "x53_adaptive_lengthfilter" -> x53Sql,
     "x54_nfc_normalize"  -> x54Sql,
     "x55_pmi_collocations" -> x55Sql,
+    "x56_dedup_keep_best" -> x56Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
