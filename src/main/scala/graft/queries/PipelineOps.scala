@@ -2015,6 +2015,71 @@ object PipelineOps {
        |       (doc_id = cluster) AS canonical_is_best
        |FROM j WHERE rk = 1 ORDER BY cluster""".stripMargin
 
+  // ===== x57: per-session interaction-sequence assembly ===================
+
+  /** Ordered interaction-sequence assembly — the step that turns an event
+    * log into TRAINING SEQUENCES (dialog turns, browsing trajectories,
+    * recommender histories): segment each user's timeline into 30-minute-gap
+    * sessions (s3's gaps-and-islands semantics, replayed identically on
+    * both engines) and emit one row per session carrying the sequence
+    * DIGEST of its time-ordered event types. Ordering inside a session is
+    * total — (us, event_id) — so `collect_list` + `array_sort` over the
+    * (us, event_id, event_type) struct reconstructs the exact arrival
+    * order regardless of partitioning, and the polyhash of the joined
+    * sequence is bit-identical to DuckDB's ORDER BY string_agg replay.
+    *
+    * 100 TB shape: one shuffle keyed by user_id does everything — the
+    * session numbering window, the per-session grouping, and the sequence
+    * sort all share that partitioning (Catalyst reuses the exchange); the
+    * collect_list is bounded by session length (watermark-bounded in the
+    * streaming twin), never by user history.
+    */
+  def x57SessionSequences(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    e.withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") >= lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("us")).as("sess_start_us"),
+           expr("graft_polyhash(array_join(transform(" +
+             "array_sort(collect_list(struct(us, event_id, event_type))), " +
+             "x -> x.event_type), ' '))").as("seq_hash"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("sess_start_us"), col("seq_hash"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  val x57Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |           FROM events),
+      |x AS (SELECT user_id, us, event_id, event_type,
+      |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |               IS NULL
+      |             OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |               >= 1800000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |y AS (SELECT user_id, us, event_id, event_type,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x),
+      |g AS (SELECT user_id, sid, COUNT(*) AS n_events, MIN(us) AS sess_start_us,
+      |        string_agg(event_type, ' ' ORDER BY us, event_id) AS seq
+      |      FROM y GROUP BY user_id, sid)
+      |SELECT user_id, sid, n_events, sess_start_us,
+      |       list_reduce(list_transform(regexp_split_to_array(seq, ''),
+      |         c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS seq_hash
+      |FROM g ORDER BY user_id, sid""".stripMargin
+
   // ===== x22: per-label embedding centroids ===============================
 
   /** Per-label embedding centroids via the VectorSumLong DeclarativeAggregate:
@@ -3670,6 +3735,7 @@ object PipelineOps {
     "x54_nfc_normalize"  -> (x54NfcNormalize _),
     "x55_pmi_collocations" -> (x55PmiCollocations _),
     "x56_dedup_keep_best" -> (x56DedupKeepBest _),
+    "x57_session_sequences" -> (x57SessionSequences _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3738,6 +3804,7 @@ object PipelineOps {
     "x54_nfc_normalize"  -> x54Sql,
     "x55_pmi_collocations" -> x55Sql,
     "x56_dedup_keep_best" -> x56Sql,
+    "x57_session_sequences" -> x57Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
