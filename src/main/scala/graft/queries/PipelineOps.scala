@@ -873,7 +873,12 @@ object PipelineOps {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= 5)
-    val n = uni.agg(sum(col("cw")).as("n_tok"))
+    // n_tok = Σ|toks| directly from the doc scan — same value as Σcw over
+    // the unigram table, without replaying the wordcount shuffle a third
+    // time (the plan audit showed Catalyst does not dedupe the repeated
+    // `uni` subplan; a production run would persist `uni`, which a
+    // zero-action builder cannot)
+    val n = docs.agg(sum(size(col("toks"))).cast("long").as("n_tok"))
     bi.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
       .crossJoin(broadcast(n))
@@ -893,7 +898,7 @@ object PipelineOps {
       |         FROM (SELECT toks, unnest(range(1, len(toks))) AS i
       |               FROM t WHERE len(toks) >= 2))
       |       GROUP BY w1, w2 HAVING COUNT(*) >= 5),
-      |n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tok FROM uni)
+      |n AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM t)
       |SELECT w1, w2, cab, c1, c2,
       |       (cab * n_tok * 1000000) // (c1 * c2) AS pmi_scaled
       |FROM bi
