@@ -87,6 +87,19 @@ object Tables {
   private[graft] def cachedParquet(spark: SparkSession, path: String): DataFrame =
     read(spark, path)
 
+  /** Cached-schema read for MULTI-SCHEMA layouts (src15's evolution eras):
+    * the first touch pays mergeSchema's all-footers union job once, and
+    * the resolved union schema is pinned per path — exactly the
+    * "resolve once, then pass the explicit schema" production pattern the
+    * src15 scaladoc prescribes. With the explicit schema the scan itself
+    * null-fills missing chunks with zero planning-time jobs.
+    */
+  private[graft] def cachedMergedParquet(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.option("mergeSchema", "true").parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   private def loadTable(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // The events file has shipped with two physical layouts for `ts`

@@ -354,7 +354,7 @@ object MultiFormat {
           col("o_orderpriority"))
         .write.mode("overwrite").parquet(s"$path/era=2")
     }
-    spark.read.option("mergeSchema", "true").parquet(path)
+    graft.Tables.cachedMergedParquet(spark, path)
       .groupBy(col("era"))
       .agg(count(lit(1)).as("n_orders"),
            count(col("o_orderpriority")).as("n_with_priority"),
