@@ -132,7 +132,15 @@ object PipelineOps {
     * minhash permutations, 4×4 LSH banding, exact-Jaccard verification of
     * bucket collisions only.
     */
-  def x3MinhashNeardup(s: SparkSession, d: String): DataFrame = {
+  /** Shared minhash machinery for x3 (self-join near-dup) and x58
+    * (train-vs-eval fuzzy decontam): per-doc distinct 3-gram polyhash
+    * shingles (`hashed`, persisted — the CALLER must hand it to
+    * `ScopedCache.releaseAfterNextAction`), the 16-permutation minhash
+    * signature with set size (`minh`), and the 4-band signatures
+    * (`bands`).
+    */
+  private def minhashMachinery(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     StringPolyHash.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -162,6 +170,11 @@ object PipelineOps {
     }.mkString(", ")
     val bands = minh.select(col("doc_id"),
       expr(s"stack($Bands, $bandSig) as (band, sig)"))
+    (hashed, minh, bands)
+  }
+
+  def x3MinhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val (hashed, minh, bands) = minhashMachinery(s, d)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -191,14 +204,17 @@ object PipelineOps {
     out
   }
 
-  val x3Sql: String = {
+  /** The DuckDB replay of [[minhashMachinery]] — shingles, minhash
+    * signature, band signatures — shared by the x3 and x58 oracles.
+    */
+  private def minhashCtesSql: String = {
     val minExprs = (0 until NumPerm)
       .map(j => s"MIN((h * ${permA(j)}::BIGINT + ${permB(j)}) % $P31) AS m$j").mkString(", ")
     val bandRows = (0 until Bands).map { b =>
       val Seq(a0, a1, a2, a3) = (0 until 4).map(r => s"m${4 * b + r}")
       s"SELECT doc_id, $b AS band, ((($a0 * 31 + $a1) * 31 + $a2) * 31 + $a3) AS sig FROM m"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (
@@ -208,7 +224,11 @@ object PipelineOps {
        |      (a, b) -> (a * 31 + b) % 1000003) AS h
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
        |m AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
+  val x3Sql: String = {
+    s"""WITH $minhashCtesSql,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -227,6 +247,90 @@ object PipelineOps {
        |JOIN sizes sb ON sb.doc_id = i.doc_b
        |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= $JaccThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ===== x58: fuzzy train-vs-eval decontamination =========================
+
+  /** Membership modulus for x58's eval slice (x31's hash-membership trick;
+    * 29 rather than x20's 97 so the contamination path fires at every test
+    * SF — measured 3/5/19 verified hits at sf0.001/0.01/0.1).
+    */
+  private val FuzzyDecontamMod = 29
+
+  /** FUZZY decontamination — the near-duplicate complement to x20/x46's
+    * exact n-gram screens: an eval document that was paraphrased or
+    * lightly edited into the training corpus shares no exact 13-gram but
+    * still minhash-collides, which is why production decontamination runs
+    * BOTH screens (exact n-gram AND near-dup) between train and eval.
+    * Reuses x3's [[minhashMachinery]] verbatim — same shingles, signature,
+    * bands, verify threshold — but the candidate join is ASYMMETRIC:
+    * the eval slice's band signatures are a constant-size table (the eval
+    * suite, not the corpus), so they BROADCAST to the train side and the
+    * self-join's full band shuffle disappears. Per flagged train doc:
+    * how many eval docs it collides with and the worst verified Jaccard.
+    *
+    * 100 TB shape: corpus-side work is one map-side shingle+signature
+    * pass probed against a broadcast hash table; only band-collision
+    * survivors (~10⁻⁴) reach the exact-intersection verify. The eval side
+    * is bounded by the benchmark suite size, never by the corpus.
+    */
+  def x58FuzzyDecontam(s: SparkSession, d: String): DataFrame = {
+    val (hashed, minh, bands) = minhashMachinery(s, d)
+    val evalB = bands.filter(col("doc_id") % FuzzyDecontamMod === 0)
+      .select(col("doc_id").as("test_doc"), col("band"), col("sig"))
+    val trainB = bands.filter(col("doc_id") % FuzzyDecontamMod =!= 0)
+    val cand = trainB.join(broadcast(evalB), Seq("band", "sig"))
+      .select(col("doc_id"), col("test_doc"))
+      .distinct()
+    val sizes = minh.select(col("doc_id"), col("set_n").as("n"))
+    val trainH = hashed.select(col("doc_id"), col("h").as("t_h"))
+    val evalH = hashed.select(col("doc_id").as("e_doc"), col("h").as("e_h"))
+    val inter = cand
+      .join(trainH, Seq("doc_id"))
+      .join(evalH, col("test_doc") === col("e_doc") && col("t_h") === col("e_h"))
+      .groupBy(col("doc_id"), col("test_doc"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = inter
+      .join(sizes, Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("e_doc"), col("n").as("e_n")),
+        col("test_doc") === col("e_doc"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n") + col("e_n") - col("n_common")))
+      .filter(col("jaccard") >= JaccThreshold)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("test_doc")).as("n_eval_docs"),
+           max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
+    out
+  }
+
+  val x58Sql: String = {
+    s"""WITH $minhashCtesSql,
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS doc_id, x.doc_id AS test_doc
+       |  FROM bands t JOIN bands x
+       |    ON t.band = x.band AND t.sig = x.sig
+       |   AND t.doc_id % $FuzzyDecontamMod <> 0
+       |   AND x.doc_id % $FuzzyDecontamMod = 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_id, c.test_doc, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh ht ON ht.doc_id = c.doc_id
+       |  JOIN sh he ON he.doc_id = c.test_doc AND he.h = ht.h
+       |  GROUP BY c.doc_id, c.test_doc),
+       |scored AS (
+       |  SELECT i.doc_id, i.test_doc,
+       |         i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_id
+       |  JOIN sizes sb ON sb.doc_id = i.test_doc)
+       |SELECT doc_id, COUNT(DISTINCT test_doc) AS n_eval_docs,
+       |       MAX(jaccard) AS max_jaccard
+       |FROM scored WHERE jaccard >= $JaccThreshold
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ===== x9: n-gram Jaccard all-pairs (inverted-index blocking) ==========
@@ -3741,6 +3845,7 @@ object PipelineOps {
     "x55_pmi_collocations" -> (x55PmiCollocations _),
     "x56_dedup_keep_best" -> (x56DedupKeepBest _),
     "x57_session_sequences" -> (x57SessionSequences _),
+    "x58_fuzzy_decontam" -> (x58FuzzyDecontam _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3810,6 +3915,7 @@ object PipelineOps {
     "x55_pmi_collocations" -> x55Sql,
     "x56_dedup_keep_best" -> x56Sql,
     "x57_session_sequences" -> x57Sql,
+    "x58_fuzzy_decontam" -> x58Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
