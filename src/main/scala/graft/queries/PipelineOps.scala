@@ -2124,6 +2124,76 @@ object PipelineOps {
        |       (doc_id = cluster) AS canonical_is_best
        |FROM j WHERE rk = 1 ORDER BY cluster""".stripMargin
 
+  // ===== p3: ensemble quality filter ======================================
+
+  /** Majority-vote ensemble filtering — how production curation actually
+    * combines quality signals (FineWeb/RefinedWeb style: no single filter
+    * is trusted alone; a doc is dropped only when SEVERAL independent
+    * signals agree). Three voters, each an existing oracle-pinned signal:
+    * x29's hash-classifier keep, x18's repetition keep, and an integer
+    * ppm type-token-ratio cut (x56's quality metric, TTR ≥ 0.3). Keep on
+    * ≥ 2 of 3 votes; the declared output is the per-language audit a
+    * filtering run reports — population, per-voter pass counts, and the
+    * ensemble keep count (which the oracle replays voter-by-voter, so a
+    * drift in ANY voter or in the vote arithmetic is a hash miss).
+    *
+    * 100 TB shape: every voter is one map-side pass or doc-keyed
+    * aggregation; the vote is three doc_id-keyed joins sharing one
+    * partitioning and the audit is a tiny per-lang rollup. Filters
+    * compose without materializing intermediate corpora.
+    */
+  def p3EnsembleFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val v29 = x29QualityClassifier(s, d)
+      .select(col("doc_id"), col("keep").as("k29"))
+    val v18 = x18Repetition(s, d)
+      .select(col("doc_id"), col("keep").cast("long").as("k18"))
+    val vttr = docs.select(col("doc_id"),
+      expr("CASE WHEN (cast(1000000 as bigint) * size(array_distinct(toks)))" +
+        " div size(toks) >= 300000 THEN 1L ELSE 0L END").as("kttr"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(v29, Seq("doc_id"), "left")
+      .join(v18, Seq("doc_id"), "left")
+      .join(vttr, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("k29", "k18", "kttr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("k29")).as("n_k29"),
+           sum(col("k18")).as("n_k18"),
+           sum(col("kttr")).as("n_kttr"),
+           sum(when(col("k29") + col("k18") + col("kttr") >= 2, 1L)
+             .otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  // lazy: x29Sql/x18Sql are declared later in this object body
+  lazy val p3Sql: String =
+    s"""WITH s29 AS (${x29Sql.replace("\n", "\n|")}),
+       |s18 AS (${x18Sql.replace("\n", "\n|")}),
+       |sttr AS (
+       |  SELECT doc_id,
+       |         CASE WHEN (1000000::BIGINT * len(list_distinct(string_split(text, ' '))))
+       |                // len(string_split(text, ' ')) >= 300000
+       |              THEN 1 ELSE 0 END AS kttr
+       |  FROM documents),
+       |v AS (
+       |  SELECT d.lang,
+       |         COALESCE(s29.keep, 0) AS k29,
+       |         COALESCE(CASE WHEN s18.keep THEN 1 ELSE 0 END, 0) AS k18,
+       |         COALESCE(sttr.kttr, 0) AS kttr
+       |  FROM documents d
+       |  LEFT JOIN s29 ON s29.doc_id = d.doc_id
+       |  LEFT JOIN s18 ON s18.doc_id = d.doc_id
+       |  LEFT JOIN sttr ON sttr.doc_id = d.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(k29) AS BIGINT) AS n_k29,
+       |       CAST(SUM(k18) AS BIGINT) AS n_k18,
+       |       CAST(SUM(kttr) AS BIGINT) AS n_kttr,
+       |       CAST(SUM(CASE WHEN k29 + k18 + kttr >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept
+       |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+
   // ===== x57: per-session interaction-sequence assembly ===================
 
   /** Ordered interaction-sequence assembly — the step that turns an event
@@ -3846,6 +3916,7 @@ object PipelineOps {
     "x56_dedup_keep_best" -> (x56DedupKeepBest _),
     "x57_session_sequences" -> (x57SessionSequences _),
     "x58_fuzzy_decontam" -> (x58FuzzyDecontam _),
+    "p3_ensemble_filter" -> (p3EnsembleFilter _),
     "x42_lm_score" -> (x42LmScore _),
     "x43_pq_encode" -> (x43PqEncode _),
     "x43b_pq_adc" -> (x43bPqAdc _),
@@ -3916,6 +3987,7 @@ object PipelineOps {
     "x56_dedup_keep_best" -> x56Sql,
     "x57_session_sequences" -> x57Sql,
     "x58_fuzzy_decontam" -> x58Sql,
+    "p3_ensemble_filter" -> p3Sql,
     "x42_lm_score" -> x42Sql,
     "x43_pq_encode" -> x43Sql,
     "x43b_pq_adc" -> x43bSql,
