@@ -371,6 +371,54 @@ object RelationalOps {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- a9: mergeable HLL sketches (two-level union) ----
+
+  /** MERGEABILITY — the property that makes sketch aggregation work at
+    * 100 TB: per-shard sketches built independently (here per
+    * (event_type, day)) UNION into exactly the sketch a single global
+    * pass would have built, because HLL state is a per-bucket register
+    * MAX — order- and grouping-independent. That is the two-level shape a
+    * real deployment uses (daily sketches materialized once, unions
+    * served per query, raw data never re-scanned). Uses Spark 4's
+    * Apache DataSketches functions (`hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`). Measured honesty note: the two-level
+    * estimate is NOT bit-identical to the single-pass one — the union
+    * targets HLL_8 and its composite estimator can differ by a few
+    * registers' worth from a directly-built HLL_4 (sf0.1:
+    * merged 1488 vs direct 1494 vs exact 1500) — but it IS deterministic
+    * (register max is order/grouping independent) and stays inside the
+    * sketch's error bound. Declared result follows the a1b exact-wrapper
+    * doctrine: exact distinct counts plus three booleans — both
+    * estimates within 5% of exact (generous vs lgK=12's ~1.6% RSE) and
+    * the merged-vs-direct drift within 2%.
+    */
+  def a9HllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
+    val shard = ev.groupBy(col("event_type"), col("day_ms"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = shard.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+           countDistinct(col("user_id")).as("n_exact"))
+    direct.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est_merged") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("merged_within_bound"),
+        (abs(col("est_direct") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("direct_within_bound"),
+        (abs(col("est_merged") - col("est_direct")) <= col("n_exact") * lit(0.02))
+          .as("merge_drift_small"))
+      .orderBy(col("event_type"))
+  }
+
+  val a9Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |       TRUE AS merged_within_bound, TRUE AS direct_within_bound,
+      |       TRUE AS merge_drift_small
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- a2: rollup ----
   def a2Rollup(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1001,6 +1049,7 @@ object RelationalOps {
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
     "a1b_approx_distinct" -> (a1bApproxDistinct _),
+    "a9_hll_merge" -> (a9HllMerge _),
     "a2_rollup"          -> (a2Rollup _),
     "a3_cube"            -> (a3Cube _),
     "a4_pivot"           -> (a4Pivot _),
@@ -1042,6 +1091,7 @@ object RelationalOps {
     "a1_distinct"    -> a1Sql,
     "a5_approx_percentile" -> a5Sql,
     "a1b_approx_distinct" -> a1bSql,
+    "a9_hll_merge" -> a9Sql,
     "a2_rollup"      -> a2Sql,
     "a3_cube"        -> a3Sql,
     "a4_pivot"       -> a4Sql,
