@@ -74,6 +74,31 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** x57's streaming twin: per-session ordered interaction-sequence
+    * digests assembled ONLINE — `session_window` merges events separated
+    * by < 30 minutes (the same boundary as x57's gaps-and-islands
+    * `>= 30min ⇒ new session`), `collect_list` + `array_sort` over the
+    * (us, event_id, event_type) struct reconstructs arrival order
+    * regardless of batch boundaries, and the polyhash digest matches the
+    * batch key's. Append mode: a session's digest is emitted exactly once,
+    * when the watermark proves no more members can arrive — the streaming
+    * form of "training sequence is complete". State per open session is
+    * its member list, bounded by session length and evicted at
+    * finalization (the caller registers graft functions via
+    * `GraftSession.attach`).
+    */
+  def sessionSequenceStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_micros(col("ts"))).as("sess_start_us"),
+           expr("graft_polyhash(array_join(transform(" +
+             "array_sort(collect_list(struct(unix_micros(ts) AS us, event_id, event_type))), " +
+             "x -> x.event_type), ' '))").as("seq_hash"))
+      .select(col("user_id"), col("sess_start_us"), col("n_events"),
+        col("seq_hash"))
+
   /** Generalized stream-STREAM watermarked interval join —
     * [[clickToPurchaseJoin]]'s mechanics with the join type as a knob,
     * because the OUTER variants are where stream-stream joins get

@@ -18,7 +18,11 @@ class InvarianceSpec extends SparkSpec {
     // round 5: the 10⁷-group two-level agg, the RANGE-frame window, and
     // the Expand-based multi-distinct — each a distinct physical shape
     // AQE re-plans (coalesced final agg, windowed sort, expanded shuffle)
-    "q2g_substr_agg", "w5_range_frame", "a8_multi_distinct")
+    "q2g_substr_agg", "w5_range_frame", "a8_multi_distinct",
+    // round 9: double-window + shared-exchange agg, broadcast-banded
+    // asymmetric near-dup join, and the two-level sketch union — register
+    // maxima must make the merged estimate partition-plan independent
+    "x57_session_sequences", "x58_fuzzy_decontam", "a9_hll_merge")
 
   test("AQE on/off produces byte-identical results on shuffle-heavy keys") {
     for (k <- keys) {

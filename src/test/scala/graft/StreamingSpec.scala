@@ -548,6 +548,48 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() === 0L, "every finalized streaming window must match the batch twin")
   }
 
+  test("streaming session sequences: finalized digests equal the batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.attach(spark)
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionSequenceStream(mem.toDF())
+      .writeStream.format("memory").queryName("seq_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two sessions (gap 40 min); user 2: one session — events
+      // arrive out of order within a session to exercise the digest sort
+      val evs = Seq(
+        ev(2, 5, user = 1, typ = "view"), ev(1, 0, user = 1, typ = "click"),
+        ev(3, 60, user = 1, typ = "purchase"),
+        ev(10, 3, user = 2, typ = "signup"), ev(11, 8, user = 2, typ = "click"))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // push the watermark far forward so every session above finalizes
+      mem.addData(ev(99, 600, user = 9))
+      q.processAllAvailable()
+      val got = spark.table("seq_test")
+        .select(col("user_id"), col("sess_start_us"), col("n_events"), col("seq_hash"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // batch replay: the same function over the same rows (session_window
+      // works identically in batch; no watermark dropping applies)
+      val batch = Streams.sessionSequenceStream(evs.toDS().toDF())
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === batch, s"streamed sessions $got != batch $batch")
+      // structure: user 1 split into two sessions, the first with the
+      // out-of-order pair digested in event-time order
+      assert(got.size === 3)
+      val u1first = got.find(r => r._1 == 1L && r._3 == 2L).get
+      val expected = {
+        val s = "click view"
+        s.getBytes("UTF-8").toSeq match {
+          case h +: t => t.foldLeft(h & 0xffL)((a, b) => (a * 31 + (b & 0xffL)) % 1000003L)
+        }
+      }
+      assert(u1first._4 === expected, "digest must follow event-time order, not arrival order")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window pairs only, batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
