@@ -959,8 +959,11 @@ object PipelineOps {
     * drops the hapax noise BEFORE the unigram joins.
     *
     * 100 TB shape: two wordcount-shaped aggregations (unigram, bigram) and
-    * two vocab-keyed shuffle joins on the min-count-shrunk bigram table —
-    * no broadcast of the vocabulary, only of the single-row total. Integer
+    * two vocab-keyed equi-joins on the min-count-shrunk bigram table —
+    * nothing REQUIRES broadcasting the vocabulary (at test SFs the size
+    * estimator picks broadcast-hash, at corpus scale they degrade to
+    * shuffle joins); only the single-row total is broadcast by
+    * construction. Integer
     * headroom: the scaled product needs `cab·N·10⁶ < 2⁶³`; past that
     * (corpus beyond ~10¹² token-pairs) drop SCALE or widen the product to
     * DECIMAL(38,0) on both engines — the ordering is unchanged either way.
