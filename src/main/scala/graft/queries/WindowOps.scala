@@ -144,6 +144,58 @@ object WindowOps {
       |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---- w6: LOCF forward fill (last_value IGNORE NULLS) ----
+
+  /** Last-observation-carried-forward — the gap-filling window semantic
+    * telemetry/sensor pipelines run before any resampling: sparse
+    * readings (here every 7th event carries one, manufactured in-plan so
+    * both engines see the same sparsity) are forward-filled per user in
+    * event-time order with `last_value(..., ignoreNulls)` over an
+    * unbounded-preceding ROWS frame. Declared output is the per-user
+    * audit: row count, original observation count, FILLED count (rows
+    * that got a carried value), still-null head rows (before the user's
+    * first observation nothing can be carried), and the exact decimal
+    * checksum of the filled series — any mis-carry shifts it.
+    *
+    * 100 TB shape: one user_id-keyed shuffle + per-user sort shared by
+    * the fill window and the audit aggregation; the frame is running
+    * state (no per-row rescan). The ordering key (ts_us, event_id) is
+    * total, so the carried value is deterministic under any partitioning.
+    */
+  def w6Locf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("obs", when(col("event_id") % 7 === 0,
+        expr("CAST(value AS DECIMAL(18,6))")))
+      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("obs")).as("n_obs"),
+           count(when(col("obs").isNull && col("filled").isNotNull, 1))
+             .as("n_filled"),
+           count(when(col("filled").isNull, 1)).as("n_head_nulls"),
+           sum(col("filled")).cast("double").as("filled_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  val w6Sql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         CASE WHEN event_id % 7 = 0 THEN CAST(value AS DECIMAL(18,6)) END AS obs,
+      |         LAST_VALUE(CASE WHEN event_id % 7 = 0 THEN CAST(value AS DECIMAL(18,6)) END
+      |           IGNORE NULLS) OVER (PARTITION BY user_id
+      |             ORDER BY epoch_us(ts), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_rows, COUNT(obs) AS n_obs,
+      |       COUNT(CASE WHEN obs IS NULL AND filled IS NOT NULL THEN 1 END) AS n_filled,
+      |       COUNT(CASE WHEN filled IS NULL THEN 1 END) AS n_head_nulls,
+      |       CAST(SUM(filled) AS DOUBLE) AS filled_sum
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- s1: tumbling 1-hour windows ----
   def s1Tumble(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -212,6 +264,7 @@ object WindowOps {
     "w3_frame_sum" -> (w3FrameSum _),
     "w4_ntile"     -> (w4Ntile _),
     "w5_range_frame" -> (w5RangeFrame _),
+    "w6_locf"      -> (w6Locf _),
     "s1_tumble"    -> (s1Tumble _),
     "s2_sliding"   -> (s2Sliding _),
     "s3_session"   -> (s3Session _)
@@ -223,6 +276,7 @@ object WindowOps {
     "w3_frame_sum" -> w3Sql,
     "w4_ntile"     -> w4Sql,
     "w5_range_frame" -> w5Sql,
+    "w6_locf"      -> w6Sql,
     "s1_tumble"    -> s1Sql,
     "s2_sliding"   -> s2Sql,
     "s3_session"   -> s3Sql
