@@ -1623,6 +1623,30 @@ object PipelineOps {
     assign(cents).select(col("vec_id"), col("embedding"), col("cluster"))
   }
 
+  /** Compute-once/consume-many trained coarse quantizer (the x15SharedLabels
+    * pattern): [[ivfTrainedAssign]](16, 2)'s assignment, materialized under a
+    * data-stamped layout so its four consumers (x12c probe, x41b SemDeDup,
+    * x52 NDCG, x40's ivf16t recall row) JOIN against the published parquet
+    * instead of each re-running the three broadcast-assignment Lloyd passes —
+    * exactly how production IVF works: the coarse quantizer is TRAINED once
+    * per corpus snapshot and every index build / query / audit reads it.
+    * The stamp (source mtime+length) invalidates on embeddings regeneration,
+    * so results are always the trainer's own output. Float embeddings
+    * round-trip parquet exactly; the assignment is deterministic, so the
+    * materialized table is bit-identical to the in-plan subtree it replaces
+    * (oracles still replay the full CTE chain and keep hash-matching).
+    */
+  private[graft] def trainedAssignShared(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s) // consumers rank with graft_cosine over this table
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.checkpointDir(s)}/graft_ivf16t_shared_$tag"
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/embeddings.parquet"), path) {
+      ivfTrainedAssign(16, 2)(s, d).write.mode("overwrite").parquet(path)
+    }
+    graft.Tables.cachedParquet(s, path)
+  }
+
   private def annIvfOver(clusters: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val q = clusters.filter(col("vec_id") < 10)
@@ -1652,7 +1676,7 @@ object PipelineOps {
     * variant is measured in x40's `ivf16t` row.
     */
   def x12cAnnIvfTrained(s: SparkSession, d: String): DataFrame =
-    annIvfOver(ivfTrainedAssign(16, 2)(s, d))
+    annIvfOver(trainedAssignShared(s, d))
 
   private def x12SqlOf(numPivots: Int): String = {
     val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
@@ -2835,7 +2859,7 @@ object PipelineOps {
           col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     }
-    val trained = ivfTrainedAssign(16, 2)(s, d).select(col("vec_id"), col("cluster"))
+    val trained = trainedAssignShared(s, d).select(col("vec_id"), col("cluster"))
     val trainedPairs = trained.as("x").join(trained.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -2997,7 +3021,7 @@ object PipelineOps {
   def x41bSemdedupTrained(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorSumLong.register(s)
-    semDedupOver(ivfTrainedAssign(16, 2)(s, d))
+    semDedupOver(trainedAssignShared(s, d))
   }
 
   /** Shared SemDeDup body: exact-integer cell centroid, division-free

@@ -298,6 +298,63 @@ object RelationalOps {
       |FROM base b JOIN dim ON dim.o_month = b.o_month AND dim.mk % 2 = 0
       |GROUP BY b.o_month ORDER BY b.o_month""".stripMargin
 
+  // ---- j12: native runtime bloom-filter join pruning ----
+
+  /** Catalyst's `InjectRuntimeFilter` — the ROW-level sibling of j11's
+    * dynamic partition pruning, and the native form of x46's hand-built
+    * bloom prune: a selective dim-side filter plants a `bloom_filter_agg`
+    * subquery on the dim side and a `might_contain` predicate directly on
+    * the fact scan, so a shuffle join's application side drops
+    * non-joining rows BEFORE paying the exchange (bloom false positives
+    * only cost re-checking at the join; correctness is unconditional).
+    *
+    * The rule deliberately only fires in the big-data regime: the
+    * application side must actually shuffle (a bloom is pointless under a
+    * broadcast join) and its scan must exceed
+    * `spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold`
+    * (10 GB default — the regime a 100 TB fact table is ALWAYS in, and
+    * local testdata never is). So the key runs in a memoized
+    * `newSession()` — own SQLConf over the shared SparkContext — with
+    * broadcast off and the threshold floored: the 100 TB plan shape is
+    * reproduced at any SF without leaking either knob to the other keys
+    * in the same Verify/Bench run (conf-island discipline; Round9Spec
+    * asserts the executed plan carries the injected `might_contain` on
+    * the lineitem side AND that the parent session's confs stay stock).
+    */
+  private val j12Memo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  def j12RuntimeBloom(s: SparkSession, d: String): DataFrame = {
+    val iso = j12Memo.computeIfAbsent(s, parent => {
+      val s2 = parent.newSession()
+      // runtime confs do not survive newSession(); carry the two that
+      // shape execution parity with the parent harness session
+      s2.conf.set("spark.sql.shuffle.partitions",
+        parent.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.session.timeZone",
+        parent.conf.get("spark.sql.session.timeZone"))
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2
+    })
+    val li = Tables.lineitem(iso, d)
+    val pt = Tables.part(iso, d).filter(col("p_size") <= 5)
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  val j12Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 5
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ---- l1: Z-order (Morton) clustering key for 2-D data layout ----
   // The OPTIMIZE-ZORDER primitive: interleave (user bucket, minute-of-day)
   // so sort-and-write by z makes any aligned 2-D rectangle near-contiguous
@@ -1045,6 +1102,7 @@ object RelationalOps {
     "j7_salted_join"     -> (j7SaltedJoin _),
     "j8_bucketed_join"   -> (j8BucketedJoin _),
     "j11_dpp_join"       -> (j11DppJoin _),
+    "j12_runtime_bloom"  -> (j12RuntimeBloom _),
     "l1_zorder_cluster"  -> (l1ZorderCluster _),
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
@@ -1086,6 +1144,7 @@ object RelationalOps {
     "j7_salted_join" -> j7Sql,
     "j8_bucketed_join" -> j8Sql,
     "j11_dpp_join" -> j11Sql,
+    "j12_runtime_bloom" -> j12Sql,
     "j9_full_outer" -> j9Sql,
     "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,

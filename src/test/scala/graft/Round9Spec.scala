@@ -110,6 +110,23 @@ class Round9Spec extends SparkSpec {
       s"no dynamic partition pruning in the j11 plan:\n$plan")
   }
 
+  test("j12: InjectRuntimeFilter plants might_contain; parent confs untouched") {
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = graft.queries.RelationalOps.j12RuntimeBloom(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no injected runtime bloom filter in the j12 plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"j12 did not plan as a shuffle join (bloom would be pointless):\n$plan")
+    // conf-island: the knobs that force the 100 TB regime must not leak
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == bcBefore,
+      "j12 leaked autoBroadcastJoinThreshold into the parent session")
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      != "0", "j12 leaked the bloom scan-size threshold into the parent session")
+  }
+
   test("src13: every row group's l_orderkey chunk carries a real bloom filter") {
     val d = TestSpark.sf0001
     val df = graft.sources.MultiFormat.src13ParquetBloom(spark, d)
