@@ -1678,6 +1678,56 @@ object PipelineOps {
   def x12cAnnIvfTrained(s: SparkSession, d: String): DataFrame =
     annIvfOver(trainedAssignShared(s, d))
 
+  /** x59: hard-negative mining for contrastive training — for each anchor
+    * (vec_id < 10, the x12 probe set), the top-3 most-cosine-similar
+    * vectors carrying a DIFFERENT class label. Nearest different-class
+    * neighbors are exactly the "hard negatives" contrastive embedding
+    * training wants (easy negatives are random; hard ones are the nearest
+    * impostors), and mining them at corpus scale is an ANN application:
+    * candidates come from the anchor's trained-IVF cell
+    * ([[trainedAssignShared]] — the shortlist-then-filter recipe FAISS
+    * deployments use), the label exclusion is a join predicate on the
+    * shortlist, never a second pass. Labels ride in via a vec_id-keyed
+    * equi join against the embeddings scan (co-partitioned with the
+    * assignment table's key at scale).
+    *
+    * 100 TB shape: cell-local candidate join (the x12c access path) plus
+    * one narrow label join; per-anchor work is bounded by cell occupancy
+    * (cells ∝ N keeps it constant), and ranking is a per-anchor window
+    * over the shortlist, never global.
+    */
+  def x59HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val asg = trainedAssignShared(s, d).join(lbl, Seq("vec_id"))
+    val q = asg.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cluster").as("q_cluster"), col("label").as("q_label"))
+    val wRank = w.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    q.join(asg, col("q_cluster") === col("cluster")
+        && col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("n_id"), col("n_label"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val x59Sql: String =
+    s"""WITH ${trainedAssignCtes(16, 2)}
+       |SELECT q_id, rk, n_id, n_label, sim FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,
+       |         ROUND(${cosineSqlOf("a", "b")}, 6) AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ROUND(${cosineSqlOf("a", "b")}, 6) DESC, b.vec_id) AS rk
+       |  FROM asg3 ca
+       |  JOIN embeddings a ON a.vec_id = ca.vec_id AND a.vec_id < 10
+       |  JOIN asg3 cb ON cb.cluster = ca.cluster
+       |  JOIN embeddings b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id
+       |       AND b.label <> a.label)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   private def x12SqlOf(numPivots: Int): String = {
     val cosEP = "list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
@@ -3974,6 +4024,7 @@ object PipelineOps {
     "x12_ann_ivf"        -> (x12AnnIvf _),
     "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
     "x12c_ann_ivf_trained" -> (x12cAnnIvfTrained _),
+    "x59_hard_negatives" -> (x59HardNegatives _),
     "x13_embed_dedup"    -> (x13EmbedDedup _),
     "x14_hash_sample"    -> (x14HashSample _),
     "x48_epoch_shuffle"  -> (x48EpochShuffle _),
@@ -4039,6 +4090,7 @@ object PipelineOps {
     "x12_ann_ivf"        -> x12Sql,
     "x12b_ann_ivf8"      -> x12bSql,
     "x12c_ann_ivf_trained" -> x12cSql,
+    "x59_hard_negatives" -> x59Sql,
     "x13_embed_dedup"    -> x13Sql,
     "x14_hash_sample"    -> x14Sql,
     "x48_epoch_shuffle"  -> x48Sql,
