@@ -2403,6 +2403,82 @@ object PipelineOps {
       |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS channel_max
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== m8: perceptual-hash image dedup (dHash + band-blocked hamming) ===
+
+  /** Image near-dup detection the way crawl-scale image pipelines do it
+    * (pHash-family fingerprints, not embeddings — x13 is the embedding
+    * flavor): every image gets a 64-bit dHash off the DECODED raster
+    * ([[graft.multimodal.Media.perceptualHashes]] — real ImageIO decode,
+    * 8×8 nearest-neighbor grid, row-cyclic brightness gradients), then
+    * pairs within hamming distance ≤ 3 are found by x27's lossless
+    * pigeonhole blocking: the 64 bits split into four 16-bit bands, and
+    * any pair at distance ≤ 3 must agree on ≥ 1 band, so a (band_idx,
+    * band_value)-keyed equi self-join generates ALL qualifying candidates
+    * — never the N² comparisons the all-pairs DuckDB oracle performs to
+    * prove the pruning exact.
+    *
+    * 100 TB shape: hashing is per-row map-side behind the per-partition
+    * codec; the only shuffle is the band self-join, whose per-key cost is
+    * bounded by band-bucket occupancy (64-bit hashes over 16-bit bands
+    * keep random collisions ≈ N²/2¹⁶ — verification is O(1) per
+    * candidate, the x27/x34 cascade discipline).
+    */
+  def m8PhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ph = graft.multimodal.Media.perceptualHashes(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+    val banded = ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+      explode(array(
+        struct(lit(0).as("bi"), expr("shiftright(ph_hi, 16) & 65535").as("bv")),
+        struct(lit(1).as("bi"), expr("ph_hi & 65535").as("bv")),
+        struct(lit(2).as("bi"), expr("shiftright(ph_lo, 16) & 65535").as("bv")),
+        struct(lit(3).as("bi"), expr("ph_lo & 65535").as("bv")))).as("band"))
+    val a = banded.select(col("band"), col("doc_id").as("doc_a"),
+      col("ph_hi").as("ha"), col("ph_lo").as("la"))
+    val b = banded.select(col("band"), col("doc_id").as("doc_b"),
+      col("ph_hi").as("hb"), col("ph_lo").as("lb"))
+    a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** All-pairs oracle replay: the dHash is recomputed from payload-byte
+    * geometry (pixel (x, y) ↦ payload index (h−1−y)·48 + 3x + k — the m7
+    * bottom-up/stride rule), then every doc pair is hamming-compared with
+    * no blocking, proving the band join dropped nothing.
+    */
+  val m8Sql: String =
+    """WITH g AS (SELECT doc_id, text, strlen(text) AS len,
+      |             GREATEST(1, (strlen(text)+47)//48) AS h FROM documents),
+      |cell AS (SELECT doc_id, text, len, h, unnest(range(0, 64)) AS i FROM g),
+      |gr AS (SELECT doc_id, i,
+      |         list_aggregate(list_transform(range(0,3), k ->
+      |           CASE WHEN (h-1-((i//8)*h//8))*48 + 6*(i%8) + k < len
+      |                THEN ascii(substring(text, CAST((h-1-((i//8)*h//8))*48 + 6*(i%8) + k + 1 AS INTEGER), 1))
+      |                ELSE 0 END), 'sum') AS gray
+      |       FROM cell),
+      |nb AS (SELECT a.doc_id, a.i, a.gray AS ga, b.gray AS gb
+      |       FROM gr a JOIN gr b ON a.doc_id = b.doc_id
+      |         AND b.i = (a.i // 8) * 8 + ((a.i % 8) + 1) % 8),
+      |ph AS (SELECT doc_id,
+      |         CAST(COALESCE(SUM(CASE WHEN ga > gb AND i >= 32
+      |                THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS ph_hi,
+      |         CAST(COALESCE(SUM(CASE WHEN ga > gb AND i < 32
+      |                THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS ph_lo
+      |       FROM nb GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.ph_hi, b.ph_hi))
+      |            + bit_count(xor(a.ph_lo, b.ph_lo)) AS BIGINT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ===== m7: REAL-codec image decode + nearest-neighbor resize ============
 
   /** The resize step of the multimodal quartet (decode / feature-extract /
@@ -4043,6 +4119,7 @@ object PipelineOps {
     "m2_byte_frames"    -> (m2ByteFrames _),
     "m3_image_decode"    -> (m3ImageDecode _),
     "m7_image_resize"    -> (m7ImageResize _),
+    "m8_phash_dedup"     -> (m8PhashDedup _),
     "m4_audio_decode"    -> (m4AudioDecode _),
     "m5_png_decode"      -> (m5PngDecode _),
     "m6_gif_frames"      -> (m6GifFrames _),
@@ -4109,6 +4186,7 @@ object PipelineOps {
     "m2_byte_frames"    -> m2Sql,
     "m3_image_decode"    -> m3Sql,
     "m7_image_resize"    -> m7Sql,
+    "m8_phash_dedup"     -> m8Sql,
     "m4_audio_decode"    -> m4Sql,
     "m5_png_decode"      -> m5Sql,
     "m6_gif_frames"      -> m6Sql,
