@@ -196,6 +196,89 @@ object WindowOps {
       |       CAST(SUM(filled) AS DOUBLE) AS filled_sum
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- w7: linear interpolation between sparse observations ----
+
+  /** The resampling companion to w6's LOCF: interior gaps are LINEARLY
+    * interpolated between the surrounding observations, weighted by
+    * event-time distance — the telemetry/feature-store gap-fill used when
+    * a carried constant would bias a downstream model. Four ignore-nulls
+    * window scans over ONE user_id shuffle + sort (prev/next value and
+    * prev/next observation time; the forward pair is the same sort in a
+    * CURRENT ROW..UNBOUNDED FOLLOWING frame, no second exchange), then a
+    * pure map-side formula. Cross-engine float discipline: both engines
+    * evaluate the IDENTICAL parenthesized IEEE tree
+    * pv + (nv − pv) · ((t − pt) / (nt − pt)) on identical inputs, and the
+    * audit checksum snaps each value to integer micro-units before
+    * summing, so aggregation order cannot move a bit. Rows before the
+    * first / after the last observation stay null (no extrapolation);
+    * equal-time neighbors (nt = pt) fall back to the previous value
+    * rather than dividing by zero.
+    */
+  def w7Interpolate(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("ts_us"), col("event_id"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("obs", when(col("event_id") % 7 === 0,
+        expr("CAST(value AS DECIMAL(18,6))")))
+      .withColumn("pv", last(col("obs"), ignoreNulls = true).over(wb))
+      .withColumn("pt", last(when(col("obs").isNotNull, col("ts_us")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(wf))
+      .withColumn("nt", first(when(col("obs").isNotNull, col("ts_us")),
+        ignoreNulls = true).over(wf))
+      .withColumn("interp",
+        when(col("obs").isNotNull, col("obs").cast("double"))
+          .when(col("pv").isNotNull && col("nv").isNotNull && col("nt") > col("pt"),
+            expr("CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) * " +
+              "(CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv").cast("double")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("obs")).as("n_obs"),
+           count(when(col("obs").isNull && col("interp").isNotNull, 1))
+             .as("n_interp"),
+           count(when(col("interp").isNull, 1)).as("n_edge_nulls"),
+           sum(expr("CAST(round(interp * 1000000) AS BIGINT)"))
+             .as("interp_micro_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  val w7Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         CASE WHEN event_id % 7 = 0 THEN CAST(value AS DECIMAL(18,6)) END AS obs
+      |  FROM events),
+      |wv AS (
+      |  SELECT user_id, ts_us, obs,
+      |    LAST_VALUE(obs IGNORE NULLS) OVER wb AS pv,
+      |    LAST_VALUE(CASE WHEN obs IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wb AS pt,
+      |    FIRST_VALUE(obs IGNORE NULLS) OVER wf AS nv,
+      |    FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wf AS nt
+      |  FROM f
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |i AS (
+      |  SELECT user_id, obs,
+      |    CASE WHEN obs IS NOT NULL THEN CAST(obs AS DOUBLE)
+      |         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+      |           THEN CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+      |                (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN CAST(pv AS DOUBLE)
+      |    END AS interp
+      |  FROM wv)
+      |SELECT user_id, COUNT(*) AS n_rows, COUNT(obs) AS n_obs,
+      |       COUNT(CASE WHEN obs IS NULL AND interp IS NOT NULL THEN 1 END) AS n_interp,
+      |       COUNT(CASE WHEN interp IS NULL THEN 1 END) AS n_edge_nulls,
+      |       CAST(SUM(CAST(round(interp * 1000000) AS BIGINT)) AS BIGINT) AS interp_micro_sum
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- s1: tumbling 1-hour windows ----
   def s1Tumble(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -265,6 +348,7 @@ object WindowOps {
     "w4_ntile"     -> (w4Ntile _),
     "w5_range_frame" -> (w5RangeFrame _),
     "w6_locf"      -> (w6Locf _),
+    "w7_interpolate" -> (w7Interpolate _),
     "s1_tumble"    -> (s1Tumble _),
     "s2_sliding"   -> (s2Sliding _),
     "s3_session"   -> (s3Session _)
@@ -277,6 +361,7 @@ object WindowOps {
     "w4_ntile"     -> w4Sql,
     "w5_range_frame" -> w5Sql,
     "w6_locf"      -> w6Sql,
+    "w7_interpolate" -> w7Sql,
     "s1_tumble"    -> s1Sql,
     "s2_sliding"   -> s2Sql,
     "s3_session"   -> s3Sql

@@ -65,10 +65,12 @@ class AuditSpec extends SparkSpec {
       // side). Pin the exact key set: a NEW nested-loop join — which at
       // 100 TB means an unbounded broadcast — must trip this audit and
       // argue its bound here.
+      // x12c/x41b left this set when trainedAssignShared materialized the
+      // Lloyd pass: their plans now read the published assignment parquet
+      // instead of carrying the 16-row centroid broadcast subtree
       val boundedBnlj = Set("x9_ngram_jaccard", "x19_bm25", "x12_ann_ivf",
-        "x12b_ann_ivf8", "x12c_ann_ivf_trained", // 16-row trained-centroid broadcast per Lloyd step
+        "x12b_ann_ivf8",
         "x41_semantic_dedup", "x1b_knn", "x40_ann_recall",
-        "x41b_semdedup_trained", // 16-row trained-centroid broadcast (x12c's)
         "x43b_pq_adc", "x44_ivfpq_topk", // exact ground-truth side: 10-query broadcast panel
         "x45_hybrid_rrf", // dense side: single-row query-vector broadcast (x1b's shape)
         "x51_heavy_hitters", // two single-row broadcasts: CMS bytes + total count
