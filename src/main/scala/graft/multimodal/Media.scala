@@ -186,38 +186,59 @@ object Media {
     * Decode runs through [[partitionImageReader]] (one codec instance per
     * partition, memory-cached streams).
     */
+  private def dhashOf(readBmp: Array[Byte] => java.awt.image.BufferedImage,
+                      payload: Array[Byte]): (Long, Long) = {
+    val img = readBmp(encodeBmp(payload))
+    val h = img.getHeight
+    val gray = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      val sy = cy * h / 8
+      var cx = 0
+      while (cx < 8) {
+        val rgb = img.getRGB(2 * cx, sy)
+        gray(cy * 8 + cx) =
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cx += 1
+      }
+      cy += 1
+    }
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      val nb = (i / 8) * 8 + ((i % 8) + 1) % 8
+      if (gray(i) > gray(nb)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   def perceptualHashes(records: Dataset[(Long, Array[Byte])]): DataFrame = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val readBmp = partitionImageReader("bmp")
       it.map { case (id, payload) =>
-        val img = readBmp(encodeBmp(payload))
-        val h = img.getHeight
-        val gray = new Array[Long](64)
-        var cy = 0
-        while (cy < 8) {
-          val sy = cy * h / 8
-          var cx = 0
-          while (cx < 8) {
-            val rgb = img.getRGB(2 * cx, sy)
-            gray(cy * 8 + cx) =
-              ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            cx += 1
-          }
-          cy += 1
-        }
-        var hi = 0L; var lo = 0L
-        var i = 0
-        while (i < 64) {
-          val nb = (i / 8) * 8 + ((i % 8) + 1) % 8
-          if (gray(i) > gray(nb)) {
-            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-          }
-          i += 1
-        }
+        val (hi, lo) = dhashOf(readBmp, payload)
         (id, hi, lo)
       }
     }.toDF("doc_id", "ph_hi", "ph_lo")
+  }
+
+  /** [[perceptualHashes]] with the ingest timestamp carried through — the
+    * streaming shape, where a watermark must ride alongside the hash.
+    */
+  def perceptualHashesWithTs(
+      records: Dataset[(Long, Array[Byte], java.sql.Timestamp)]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val readBmp = partitionImageReader("bmp")
+      it.map { case (id, payload, ts) =>
+        val (hi, lo) = dhashOf(readBmp, payload)
+        (id, hi, lo, ts)
+      }
+    }.toDF("doc_id", "ph_hi", "ph_lo", "ingest_ts")
   }
 
   /** Wrap payload bytes as an 8-bit unsigned PCM mono WAV (44-byte RIFF

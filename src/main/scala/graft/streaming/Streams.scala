@@ -215,6 +215,29 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_key")
       .drop("content_key")
 
+  /** Streaming twin of m8's perceptual-hash image dedup: each arriving
+    * image is decoded and dHashed map-side (per-partition codec instance,
+    * zero stream state for the hashing itself), then
+    * dropDuplicatesWithinWatermark keys state on the 64-bit fingerprint —
+    * the FIRST image of each perceptual fingerprint survives, and state
+    * per retained image is two longs + a timestamp regardless of image
+    * size (the dedupDocuments digest-key rule, with a perceptual rather
+    * than exact digest). Hamming-adjacent (1–3 bit) matching needs the
+    * band self-join and stays a batch m8 pass; exact-fingerprint
+    * collapse — the overwhelming bulk of crawl image dups — happens
+    * in-flight here. Expects (doc_id, text, ingest_ts).
+    */
+  def phashDedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.multimodal.Media.perceptualHashesWithTs(
+      docs.select(col("doc_id"), col("text").cast("binary").as("content"),
+          col("ingest_ts"))
+        .as[(Long, Array[Byte], java.sql.Timestamp)])
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("ph_hi", "ph_lo")
+  }
+
   /** Streaming twin of x14 hash sampling: the same doc_id-hash Bernoulli
     * filter, STATELESS by design — a document is in or out of the sample
     * regardless of arrival order, micro-batch boundaries, or whether the

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perceptual-hash dedup keeps the first image per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val same = "the quick brown fox jumps over the lazy dog"
+    val other = "zzzz 0000 zzzz 0000 zzzz 0000 completely different raster"
+    // precondition via the batch hasher: the two texts must land on
+    // different fingerprints, else the assertion below tests nothing
+    val batch = graft.multimodal.Media.perceptualHashes(
+        Seq((1L, same.getBytes("UTF-8")), (3L, other.getBytes("UTF-8"))).toDS())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch(1L) != batch(3L), "test texts collided on one dHash; pick others")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.phashDedupStream(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.format("memory").queryName("phash_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, same, ts(0)), (2L, same, ts(1)), (3L, other, ts(2)))
+      q.processAllAvailable()
+      val rows = spark.table("phash_test")
+        .select("doc_id", "ph_hi", "ph_lo")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.keySet === Set(1L, 3L),
+        "same-fingerprint duplicate must drop, different raster must survive")
+      // streamed fingerprints are bit-identical to the batch hasher's
+      assert(rows === batch)
+    } finally q.stop()
+  }
+
   test("streaming passage dedup keeps only the first copy of shared boilerplate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
