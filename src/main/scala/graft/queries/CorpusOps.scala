@@ -125,6 +125,78 @@ object CorpusOps {
        |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
        |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
 
+  // ===== p4: curriculum-ordered quality packing ===========================
+
+  /** Curriculum data ordering composed with shard packing — the "train on
+    * clean data first" assembly step: every doc gets x56's integer ppm
+    * type-token-ratio quality score (map-side), is ranked into a
+    * per-language quality QUARTILE by exact integer rank (x53's
+    * rank-threshold discipline — `((rk−1)·4) div n`, no float quantiles),
+    * and is then packed quality-first into fixed-token-budget sequences
+    * WITHIN its (lang, quartile) cell — x23's contiguous first-fit bins,
+    * ordered by descending quality instead of doc_id. A training reader
+    * consuming cells in quartile order gets the curriculum; each cell's
+    * packing order is pinned by an x48-style order checksum (doc_id·rank
+    * products mod 10⁶+3 — terms ≤ 10¹², safe in a long far past this
+    * corpus size).
+    *
+    * 100 TB shape: score is one scan; the ranking window partitions by
+    * language and the packing window by (language, quartile) — two keyed
+    * exchanges, no global sort (the x53 caveat applies: at extreme
+    * per-language cardinality production swaps the exact rank for sampled
+    * thresholds; the exact form is the oracle-checkable semantics).
+    */
+  def p4CurriculumPack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        expr("(cast(1000000 as bigint) * size(array_distinct(toks))) div size(toks)")
+          .as("ttr_ppm"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_toks"))
+    val wl = Window.partitionBy(col("lang"))
+      .orderBy(col("ttr_ppm").desc, col("doc_id"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(wl).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("qbucket", expr("((rk - 1) * 4) div n"))
+    val wp = Window.partitionBy(col("lang"), col("qbucket"))
+      .orderBy(col("ttr_ppm").desc, col("doc_id"))
+    ranked
+      .withColumn("cum", sum(col("n_toks")).over(wp))
+      .withColumn("seq_id", expr(s"(cum - n_toks) div $PackBudget"))
+      .withColumn("prk", row_number().over(wp).cast("long"))
+      .groupBy(col("lang"), col("qbucket"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"),
+        sum(expr("(doc_id % 1000003) * (prk % 1000003)")).as("order_checksum"))
+      .orderBy(col("lang"), col("qbucket"), col("seq_id"))
+  }
+
+  val p4Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         (1000000::BIGINT * len(list_distinct(string_split(text, ' '))))
+       |           // len(string_split(text, ' ')) AS ttr_ppm,
+       |         CAST(len(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |             ORDER BY ttr_ppm DESC, doc_id) AS rk,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM t),
+       |b AS (SELECT *, ((rk - 1) * 4) // n AS qbucket FROM r),
+       |c AS (
+       |  SELECT *, SUM(n_toks) OVER (PARTITION BY lang, qbucket
+       |              ORDER BY ttr_ppm DESC, doc_id) AS cum,
+       |         ROW_NUMBER() OVER (PARTITION BY lang, qbucket
+       |              ORDER BY ttr_ppm DESC, doc_id) AS prk
+       |  FROM b)
+       |SELECT lang, CAST(qbucket AS BIGINT) AS qbucket,
+       |       CAST((cum - n_toks) // $PackBudget AS BIGINT) AS seq_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       |       CAST(SUM((doc_id % 1000003) * (prk % 1000003)) AS BIGINT) AS order_checksum
+       |FROM c GROUP BY lang, qbucket, seq_id
+       |ORDER BY lang, qbucket, seq_id""".stripMargin
+
   // ===== x24: temperature-weighted mixture sampling =======================
 
   /** Data-mixture reweighting with a temperature exponent (alpha = 0.5,
@@ -641,6 +713,7 @@ object CorpusOps {
     "p2_dedup_pack_pipeline" -> (p2DedupPackPipeline _),
     "b1_html_extract"    -> (b1HtmlExtract _),
     "x23_pack_shards"    -> (x23PackShards _),
+    "p4_curriculum_pack" -> (p4CurriculumPack _),
     "x23b_pack_subword"  -> (x23bPackSubword _),
     "x24_mixture_sample" -> (x24MixtureSample _),
     "x25_pii_scan"       -> (x25PiiScan _),
@@ -656,6 +729,7 @@ object CorpusOps {
     "p2_dedup_pack_pipeline" -> p2Sql,
     "b1_html_extract"    -> b1Sql,
     "x23_pack_shards"    -> x23Sql,
+    "p4_curriculum_pack" -> p4Sql,
     "x23b_pack_subword"  -> x23bSql,
     "x24_mixture_sample" -> x24Sql,
     "x25_pii_scan"       -> x25Sql,
