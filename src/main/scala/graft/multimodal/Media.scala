@@ -226,6 +226,40 @@ object Media {
     }.toDF("doc_id", "ph_hi", "ph_lo")
   }
 
+  /** [[decodeImages]] for records whose bytes are ALREADY a container —
+    * the binaryFile-source shape, where whole image files arrive as
+    * `content` blobs: decode as-is (no wrapping), same order-independent
+    * channel features, with the on-disk file length carried through so
+    * the oracle can pin the container geometry too.
+    */
+  def decodeImageFiles(
+      records: Dataset[(Long, Long, Array[Byte])]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val readBmp = partitionImageReader("bmp")
+      it.map { case (id, len, bytes) =>
+        val img = readBmp(bytes)
+        var sum = 0L; var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val bb = rgb & 0xff
+            sum += r + g + bb
+            if (r > mx) mx = r
+            if (g > mx) mx = g
+            if (bb > mx) mx = bb
+            x += 1
+          }
+          y += 1
+        }
+        (id, len, img.getWidth.toLong, img.getHeight.toLong, sum, mx.toLong)
+      }
+    }.toDF("doc_id", "file_len", "img_w", "img_h", "channel_sum", "channel_max")
+  }
+
   /** [[perceptualHashes]] with the ingest timestamp carried through — the
     * streaming shape, where a watermark must ride alongside the hash.
     */

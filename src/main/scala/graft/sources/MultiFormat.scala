@@ -249,6 +249,64 @@ object MultiFormat {
        |FROM lineitem WHERE l_orderkey IN (${BloomProbeKeys.mkString(", ")})
        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // ===== src16: binaryFile source over an on-disk image corpus ============
+
+  /** The multimodal INGESTION source: real `.bmp` files on disk read back
+    * through Spark's `binaryFile` DataSource — (path, modificationTime,
+    * length, content) columns behind a pushed `pathGlobFilter` — then
+    * decoded with the m3 codec path. This is how a 100 TB image corpus
+    * actually enters Spark: binary files under a glob, metadata columns
+    * for free, decode in mapPartitions behind the per-partition codec;
+    * everything downstream (m3 features, m8 fingerprints) starts from
+    * exactly this frame. Fixture: every 50th document's BMP container
+    * written as its own file (bounded — ≤ N/50 files, listing-friendly at
+    * every SF; the build loop is fixture construction over that bounded
+    * subset, not a query path). The declared result pins BOTH the
+    * container geometry (file_len = 54-byte header + 48·h payload — the
+    * source's `length` column, byte-exact) and the decoded channel stats
+    * (the codec), with doc identity recovered from the file NAME — the
+    * path-carries-the-key convention of real image dumps.
+    */
+  def src16BinaryfileScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(spark)}/graft_src16_binfiles_$tag"
+    ensureLayout(new java.io.File(s"$d/documents.parquet"), path) {
+      val dir = new java.io.File(path)
+      dir.mkdirs()
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".bmp")).foreach(_.delete())
+      graft.Tables.documents(spark, d)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded fixture build (≤ N/50 rows), not a query path
+        .foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"doc_${r.getLong(0)}.bmp").toPath,
+            graft.multimodal.Media.encodeBmp(r.getString(1).getBytes("UTF-8")))
+        }
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp").load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bmp$", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("file_len"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+    graft.multimodal.Media.decodeImageFiles(files).orderBy(col("doc_id"))
+  }
+
+  val src16Sql: String =
+    """SELECT doc_id,
+      |       CAST(54 + 48 * GREATEST(1, (strlen(text) + 47) // 48) AS BIGINT) AS file_len,
+      |       CAST(16 AS BIGINT) AS img_w,
+      |       GREATEST(1, (strlen(text) + 47) // 48) AS img_h,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'sum'), 0) AS BIGINT) AS channel_sum,
+      |       CAST(COALESCE(list_aggregate(list_transform(regexp_split_to_array(text, ''),
+      |            c -> ascii(c)), 'max'), 0) AS BIGINT) AS channel_max
+      |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
+
   /** Range probed by src14 — literal in the oracle so both engines scan the
     * identical slice. */
   private val PageIndexRange: (Long, Long) = (100L, 400L)
@@ -824,6 +882,7 @@ object MultiFormat {
         "src11_text_scan" -> (src11TextScan _),
         "src12_sequencefile_plain" -> (src12SequencefilePlain _),
         "src13_parquet_bloom" -> (src13ParquetBloom _),
+        "src16_binaryfile_scan" -> (src16BinaryfileScan _),
         "src14_parquet_pageindex" -> (src14ParquetPageindex _),
         "src15_schema_evolution" -> (src15SchemaEvolution _),
         "src9_avro_scan" -> (src9AvroScan _),
@@ -842,6 +901,7 @@ object MultiFormat {
         "src11_text_scan" -> src11Sql,
         "src12_sequencefile_plain" -> src12Sql,
         "src13_parquet_bloom" -> src13Sql,
+        "src16_binaryfile_scan" -> src16Sql,
         "src14_parquet_pageindex" -> src14Sql,
         "src15_schema_evolution" -> src15Sql,
         "src6_jsonl_scan" -> src6Sql,
