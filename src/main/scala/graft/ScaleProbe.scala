@@ -414,10 +414,21 @@ object ScaleProbe {
       // disjoint noise. ts stays a raw int64 (ns) in the copy; Tables
       // .events handles it identically to the source table.
       val ev = spark.read.parquet(s"$src/events.parquet")
-      spark.range(n).crossJoin(ev)
+      // the per-replica day shift follows whichever physical ts era the
+      // source files have (the Tables.events drift branch): raw int64 ns
+      // add 86400e9 ns; the post-regeneration TIMESTAMP_NTZ era adds a
+      // day-time interval
+      val shiftDay = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (df: org.apache.spark.sql.DataFrame) =>
+            df.withColumn("ts", col("ts") + col("id") * 86400000000000L)
+        case _ =>
+          (df: org.apache.spark.sql.DataFrame) =>
+            df.withColumn("ts", expr("ts + make_dt_interval(id)"))
+      }
+      shiftDay(spark.range(n).crossJoin(ev)
         .withColumn("event_id", col("event_id") + col("id") * 100000000L)
-        .withColumn("user_id", col("user_id") + col("id") * 1000000L)
-        .withColumn("ts", col("ts") + col("id") * 86400000000000L)
+        .withColumn("user_id", col("user_id") + col("id") * 1000000L))
         .drop("id")
         .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
       Seq("orders", "customer",
@@ -453,6 +464,44 @@ object ScaleProbe {
       for (q <- Seq("x8_ann_lsh", "x12_ann_ivf", "x13_embed_dedup",
                     "x43_pq_encode", "x44_ivfpq_topk")) {
         time(q, src); time(q, big)
+      }
+      spark.stop()
+      return
+    }
+
+    // Perceptual-hash probe (`phash` arg): m8's band-blocking economics at
+    // 1× vs 20× documents — per-(band, value) bucket occupancy (the
+    // candidate-join cost driver: work ∝ Σ occupancy², random collisions
+    // ≈ N²/2¹⁶) and the declared key's wall time + pair count. The 20×
+    // corpus replicates text VERBATIM, so every duplicate group's pair
+    // output grows quadratically (C(20,2)·groups) — which is the honest
+    // statement of WHY production dedup emits cluster representatives
+    // (x15/x21 downstream), not raw pair lists, at corpus scale.
+    if (args.contains("phash")) {
+      import spark.implicits._
+      def occupancy(dir: String): Unit = {
+        val t0 = System.nanoTime()
+        val ph = graft.multimodal.Media.perceptualHashes(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text").cast("binary").as("content"))
+            .as[(Long, Array[Byte])])
+        val occ = ph.select(explode(array(
+            struct(lit(0).as("bi"), expr("shiftright(ph_hi, 16) & 65535").as("bv")),
+            struct(lit(1).as("bi"), expr("ph_hi & 65535").as("bv")),
+            struct(lit(2).as("bi"), expr("shiftright(ph_lo, 16) & 65535").as("bv")),
+            struct(lit(3).as("bi"), expr("ph_lo & 65535").as("bv")))).as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), avg(col("n")).as("mean"),
+               max(col("n")).as("max")).head()
+        println(f"phash occupancy $dir%-28s buckets=${occ.getLong(0)}%6d " +
+          f"mean=${occ.getDouble(1)}%9.1f max=${occ.getLong(2)}%7d " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      occupancy(src); occupancy(big)
+      for (dir <- Seq(src, big)) {
+        val t = System.nanoTime()
+        val n = graft.queries.PipelineOps.m8PhashDedup(spark, dir).count()
+        println(f"m8 pairs $dir%-28s n=$n%9d ${(System.nanoTime() - t) / 1e9}%8.2f s")
       }
       spark.stop()
       return
