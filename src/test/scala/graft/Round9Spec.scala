@@ -127,6 +127,39 @@ class Round9Spec extends SparkSpec {
       != "0", "j12 leaked the bloom scan-size threshold into the parent session")
   }
 
+  test("observe: in-flight QA counters ride the main job, no second scan") {
+    // the production pattern for pipeline data-quality metrics: counters
+    // are collected DURING the one pass the job already makes (a 100 TB
+    // corpus cannot afford a second audit scan). Attach an Observation to
+    // x10's quality scan and check the counters agree with the result.
+    val obs = new org.apache.spark.sql.Observation("quality_audit")
+    val df = graft.queries.PipelineOps.x10Quality(spark, TestSpark.sf0001)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("mean_tok_len") > 5.0, 1)).as("n_long_tok"))
+    val rows = df.collect()
+    val m = obs.get
+    assert(m("n_rows") == rows.length.toLong,
+      "observed row counter must equal the materialized result size")
+    assert(m("n_long_tok") ==
+      rows.count(_.getAs[Double]("mean_tok_len") > 5.0).toLong)
+  }
+
+  test("rebalance hint: AQE right-sizes write partitions (small-files lever)") {
+    // REBALANCE is the write-side complement to src8's read-side
+    // compaction: AQE splits/merges the final shuffle so output files hit
+    // the target size instead of one-per-task fragments. Pin that the
+    // hint survives to a RebalancePartitions-backed AQE shuffle and the
+    // data is unchanged.
+    val base = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val hinted = base.hint("rebalance")
+    assert(hinted.queryExecution.optimizedPlan.toString
+        .contains("RebalancePartitions"),
+      "REBALANCE hint vanished from the optimized plan")
+    assert(hinted.count() == base.count(), "rebalance must not change rows")
+  }
+
   test("src13: every row group's l_orderkey chunk carries a real bloom filter") {
     val d = TestSpark.sf0001
     val df = graft.sources.MultiFormat.src13ParquetBloom(spark, d)
