@@ -984,6 +984,78 @@ object RelationalOps {
       |       COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- f15: VARIANT semi-structured type (Spark 4 flagship) ----
+
+  /** Spark 4's VARIANT type end-to-end: the existing `props` JSON is
+    * parsed with `parse_json`, a RICHER document (nested object + array,
+    * built in-plan from integer/string columns only — embedding doubles
+    * in JSON text would hit engine formatting differences) is parsed to a
+    * second variant, and typed path extraction (`variant_get` with long /
+    * string targets, nested `$.m.k`, array index `$.tags[1]`, and a
+    * missing path, which must yield NULL not an error) feeds a plain
+    * aggregate. VARIANT is columnar-shredded binary under the hood — the
+    * 100 TB answer to schema-on-read JSON blobs (no per-row text
+    * re-parsing downstream of ingest). The oracle computes the same
+    * aggregates straight from the base columns via DuckDB's JSON
+    * extraction on `props` alone — a hash match proves every variant
+    * construction/extraction round-trip exact.
+    */
+  def f15Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'long')"))
+      .withColumn("vm", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      .withColumn("doc", expr(
+        "parse_json(concat('{\"u\":', user_id, ',\"m\":{\"k\":', k, " +
+          "',\"vm\":', vm, '},\"tags\":[\"evt\",\"', event_type, '\"]}'))"))
+      .select(
+        expr("variant_get(doc, '$.tags[1]', 'string')").as("et"),
+        expr("variant_get(doc, '$.m.k', 'long')").as("k2"),
+        expr("variant_get(doc, '$.m.vm', 'long')").as("vm2"),
+        expr("variant_get(doc, '$.u', 'long')").as("u"),
+        expr("variant_get(doc, '$.missing', 'long')").as("miss"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k2")).as("sum_k"),
+           sum(col("vm2")).as("sum_vm"),
+           countDistinct(col("u")).as("n_users"),
+           count(col("miss")).as("n_missing"))
+      .orderBy(col("et"))
+
+  val f15Sql: String =
+    """SELECT event_type AS et, COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_vm,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       CAST(0 AS BIGINT) AS n_missing
+      |FROM events GROUP BY event_type ORDER BY et""".stripMargin
+
+  // ---- f16: ordered string aggregation (listagg WITHIN GROUP) ----
+
+  /** Spark 4's ANSI `listagg` with an explicit WITHIN GROUP order — the
+    * ordered string-fold warehouses use for ID rollups and debug digests.
+    * Order inside an aggregate is exactly where engines silently diverge,
+    * so the frame order is total ((event_id) is unique) and the input is
+    * thinned to every 199th event to keep each group's string bounded —
+    * at scale an unbounded listagg is a memory hazard, which is why x57's
+    * digest form (hash of the ordered sequence, constant width) is the
+    * 100 TB shape; this key pins the literal SQL-surface semantics.
+    */
+  def f16Listagg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") % 199 === 0)
+      .groupBy(col("event_type"))
+      .agg(expr("listagg(user_id, ',') WITHIN GROUP (ORDER BY event_id)")
+             .as("user_seq"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val f16Sql: String =
+    """SELECT event_type,
+      |       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY event_id) AS user_seq,
+      |       COUNT(*) AS n
+      |FROM events WHERE event_id % 199 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- j10: range join via the OPTIMIZER RULE (declared naive) ----
 
   /** The same click-in-window-before-purchase interval join as j6, but
@@ -1093,6 +1165,8 @@ object RelationalOps {
     "f13_url"            -> (f13Url _),
     "j10_range_rule"     -> (j10RangeRule _),
     "f14_bitwise"        -> (f14Bitwise _),
+    "f15_variant"        -> (f15Variant _),
+    "f16_listagg"        -> (f16Listagg _),
     "j9_full_outer"      -> (j9FullOuter _),
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
@@ -1135,6 +1209,8 @@ object RelationalOps {
     "f13_url"        -> f13Sql,
     "j10_range_rule" -> j10Sql,
     "f14_bitwise"    -> f14Sql,
+    "f15_variant"    -> f15Sql,
+    "f16_listagg"    -> f16Sql,
     "j1_broadcast"   -> j1Sql,
     "j2_antijoin"    -> j2Sql,
     "j3_semijoin"    -> j3Sql,
