@@ -180,6 +180,55 @@ object Streams {
         OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
   }
 
+  /** w6's streaming twin: last-observation-carried-forward over a live
+    * event stream via transformWithState. State per user is ONE
+    * (ts_us, event_id, value) triple — the latest observation — so memory
+    * is constant per user regardless of stream length. Rows inside each
+    * micro-batch process in (ts_us, event_id) order (w6's total order);
+    * an observation row (event_id % 7 == 0, w6's manufactured sparsity)
+    * advances state and emits its own value, a gap row emits the carried
+    * value (None before the user's first observation — w6's head-null
+    * semantics). In-order arrival gives exact batch parity (specced);
+    * late rows degrade to at-arrival carry but can never corrupt state
+    * for later event-times — state only advances when the observation's
+    * (ts_us, event_id) exceeds the stored key.
+    */
+  class LocfProcessor
+      extends StatefulProcessor[Long, Event, (Long, Long, Long, Option[Double])] {
+    @transient private var lastObs: ValueState[(Long, Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastObs = getHandle.getValueState[(Long, Long, Double)]("lastObs",
+        Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Long, Long, Option[Double])] = {
+      val ordered = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      ordered.iterator.map { e =>
+        val t = us(e.ts)
+        if (e.event_id % 7 == 0) {
+          val cur = if (lastObs.exists()) Some(lastObs.get()) else None
+          if (cur.forall { case (ct, cid, _) =>
+                t > ct || (t == ct && e.event_id > cid) })
+            lastObs.update((t, e.event_id, e.value))
+          (user, e.event_id, t, Some(e.value))
+        } else {
+          val carried =
+            if (lastObs.exists()) Some(lastObs.get()._3) else None
+          (user, e.event_id, t, carried)
+        }
+      }
+    }
+  }
+
+  def locfStream(events: Dataset[Event]): Dataset[(Long, Long, Long, Option[Double])] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LocfProcessor, TimeMode.None(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Option[Double])]])
+  }
+
   /** flatMapGroupsWithState: emit an alert row exactly once, when a user's
     * cumulative purchase value first crosses `threshold` (0..N output rows
     * per input group — the flatMap-shaped arbitrary-state API).

@@ -172,6 +172,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LOCF carries the last observation across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Streams.locfStream(mem.toDS())
+      .toDF("user_id", "event_id", "ts_us", "filled")
+      .writeStream.format("memory").queryName("locf_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: obs at id 7 (value 2.0), gaps at 8, 9; batch break; gap 10,
+      // obs 14 (value 5.0), gap 15. user 2: gaps only -> head nulls.
+      mem.addData(ev(7, 0, value = 2.0), ev(8, 1, value = 9.9),
+                  ev(9, 2, value = 9.9), ev(1, 0, user = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(10, 3, value = 9.9), ev(14, 4, value = 5.0),
+                  ev(15, 5, value = 9.9))
+      q.processAllAvailable()
+      val rows = spark.table("locf_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      // batch-parity oracle: w6's fill semantics on the same 7 rows
+      assert(rows((1L, 7L))  === Some(2.0), "observation emits itself")
+      assert(rows((1L, 8L))  === Some(2.0), "gap carries within the batch")
+      assert(rows((1L, 9L))  === Some(2.0))
+      assert(rows((1L, 10L)) === Some(2.0), "carry survives the batch break")
+      assert(rows((1L, 14L)) === Some(5.0), "new observation replaces the carry")
+      assert(rows((1L, 15L)) === Some(5.0))
+      assert(rows((2L, 1L))  === None, "head rows before any observation stay null")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming perceptual-hash dedup keeps the first image per fingerprint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
