@@ -46,6 +46,8 @@ object GraftSession {
     WeightedSum.register(spark)
     VectorSumLong.register(spark)
     NfcNormalize.register(spark)
+    BloomFunctions.register(spark)
+    CmsQuery.register(spark)
     GraftPlanner.install(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark

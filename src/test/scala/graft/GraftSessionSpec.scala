@@ -17,6 +17,19 @@ class GraftSessionSpec extends SparkSpec {
     assert(spark.sql("SELECT tokenize_pos(t) AS (p, tok) FROM gs_probe").count() === 2)
     assert(spark.sql("SELECT graft_topk_tokens(t) FROM gs_probe").count() === 1)
     assert(spark.sql("SELECT graft_weighted_sum(1.0, 2.0) FROM gs_probe").count() === 1)
+    // the r9 attach additions: sketch builder/reader pair must round-trip
+    // the sketch reader hashes UTF-8 bytes (StringType insertions), so
+    // build the sketch over the string column itself
+    val cms = spark.sql(
+      """SELECT graft_cms_query(s, tv) AS est FROM (
+        |  SELECT count_min_sketch(t, 0.001d, 0.99d, 1) AS s, min(t) AS tv
+        |  FROM gs_probe)""".stripMargin).head()
+    assert(cms.getLong(0) >= 1L, "CMS estimate is one-sided >= true count")
+    val bloom = spark.sql(
+      """SELECT graft_might_contain(
+        |         (SELECT graft_bloom_agg(xxhash64(t), 100L, 8192L) FROM gs_probe),
+        |         xxhash64(t)) AS hit FROM gs_probe""".stripMargin).head()
+    assert(bloom.getBoolean(0), "bloom has no false negatives on a member")
     assert(spark.experimental.extraStrategies.nonEmpty)
   }
 
