@@ -229,6 +229,61 @@ object Streams {
         implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Option[Double])]])
   }
 
+  /** transformWithState EVENT-TIME TIMERS — the session-timeout primitive:
+    * a per-user timer re-arms at (last event time + gap) on every arrival,
+    * and when the WATERMARK passes the armed time the runtime calls
+    * `handleExpiredTimer`, which emits one (user, last_seen_ms, n_events)
+    * inactivity record and clears the state — i.e. the session closes on
+    * EVENT time even if no further row for that user ever arrives (the
+    * thing no row-driven operator can do). State per user is one
+    * (last, count) pair plus one timer; both are dropped at emission, so
+    * a quiet user costs nothing after their alert.
+    */
+  class InactivityAlerter(gapMs: Long)
+      extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var agg: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      val (prevLast, prevN) = if (agg.exists()) agg.get() else (0L, 0L)
+      var last = prevLast; var n = prevN
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        if (t > last) last = t
+        n += 1
+      }
+      if (prevLast > 0L) getHandle.deleteTimer(prevLast + gapMs)
+      getHandle.registerTimer(last + gapMs)
+      agg.update((last, n))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long)] = {
+      val (last, n) = agg.get()
+      agg.clear()
+      Iterator((user, last, n))
+    }
+  }
+
+  /** Inactivity alerts over a watermarked event stream: one row per user
+    * session that has gone quiet for `gap`, emitted by an event-time
+    * timer when the watermark passes last-seen + gap. Input must carry
+    * the watermark (set here on `ts`).
+    */
+  def inactivityAlerts(events: Dataset[Event],
+                       gapMs: Long = 30L * 60 * 1000): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityAlerter(gapMs), TimeMode.EventTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
+  }
+
   /** flatMapGroupsWithState: emit an alert row exactly once, when a user's
     * cumulative purchase value first crosses `threshold` (0..N output rows
     * per input group — the flatMap-shaped arbitrary-state API).

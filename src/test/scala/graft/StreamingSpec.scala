@@ -172,6 +172,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timers close quiet sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Streams.inactivityAlerts(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .toDF("user_id", "last_seen_ms", "n_events")
+      .writeStream.format("memory").queryName("inactivity_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 active at minutes 0..10, then silent
+      mem.addData(ev(1, 0), ev(2, 5), ev(3, 10))
+      q.processAllAvailable()
+      assert(spark.table("inactivity_test").isEmpty,
+        "no alert may fire before the watermark passes last+gap")
+      // user 2's event at minute 120 pushes the watermark past 10+30
+      mem.addData(ev(4, 120, user = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(5, 125, user = 2L)) // nudge a batch so timers evaluate
+      q.processAllAvailable()
+      val alerts = spark.table("inactivity_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(alerts.toSeq === Seq((1L, ts(10).getTime, 3L)),
+        s"exactly one alert for user 1 at its last-seen time; got ${alerts.toSeq}")
+      // user 1's state is cleared: a new event restarts the count at 1
+      mem.addData(ev(6, 126))
+      q.processAllAvailable()
+      mem.addData(ev(7, 300, user = 2L)) // push watermark past 126+30
+      q.processAllAvailable()
+      mem.addData(ev(8, 305, user = 2L))
+      q.processAllAvailable()
+      val second = spark.table("inactivity_test")
+        .filter(col("user_id") === 1L && col("n_events") === 1L)
+      assert(second.count() === 1L,
+        "post-alert state must restart from zero (alert cleared it)")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming LOCF carries the last observation across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
