@@ -318,6 +318,46 @@ object Media {
     }.toDF("doc_id", "n_samples", "sample_rate", "sample_sum", "sample_max")
   }
 
+  /** Windowed frame-energy analysis over the REAL WAV decode — the
+    * voice-activity-detection shape (fixed sample frames, per-frame
+    * energy, threshold): 8-bit unsigned PCM decodes to the original
+    * bytes, per-frame energy is the integer sum of squared deviations
+    * from the 128 midpoint, and a frame is "voiced" above a fixed
+    * integer threshold. All arithmetic is exact integers, so the oracle
+    * replays it as byte math; the audio ANALYSIS verb on top of m4's
+    * plain decode (real pipelines run exactly this to drop silence
+    * before feature extraction).
+    */
+  def audioEnergy(records: Dataset[(Long, Array[Byte])],
+                  frame: Int = 64, threshold: Long = 32768L): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(encodeWav(payload)))
+        val samples = in.readAllBytes()
+        val nf = (samples.length + frame - 1) / frame
+        var total = 0L; var maxE = 0L; var voiced = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * frame
+          val end = math.min(samples.length, i + frame)
+          while (i < end) {
+            val dv = (samples(i) & 0xff) - 128
+            e += dv.toLong * dv
+            i += 1
+          }
+          total += e
+          if (e > maxE) maxE = e
+          if (e > threshold) voiced += 1
+          f += 1
+        }
+        (id, nf.toLong, voiced, total, maxE)
+      }
+    }.toDF("doc_id", "n_frames", "n_voiced", "total_energy", "max_frame_energy")
+  }
+
   /** Encode payload bytes as an 8-bit grayscale PNG through ImageIO's PNG
     * writer. Unlike the header-only BMP/WAV wrappers, this runs a REAL
     * compression pipeline (PNG row filters + DEFLATE). PNG is lossless,

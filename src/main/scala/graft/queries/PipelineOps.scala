@@ -2479,6 +2479,45 @@ object PipelineOps {
       |WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ===== m9: audio frame-energy / voice-activity analysis =================
+
+  /** Audio ANALYSIS on top of m4's decode: fixed 64-sample frames over
+    * the real javax.sound WAV round-trip, per-frame integer energy
+    * (Σ (sample−128)²), voiced-frame counting above a fixed threshold —
+    * the VAD-ish silence-dropping pass an audio corpus runs before
+    * feature extraction. Per-row map-side, zero shuffle; every quantity
+    * is an exact integer the oracle replays as byte arithmetic.
+    */
+  def m9AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Media.audioEnergy(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])])
+      .orderBy(col("doc_id"))
+  }
+
+  val m9Sql: String =
+    """WITH g AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+      |f AS (SELECT doc_id, len, text,
+      |        unnest(range(0, (len + 63) // 64)) AS fi FROM g),
+      |e AS (SELECT doc_id,
+      |        COALESCE(list_aggregate(list_transform(
+      |          range(64 * fi, LEAST(len, 64 * fi + 64)),
+      |          i -> (ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) - 128)
+      |               * (ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) - 128)),
+      |          'sum'), 0) AS energy
+      |      FROM f),
+      |s AS (SELECT doc_id, COUNT(*) AS n_frames,
+      |        SUM(CASE WHEN energy > 32768 THEN 1 ELSE 0 END) AS n_voiced,
+      |        SUM(energy) AS total_energy, MAX(energy) AS max_frame_energy
+      |      FROM e GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(s.n_frames, 0) AS BIGINT) AS n_frames,
+      |       CAST(COALESCE(s.n_voiced, 0) AS BIGINT) AS n_voiced,
+      |       CAST(COALESCE(s.total_energy, 0) AS BIGINT) AS total_energy,
+      |       CAST(COALESCE(s.max_frame_energy, 0) AS BIGINT) AS max_frame_energy
+      |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ===== m7: REAL-codec image decode + nearest-neighbor resize ============
 
   /** The resize step of the multimodal quartet (decode / feature-extract /
@@ -4120,6 +4159,7 @@ object PipelineOps {
     "m3_image_decode"    -> (m3ImageDecode _),
     "m7_image_resize"    -> (m7ImageResize _),
     "m8_phash_dedup"     -> (m8PhashDedup _),
+    "m9_audio_energy"    -> (m9AudioEnergy _),
     "m4_audio_decode"    -> (m4AudioDecode _),
     "m5_png_decode"      -> (m5PngDecode _),
     "m6_gif_frames"      -> (m6GifFrames _),
@@ -4187,6 +4227,7 @@ object PipelineOps {
     "m3_image_decode"    -> m3Sql,
     "m7_image_resize"    -> m7Sql,
     "m8_phash_dedup"     -> m8Sql,
+    "m9_audio_energy"    -> m9Sql,
     "m4_audio_decode"    -> m4Sql,
     "m5_png_decode"      -> m5Sql,
     "m6_gif_frames"      -> m6Sql,
