@@ -2443,8 +2443,10 @@ object PipelineOps {
       .select(col("doc_a"), col("doc_b"),
         (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
           .cast("long").as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: the hamming cut is map-side, so
+      // only true matches (not every band collision) pay the distinct
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
