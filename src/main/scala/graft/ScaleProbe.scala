@@ -411,8 +411,9 @@ object ScaleProbe {
       // shifts (id × 1 day) — preserves the intra-day click/purchase
       // interval structure every replica, so range joins (j6/j10), as-of
       // (j5) and session windows (s3) see n× the matching work, not n×
-      // disjoint noise. ts stays a raw int64 (ns) in the copy; Tables
-      // .events handles it identically to the source table.
+      // disjoint noise. The copy keeps whichever physical ts era the
+      // source files have (branch below); Tables.events handles either
+      // identically to the source table.
       val ev = spark.read.parquet(s"$src/events.parquet")
       // the per-replica day shift follows whichever physical ts era the
       // source files have (the Tables.events drift branch): raw int64 ns
@@ -485,11 +486,7 @@ object ScaleProbe {
           spark.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("text").cast("binary").as("content"))
             .as[(Long, Array[Byte])])
-        val occ = ph.select(explode(array(
-            struct(lit(0).as("bi"), expr("shiftright(ph_hi, 16) & 65535").as("bv")),
-            struct(lit(1).as("bi"), expr("ph_hi & 65535").as("bv")),
-            struct(lit(2).as("bi"), expr("shiftright(ph_lo, 16) & 65535").as("bv")),
-            struct(lit(3).as("bi"), expr("ph_lo & 65535").as("bv")))).as("band"))
+        val occ = graft.queries.PipelineOps.phashBands(ph)
           .groupBy(col("band")).agg(count(lit(1)).as("n"))
           .agg(count(lit(1)).as("buckets"), avg(col("n")).as("mean"),
                max(col("n")).as("max")).head()

@@ -107,29 +107,39 @@ object Media {
     * — which is what lets an engine-independent oracle replay them as
     * plain byte arithmetic and hash-match the decoded values exactly.
     */
+  /** Channel sum + max over a whole decoded raster — the one per-pixel
+    * stats loop, shared by [[decodeImages]] (wrapped payloads) and
+    * [[decodeImageFiles]] (binaryFile-source containers) so the two
+    * ingestion paths can never drift apart feature-wise.
+    */
+  private def channelStats(img: java.awt.image.BufferedImage): (Long, Long) = {
+    var sum = 0L; var mx = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+        val bb = rgb & 0xff
+        sum += r + g + bb
+        if (r > mx) mx = r
+        if (g > mx) mx = g
+        if (bb > mx) mx = bb
+        x += 1
+      }
+      y += 1
+    }
+    (sum, mx.toLong)
+  }
+
   def decodeImages(records: Dataset[(Long, Array[Byte])]): DataFrame = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val readBmp = partitionImageReader("bmp")
       it.map { case (id, payload) =>
         val img = readBmp(encodeBmp(payload))
-        var sum = 0L; var mx = 0
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
-            val bb = rgb & 0xff
-            sum += r + g + bb
-            if (r > mx) mx = r
-            if (g > mx) mx = g
-            if (bb > mx) mx = bb
-            x += 1
-          }
-          y += 1
-        }
-        (id, img.getWidth.toLong, img.getHeight.toLong, sum, mx.toLong)
+        val (sum, mx) = channelStats(img)
+        (id, img.getWidth.toLong, img.getHeight.toLong, sum, mx)
       }
     }.toDF("doc_id", "img_w", "img_h", "channel_sum", "channel_max")
   }
@@ -239,23 +249,8 @@ object Media {
       val readBmp = partitionImageReader("bmp")
       it.map { case (id, len, bytes) =>
         val img = readBmp(bytes)
-        var sum = 0L; var mx = 0
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
-            val bb = rgb & 0xff
-            sum += r + g + bb
-            if (r > mx) mx = r
-            if (g > mx) mx = g
-            if (bb > mx) mx = bb
-            x += 1
-          }
-          y += 1
-        }
-        (id, len, img.getWidth.toLong, img.getHeight.toLong, sum, mx.toLong)
+        val (sum, mx) = channelStats(img)
+        (id, len, img.getWidth.toLong, img.getHeight.toLong, sum, mx)
       }
     }.toDF("doc_id", "file_len", "img_w", "img_h", "channel_sum", "channel_max")
   }

@@ -2423,18 +2423,25 @@ object PipelineOps {
     * keep random collisions ≈ N²/2¹⁶ — verification is O(1) per
     * candidate, the x27/x34 cascade discipline).
     */
+  /** 4×16-bit band decomposition of a (ph_hi, ph_lo) fingerprint — ONE
+    * definition shared by m8's candidate join and ScaleProbe's `phash`
+    * occupancy probe, so the measured blocking economics always describe
+    * the blocking the key actually ships.
+    */
+  private[graft] def phashBands(ph: DataFrame): DataFrame =
+    ph.withColumn("band", explode(array(
+      struct(lit(0).as("bi"), expr("shiftright(ph_hi, 16) & 65535").as("bv")),
+      struct(lit(1).as("bi"), expr("ph_hi & 65535").as("bv")),
+      struct(lit(2).as("bi"), expr("shiftright(ph_lo, 16) & 65535").as("bv")),
+      struct(lit(3).as("bi"), expr("ph_lo & 65535").as("bv")))))
+
   def m8PhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ph = graft.multimodal.Media.perceptualHashes(
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])])
-    val banded = ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
-      explode(array(
-        struct(lit(0).as("bi"), expr("shiftright(ph_hi, 16) & 65535").as("bv")),
-        struct(lit(1).as("bi"), expr("ph_hi & 65535").as("bv")),
-        struct(lit(2).as("bi"), expr("shiftright(ph_lo, 16) & 65535").as("bv")),
-        struct(lit(3).as("bi"), expr("ph_lo & 65535").as("bv")))).as("band"))
+    val banded = phashBands(ph)
     val a = banded.select(col("band"), col("doc_id").as("doc_a"),
       col("ph_hi").as("ha"), col("ph_lo").as("la"))
     val b = banded.select(col("band"), col("doc_id").as("doc_b"),

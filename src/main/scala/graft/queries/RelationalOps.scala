@@ -321,8 +321,11 @@ object RelationalOps {
     * asserts the executed plan carries the injected `might_contain` on
     * the lineitem side AND that the parent session's confs stay stock).
     */
-  private val j12Memo =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // weak keys: a stopped parent session must stay GC-able — newSession()
+  // children reference the context and shared state, never the parent, so
+  // the entry dies exactly when the parent becomes unreachable
+  private val j12Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   def j12RuntimeBloom(s: SparkSession, d: String): DataFrame = {
     val iso = j12Memo.computeIfAbsent(s, parent => {
@@ -1004,9 +1007,15 @@ object RelationalOps {
     Tables.events(s, d)
       .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'long')"))
       .withColumn("vm", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      // build the document with to_json, NOT string concat: to_json escapes
+      // quotes/backslashes in event_type and OMITS a null k (a props row
+      // without '$.k' then extracts as NULL on both engines — the same
+      // row-survival semantics as the oracle's SUM over json_extract),
+      // where raw concat would null the whole doc or emit malformed JSON
       .withColumn("doc", expr(
-        "parse_json(concat('{\"u\":', user_id, ',\"m\":{\"k\":', k, " +
-          "',\"vm\":', vm, '},\"tags\":[\"evt\",\"', event_type, '\"]}'))"))
+        "parse_json(to_json(named_struct(" +
+          "'u', user_id, 'm', named_struct('k', k, 'vm', vm), " +
+          "'tags', array('evt', event_type))))"))
       .select(
         expr("variant_get(doc, '$.tags[1]', 'string')").as("et"),
         expr("variant_get(doc, '$.m.k', 'long')").as("k2"),

@@ -188,7 +188,10 @@ object Streams {
     * an observation row (event_id % 7 == 0, w6's manufactured sparsity)
     * advances state and emits its own value, a gap row emits the carried
     * value (None before the user's first observation — w6's head-null
-    * semantics). In-order arrival gives exact batch parity (specced);
+    * semantics). STATE is constant per user; the in-batch sort does
+    * buffer one user's slice of one micro-batch in task memory (O(rows
+    * per key per batch) — size micro-batches accordingly for hot keys).
+    * In-order arrival gives exact batch parity (specced);
     * late rows degrade to at-arrival carry but can never corrupt state
     * for later event-times — state only advances when the observation's
     * (ts_us, event_id) exceeds the stored key.
@@ -247,14 +250,19 @@ object Streams {
         Encoders.product[(Long, Long)], TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[(Long, Long, Long)] = {
-      val (prevLast, prevN) = if (agg.exists()) agg.get() else (0L, 0L)
+      // state PRESENCE is the only no-previous-session signal — a magic
+      // last==0 sentinel would mistake a legitimate epoch-zero event time
+      // (classic dirty telemetry) for "no state", leak the old timer, and
+      // fire a spurious alert
+      val existed = agg.exists()
+      val (prevLast, prevN) = if (existed) agg.get() else (Long.MinValue, 0L)
       var last = prevLast; var n = prevN
       rows.foreach { e =>
         val t = e.ts.getTime
         if (t > last) last = t
         n += 1
       }
-      if (prevLast > 0L) getHandle.deleteTimer(prevLast + gapMs)
+      if (existed) getHandle.deleteTimer(prevLast + gapMs)
       getHandle.registerTimer(last + gapMs)
       agg.update((last, n))
       Iterator.empty
@@ -262,9 +270,14 @@ object Streams {
     override def handleExpiredTimer(user: Long, timers: TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[(Long, Long, Long)] = {
-      val (last, n) = agg.get()
-      agg.clear()
-      Iterator((user, last, n))
+      // a stale timer can outlive its state (cleared by a prior expiry);
+      // emitting from absent state would crash the query
+      if (!agg.exists()) Iterator.empty
+      else {
+        val (last, n) = agg.get()
+        agg.clear()
+        Iterator((user, last, n))
+      }
     }
   }
 
