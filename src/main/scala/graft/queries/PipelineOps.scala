@@ -2488,6 +2488,54 @@ object PipelineOps {
       |WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ===== p5: image-corpus curation pipeline (hash → dedup → resize) =======
+
+  /** The multimodal parallel of p1's text-curation chain, composed from
+    * the m-family verbs: every image is dHashed off the real decode
+    * (m8's fingerprint), exact-fingerprint duplicate groups collapse to
+    * their min-doc_id survivor (with the group size kept as the `n_dups`
+    * audit column — the dedup ledger), and only survivors pay the resize
+    * (m7's 2× nearest-neighbor downsample) — the order that matters at
+    * 100 TB, where transcode cost dominates and must never be spent on
+    * rows dedup is about to drop. One fingerprint-keyed shuffle + one
+    * doc_id-keyed join; decode/hash/resize all map-side. The whole
+    * composition replays in one oracle (m8's hash CTE → min/count per
+    * fingerprint → m7's positional byte-geometry on the survivor set).
+    */
+  def p5ImagePipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val content = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val ph = graft.multimodal.Media.perceptualHashes(
+      content.as[(Long, Array[Byte])])
+    val survivors = ph.groupBy(col("ph_hi"), col("ph_lo"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    val resized = graft.multimodal.Media.resizeImages(
+      content.join(survivors.select(col("doc_id")), Seq("doc_id"))
+        .as[(Long, Array[Byte])])
+    resized.join(survivors.select(col("doc_id"), col("n_dups")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_dups"), col("out_w"), col("out_h"),
+        col("resized_sum"), col("resized_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m8's hash CTE → survivor selection → m7's kept-pixel byte geometry,
+    * chained into one replay.
+    */
+  // lazy: composes m7Sql, which is declared further down the object
+  lazy val p5Sql: String = {
+    val hashCtes = m8Sql.substring(m8Sql.indexOf("WITH ") + 5,
+      m8Sql.lastIndexOf("SELECT a.doc_id")).trim.stripSuffix(",")
+    s"""WITH $hashCtes,
+       |surv AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+       |         FROM ph GROUP BY ph_hi, ph_lo),
+       |m7 AS (${m7Sql.replace("\n", "\n|")})
+       |SELECT m7.doc_id, surv.n_dups, m7.out_w, m7.out_h,
+       |       m7.resized_sum, m7.resized_max
+       |FROM m7 JOIN surv ON surv.doc_id = m7.doc_id
+       |ORDER BY m7.doc_id""".stripMargin
+  }
+
   // ===== m9: audio frame-energy / voice-activity analysis =================
 
   /** Audio ANALYSIS on top of m4's decode: fixed 64-sample frames over
@@ -4169,6 +4217,7 @@ object PipelineOps {
     "m7_image_resize"    -> (m7ImageResize _),
     "m8_phash_dedup"     -> (m8PhashDedup _),
     "m9_audio_energy"    -> (m9AudioEnergy _),
+    "p5_image_pipeline"  -> (p5ImagePipeline _),
     "m4_audio_decode"    -> (m4AudioDecode _),
     "m5_png_decode"      -> (m5PngDecode _),
     "m6_gif_frames"      -> (m6GifFrames _),
@@ -4237,6 +4286,7 @@ object PipelineOps {
     "m7_image_resize"    -> m7Sql,
     "m8_phash_dedup"     -> m8Sql,
     "m9_audio_energy"    -> m9Sql,
+    "p5_image_pipeline"  -> p5Sql,
     "m4_audio_decode"    -> m4Sql,
     "m5_png_decode"      -> m5Sql,
     "m6_gif_frames"      -> m6Sql,
