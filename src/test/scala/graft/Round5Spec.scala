@@ -60,7 +60,7 @@ class Round5Spec extends SparkSpec {
     assert(entries.forall(_._3 > 0), s"a probed key recorded zero disk spill: $entries")
     for ((key, _, _, probeFp) <- entries) {
       val df = SparkEntry.queries(key)(spark, sf01)
-      val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+      val h = df.withColumn("__fp", xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))
         .agg(expr("bit_xor(__fp)")).first()
       val fp = if (h.isNullAt(0)) 0L else h.getLong(0)
       assert(fp === probeFp,

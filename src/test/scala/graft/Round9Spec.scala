@@ -53,7 +53,7 @@ class Round9Spec extends SparkSpec {
   test("q2g prepartition lever: identical results, one-stage inner agg") {
     val d = TestSpark.sf0001
     def fp(df: org.apache.spark.sql.DataFrame): Long = {
-      val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+      val h = df.withColumn("__fp", xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))
         .agg(expr("bit_xor(__fp)")).head()
       if (h.isNullAt(0)) 0L else h.getLong(0)
     }

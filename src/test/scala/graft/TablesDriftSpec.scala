@@ -40,7 +40,7 @@ class TablesDriftSpec extends SparkSpec {
     writeNanosEventsFile(s"$dirB/events.parquet",
       base.select($"event_id", ($"us" * 1000L).as("ns"),
           $"user_id", $"event_type", $"value", $"props")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        .collect().toIndexedSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getString(3), r.getDouble(4), r.getString(5))))
 
     // The annotation must actually round-trip: under nanosAsLong the raw
