@@ -253,8 +253,15 @@ object RelationalOps {
     * The oracle replays the month derivation + dim filter over the raw
     * table — the partition layout must not change a single row.
     */
-  private val j11Memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // weak-keyed per session (same GC rationale as j12Memo), per-path inside
+  private val j11Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def j11Cached(s: SparkSession, path: String): DataFrame =
+    j11Memo.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(path, p => Tables.cachedParquet(s, p))
 
   def j11DppJoin(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -277,10 +284,8 @@ object RelationalOps {
     // relation so later builder calls stay zero-job (the AuditSpec
     // re-build contract). The layout only changes under ensureLayout's
     // stamp, which this cache follows by construction (same session run).
-    val fact = j11Memo.computeIfAbsent((s, factDir),
-      _ => Tables.cachedParquet(s, factDir))
-    val dim = j11Memo.computeIfAbsent((s, dimDir),
-      _ => Tables.cachedParquet(s, dimDir)).filter(col("m_minkey") % 2 === 0)
+    val fact = j11Cached(s, factDir)
+    val dim = j11Cached(s, dimDir).filter(col("m_minkey") % 2 === 0)
     fact.join(dim, Seq("o_month"))
       .groupBy(col("o_month"))
       .agg(count(lit(1)).as("n_orders"),
