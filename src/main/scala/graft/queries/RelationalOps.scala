@@ -1070,6 +1070,64 @@ object RelationalOps {
       |FROM events WHERE event_id % 199 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- f17: ANSI-safe try_* arithmetic + width_bucket ----
+
+  /** Spark 4 runs ANSI mode by default, so arithmetic faults THROW unless
+    * handled — and `try_divide` / `try_add` / `try_multiply` (NULL on
+    * div-zero/overflow instead of a job abort) are the production answer
+    * for dirty numeric columns. The key manufactures both fault classes
+    * in-plan: a divisor that is 0 for every 7th event, and a multiplier
+    * that overflows Long for every 13th (user_id scaled to ~2⁶²·k). Also
+    * `width_bucket`, the SQL bucketing primitive (here over `value` into
+    * 10 equal bins). DuckDB has no try_* — the oracle replays the NULL
+    * semantics explicitly (NULLIF for the division, a CASE on the
+    * overflow predicate for the multiply), so a hash match proves the
+    * try_* functions fault exactly where the arithmetic contract says.
+    */
+  def f17TryArithmetic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vmicro"),
+        (col("event_id") % 7).as("div7"),
+        (col("event_id") % 13).as("mod13"))
+      // integer-operand division (double quotient, NULL on zero divisor —
+      // the ANSI fault) keeps both engines on one IEEE expression tree;
+      // decimal/decimal division would round at engine-specific scales.
+      // The overflow side multiplies by 2⁶² on every 13th event: any
+      // user_id ≥ 1 overflows Long and try_multiply yields NULL.
+      .select(
+        expr("try_divide(vmicro, div7)").as("safe_div"),
+        expr("try_multiply(user_id + 1, CASE WHEN mod13 = 0 " +
+          "THEN 4611686018427387904L ELSE 1L END)").as("safe_mul"),
+        expr("CAST(floor((value - -1000.0D) / ((1000.0D - -1000.0D) / 10)) + 1 AS BIGINT)")
+          .as("raw_bucket"),
+        expr("width_bucket(value, -1000.0D, 1000.0D, 10)").as("vbucket"))
+      .groupBy(col("vbucket"))
+      .agg(count(lit(1)).as("n"),
+           count(col("safe_div")).as("n_div_ok"),
+           count(col("safe_mul")).as("n_mul_ok"),
+           sum(expr("CAST(round(safe_div * 1000) AS BIGINT)")).as("div_milli_sum"),
+           count(when(col("raw_bucket") === col("vbucket"), 1)).as("n_bucket_agree"))
+      .orderBy(col("vbucket"))
+
+  val f17Sql: String =
+    """WITH t AS (
+      |  SELECT value,
+      |         CAST(CAST(round(value * 1000000) AS BIGINT) AS DOUBLE)
+      |           / NULLIF(CAST(event_id % 7 AS DOUBLE), 0) AS safe_div,
+      |         CASE WHEN event_id % 13 = 0 AND user_id + 1 > 1 THEN NULL
+      |              WHEN event_id % 13 = 0 THEN (user_id + 1) * 4611686018427387904
+      |              ELSE user_id + 1 END AS safe_mul,
+      |         CAST(floor((value - -1000.0) / ((1000.0 - -1000.0) / 10)) + 1 AS BIGINT)
+      |           AS vbucket
+      |  FROM events)
+      |SELECT vbucket, COUNT(*) AS n,
+      |       COUNT(safe_div) AS n_div_ok,
+      |       COUNT(safe_mul) AS n_mul_ok,
+      |       CAST(SUM(CAST(round(safe_div * 1000) AS BIGINT)) AS BIGINT) AS div_milli_sum,
+      |       COUNT(*) AS n_bucket_agree
+      |FROM t GROUP BY vbucket ORDER BY vbucket""".stripMargin
+
   // ---- j10: range join via the OPTIMIZER RULE (declared naive) ----
 
   /** The same click-in-window-before-purchase interval join as j6, but
@@ -1181,6 +1239,7 @@ object RelationalOps {
     "f14_bitwise"        -> (f14Bitwise _),
     "f15_variant"        -> (f15Variant _),
     "f16_listagg"        -> (f16Listagg _),
+    "f17_try_arithmetic" -> (f17TryArithmetic _),
     "j9_full_outer"      -> (j9FullOuter _),
     "j2_antijoin"        -> (j2Antijoin _),
     "j3_semijoin"        -> (j3Semijoin _),
@@ -1225,6 +1284,7 @@ object RelationalOps {
     "f14_bitwise"    -> f14Sql,
     "f15_variant"    -> f15Sql,
     "f16_listagg"    -> f16Sql,
+    "f17_try_arithmetic" -> f17Sql,
     "j1_broadcast"   -> j1Sql,
     "j2_antijoin"    -> j2Sql,
     "j3_semijoin"    -> j3Sql,
