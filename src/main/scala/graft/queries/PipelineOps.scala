@@ -2106,6 +2106,71 @@ object PipelineOps {
          |GROUP BY pruned.doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  // ===== x60: per-document boilerplate fraction ============================
+
+  /** The "mostly boilerplate" curation signal: for each document, the
+    * fraction of its DISTINCT word 4-gram shingles that also occur in at
+    * least one OTHER document — headers/footers/templates shared across a
+    * crawl score high and get dropped, original prose scores low. Distinct
+    * from x20 (overlap against a designated eval set) and x16/x50 (which
+    * REMOVE shared spans): this is the per-doc quality METRIC over the
+    * whole corpus. Integer ppm via `div`, zero-shingle docs guarded to 0
+    * on both engines.
+    *
+    * 100 TB shape: one digest-keyed shuffle for the shingle document
+    * frequency (constant-width sha-256 keys, the x2/x16 digest rule), a
+    * map-side fraction after the join back — exactly x20's cost envelope,
+    * with no broadcast side at all.
+    */
+  def x60BoilerplateFrac(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= DecontamW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${DecontamW - 1}), " +
+          s"i -> sha2(concat_ws(' ', slice(toks, i, $DecontamW)), 256))")).as("h"))
+      .distinct()
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(sh))
+    val df = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")) // shingles are distinct per doc, so count = doc frequency
+    val perDoc = sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when(col("df") >= 2, 1)).as("n_shared"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_shared"))
+      .withColumn("boiler_ppm",
+        when(col("n_shingles") === 0, 0L)
+          .otherwise(expr("(1000000 * n_shared) div n_shingles")))
+      .withColumn("keep", col("boiler_ppm") < 500000)
+      .orderBy(col("doc_id"))
+  }
+
+  val x60Sql: String = {
+    val w = DecontamW
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $w),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sha256(array_to_string(t[i:i+${w - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i FROM toks)),
+       |df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+       |p AS (SELECT doc_id, COUNT(*) AS n_shingles,
+       |        COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_shared
+       |      FROM sh JOIN df USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |       CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       |       CAST(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0
+       |            ELSE (1000000 * p.n_shared) // p.n_shingles END AS BIGINT)
+       |         AS boiler_ppm,
+       |       (CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0
+       |        ELSE (1000000 * p.n_shared) // p.n_shingles END) < 500000 AS keep
+       |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   // ===== x21: apply near-dup dedup (materialize the kept corpus) ==========
 
   /** The "apply" step the dedup family feeds: keep one canonical document
@@ -4197,6 +4262,7 @@ object PipelineOps {
     "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
     "x12c_ann_ivf_trained" -> (x12cAnnIvfTrained _),
     "x59_hard_negatives" -> (x59HardNegatives _),
+    "x60_boilerplate_frac" -> (x60BoilerplateFrac _),
     "x13_embed_dedup"    -> (x13EmbedDedup _),
     "x14_hash_sample"    -> (x14HashSample _),
     "x48_epoch_shuffle"  -> (x48EpochShuffle _),
@@ -4266,6 +4332,7 @@ object PipelineOps {
     "x12b_ann_ivf8"      -> x12bSql,
     "x12c_ann_ivf_trained" -> x12cSql,
     "x59_hard_negatives" -> x59Sql,
+    "x60_boilerplate_frac" -> x60Sql,
     "x13_embed_dedup"    -> x13Sql,
     "x14_hash_sample"    -> x14Sql,
     "x48_epoch_shuffle"  -> x48Sql,
