@@ -13,6 +13,11 @@ object ExplainProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Attach the full Graft session surface (function registration +
+    // GraftPlanner strategies/rules) so the printed plan is the plan the
+    // shipped session actually runs — without this, keys relying on
+    // attach-time registration fail and rule-dependent plans differ.
+    GraftSession.attach(spark)
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     for (k <- args) {
       println(s"========== $k ==========")

@@ -42,6 +42,15 @@ object PipelineOps {
     * materialization, no driver-side index). If the rule doesn't fire the
     * declarative plan still runs correctly via BroadcastNestedLoopJoin +
     * TakeOrdered.
+    *
+    * SCALE LIMIT (declared, inherent): the exact semantics are O(n²) in
+    * corpus size — at 100× data this does 10,000× the work no matter how
+    * well it's partitioned. Its production role is GROUND TRUTH ONLY: it
+    * feeds the x40 recall / x52 NDCG gates over a pinned bounded query
+    * panel. The corpus-scale similarity paths are x8 (LSH), x12 (IVF),
+    * x43/x44 (PQ / IVF-PQ); x1c below shows the same exact kernel capped
+    * to a pinned constant-size block — the shape you'd actually run at
+    * 100 TB when an exact sub-corpus answer is needed.
     */
   def x1CosineTopk(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
@@ -63,6 +72,37 @@ object PipelineOps {
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, vec_a, vec_b LIMIT 10""".stripMargin
+
+  // ========== x1c: exact cosine top-k over a pinned bounded block ==========
+
+  /** The x1 exact kernel confined to a PINNED CONSTANT-SIZE block
+    * (vec_id < 2000): top-10 most-similar pairs within the block. This is
+    * the 100 TB-legal form of exact all-pairs similarity — the block size
+    * is an absolute constant, not a fraction, so the pairwise work stays
+    * ~2M comparisons whether the corpus is 60k vectors or 60B. The
+    * vec_id predicate pushes to the parquet scan on both join sides
+    * (PushedFilters), so the corpus outside the block is never read.
+    * Same CosineTopKRewrite fusion applies when the rule fires.
+    */
+  def x1cCosineTopkBlock(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    graft.plans.GraftPlanner.install(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 2000)
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(10)
+  }
+
+  val x1cSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ROUND(${cosineSqlOf("a", "b")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.vec_id < b.vec_id
+       |WHERE a.vec_id < 2000 AND b.vec_id < 2000
        |ORDER BY sim DESC, vec_a, vec_b LIMIT 10""".stripMargin
 
   // ================= x1b: brute-force kNN for a query set =================
@@ -2396,9 +2436,10 @@ object PipelineOps {
       |g AS (SELECT user_id, sid, COUNT(*) AS n_events, MIN(us) AS sess_start_us,
       |        string_agg(event_type, ' ' ORDER BY us, event_id) AS seq
       |      FROM y GROUP BY user_id, sid)
-      |SELECT user_id, sid, n_events, sess_start_us,
-      |       list_reduce(list_transform(regexp_split_to_array(seq, ''),
-      |         c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS seq_hash
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, n_events, sess_start_us,
+      |       CAST(list_reduce(list_transform(regexp_split_to_array(seq, ''),
+      |         c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS BIGINT)
+      |         AS seq_hash
       |FROM g ORDER BY user_id, sid""".stripMargin
 
   // ===== x22: per-label embedding centroids ===============================
@@ -4245,6 +4286,7 @@ object PipelineOps {
     "x34_editdist_verify" -> (x34EditdistVerify _),
     "x32_bigram_coherence" -> (x32BigramCoherence _),
     "x1_cosine_topk"     -> (x1CosineTopk _),
+    "x1c_cosine_block"   -> (x1cCosineTopkBlock _),
     "x1b_knn"            -> (x1bKnn _),
     "x2_dedup_exact"     -> (x2DedupExact _),
     "x3_minhash_neardup" -> (x3MinhashNeardup _),
@@ -4315,6 +4357,7 @@ object PipelineOps {
     "x38b_top_pieces"    -> x38bSql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
+    "x1c_cosine_block"   -> x1cSql,
     "x1b_knn"            -> x1bSql,
     "x2_dedup_exact"     -> x2Sql,
     "x3_minhash_neardup" -> x3Sql,

@@ -268,7 +268,7 @@ object RelationalOps {
     val root = s"${graft.Scratch.dir(s)}/graft_j11_$tag"
     val factDir = s"$root/fact"
     val dimDir = s"$root/dim"
-    graft.sources.MultiFormat.ensureLayout(
+    val rebuilt = graft.sources.MultiFormat.ensureLayout(
       new java.io.File(d), root,
       force = !new java.io.File(factDir).exists || !new java.io.File(dimDir).exists) {
       val withMonth = Tables.orders(s, d)
@@ -282,8 +282,12 @@ object RelationalOps {
     // files > the 32-path parallel-listing threshold) legitimately runs a
     // distributed LISTING job on first touch; memoize the resolved
     // relation so later builder calls stay zero-job (the AuditSpec
-    // re-build contract). The layout only changes under ensureLayout's
-    // stamp, which this cache follows by construction (same session run).
+    // re-build contract). When ensureLayout actually rebuilt (stamp miss —
+    // e.g. the driver regenerated testdata mid-session), the memoized file
+    // index is stale: drop the per-path entries before resolving.
+    if (rebuilt) Option(j11Memo.get(s)).foreach { m =>
+      m.remove(factDir); m.remove(dimDir)
+    }
     val fact = j11Cached(s, factDir)
     val dim = j11Cached(s, dimDir).filter(col("m_minkey") % 2 === 0)
     fact.join(dim, Seq("o_month"))
@@ -1048,26 +1052,41 @@ object RelationalOps {
   /** Spark 4's ANSI `listagg` with an explicit WITHIN GROUP order — the
     * ordered string-fold warehouses use for ID rollups and debug digests.
     * Order inside an aggregate is exactly where engines silently diverge,
-    * so the frame order is total ((event_id) is unique) and the input is
-    * thinned to every 199th event to keep each group's string bounded —
-    * at scale an unbounded listagg is a memory hazard, which is why x57's
-    * digest form (hash of the ordered sequence, constant width) is the
-    * 100 TB shape; this key pins the literal SQL-surface semantics.
+    * so the frame order is total ((event_id) is unique), and the declared
+    * semantics are RANK-LIMITED: only the first 100 events per group (by
+    * event_id) enter the fold. The limit is load-bearing at scale — an
+    * unbounded listagg is per-group memory proportional to group size,
+    * whereas `row_number() <= 100` triggers Spark's InsertWindowGroupLimit
+    * rule (WindowGroupLimitExec, Partial mode before the exchange), so
+    * every map task keeps at most 100 rows per group before the shuffle
+    * and the final string is a bounded ~100-entry digest. For truly
+    * unbounded sequences, x57's constant-width hash digest is the shape.
     */
-  def f16Listagg(s: SparkSession, d: String): DataFrame =
+  def f16Listagg(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
     Tables.events(s, d)
       .filter(col("event_id") % 199 === 0)
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
       .groupBy(col("event_type"))
       .agg(expr("listagg(user_id, ',') WITHIN GROUP (ORDER BY event_id)")
              .as("user_seq"),
            count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+  }
 
   val f16Sql: String =
-    """SELECT event_type,
+    """WITH t AS (
+      |  SELECT event_type, event_id, user_id,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
+      |           AS rn
+      |  FROM events WHERE event_id % 199 = 0)
+      |SELECT event_type,
       |       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY event_id) AS user_seq,
       |       COUNT(*) AS n
-      |FROM events WHERE event_id % 199 = 0
+      |FROM t WHERE rn <= 100
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- f17: ANSI-safe try_* arithmetic + width_bucket ----
@@ -1118,14 +1137,17 @@ object RelationalOps {
       |         CASE WHEN event_id % 13 = 0 AND user_id + 1 > 1 THEN NULL
       |              WHEN event_id % 13 = 0 THEN (user_id + 1) * 4611686018427387904
       |              ELSE user_id + 1 END AS safe_mul,
-      |         CAST(floor((value - -1000.0) / ((1000.0 - -1000.0) / 10)) + 1 AS BIGINT)
-      |           AS vbucket
+      |         CAST(floor((value - -1000.0) / ((1000.0 - -1000.0) / 10)) + 1
+      |           AS BIGINT) AS raw_bucket,
+      |         LEAST(GREATEST(
+      |           CAST(floor((value - -1000.0) / ((1000.0 - -1000.0) / 10)) + 1
+      |             AS BIGINT), 0), 11) AS vbucket
       |  FROM events)
       |SELECT vbucket, COUNT(*) AS n,
       |       COUNT(safe_div) AS n_div_ok,
       |       COUNT(safe_mul) AS n_mul_ok,
       |       CAST(SUM(CAST(round(safe_div * 1000) AS BIGINT)) AS BIGINT) AS div_milli_sum,
-      |       COUNT(*) AS n_bucket_agree
+      |       COUNT(*) FILTER (WHERE raw_bucket = vbucket) AS n_bucket_agree
       |FROM t GROUP BY vbucket ORDER BY vbucket""".stripMargin
 
   // ---- j10: range join via the OPTIMIZER RULE (declared naive) ----

@@ -65,8 +65,12 @@ object MultiFormat {
     * mtime-preserving restores (tar / rsync -a) or same-second rewrites
     * would slip past a bare mtime-ordering check.
     */
+  /** Returns true when the build block actually ran (stamp miss or force) —
+    * callers that memoize resolved relations over outPath must invalidate
+    * on true, or a mid-session fixture regeneration serves a stale listing.
+    */
   def ensureLayout(sourceFile: java.io.File, outPath: String, force: Boolean = false)
-                  (build: => Unit): Unit = {
+                  (build: => Unit): Boolean = {
     val marker = new java.io.File(outPath, "_GRAFT_SRC_STAMP")
     // Stamp the DATA FILES, not the directory entry: an in-place rewrite of
     // identically-named part files need not bump the directory's mtime, and
@@ -88,7 +92,8 @@ object MultiFormat {
       // builds write into the warehouse, not here)
       marker.getParentFile.mkdirs()
       java.nio.file.Files.write(marker.toPath, stamp.getBytes)
-    }
+      true
+    } else false
   }
 
   /** Declared non-parquet-source key: round-trip customer through gzip CSV
