@@ -262,6 +262,46 @@ object ScaleProbe {
       return
     }
 
+    // Prepartition-count probe (`aggparts` arg, r9 advice item 5): with
+    // prepartition=true at the driver's shape (cpus=32, shuffle=32), each
+    // q2g task hash-aggregates ~456k singleton groups in one 32-partition
+    // wave. Sweeping the repartition count (32/64/128/256) trades hash
+    // table size per task against scheduling overhead — three trials per
+    // count, fingerprints must agree. Evidence: docs/aggparts_probe.json.
+    if (args.contains("aggparts")) {
+      def fingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+        val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(expr("bit_xor(__fp)")).first()
+        if (h.isNullAt(0)) 0L else h.getLong(0)
+      }
+      spark.conf.set("spark.graft.q2.prepartition", "true")
+      val counts = Seq(32, 64, 128, 256)
+      val rows = for (n <- counts) yield {
+        spark.conf.set("spark.graft.q2.prepartition.numparts", n.toString)
+        val trials = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val fp = fingerprint(SparkEntry.queries("q2g_substr_agg")(spark, src))
+          ((System.nanoTime() - t0) / 1e9, fp)
+        }
+        val med = trials.map(_._1).sorted.apply(1)
+        require(trials.map(_._2).distinct.size == 1, s"n=$n fingerprint unstable")
+        println(f"q2g numparts=$n%-4d median $med%6.2f s " +
+          f"(${trials.map(t => f"${t._1}%.2f").mkString("/")}) fp=${trials.head._2}%d")
+        (n, med, trials)
+      }
+      spark.conf.unset("spark.graft.q2.prepartition.numparts")
+      require(rows.flatMap(_._3.map(_._2)).distinct.size == 1,
+        "numparts changed the result!")
+      val json = rows.map { case (n, med, trials) =>
+        f""""numparts_$n":{"median_secs":$med%.2f,"trials":[${trials.map(t => f"${t._1}%.2f").mkString(",")}]}"""
+      }.mkString(s"""{"sf_dir":"$src","key":"q2g_substr_agg","identical":true,""", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/aggparts_probe.json"), json.getBytes)
+      println("wrote docs/aggparts_probe.json")
+      spark.stop()
+      return
+    }
+
     // AQE skew-join probe (`skew` arg): an adversarially skewed join key
     // (key 0 carries 50% of the left side) through a plain shuffled join,
     // AQE off vs on. Evidence that the runtime skew-split activates

@@ -145,9 +145,21 @@ object ReferenceQueries {
     * below an aggregate, so that rule can never fire on this pattern.)
     */
   private def presorted(s: SparkSession, keyed: DataFrame): DataFrame =
-    if (s.conf.get("spark.graft.q2.prepartition", "true").toBoolean)
-      keyed.repartition(col("line_key"))
-    else keyed
+    if (s.conf.get("spark.graft.q2.prepartition", "true").toBoolean) {
+      // Partition-count sub-lever (r9 advice): at ~14.6M groups in one
+      // 32-partition wave each q2g task hash-aggregates ~456k singleton
+      // groups; doubling the count halves the per-task hash table while
+      // keeping full occupancy (two short waves). Measured at the driver's
+      // shape (local[32], sf0.1, ScaleProbe `aggparts`,
+      // docs/aggparts_probe.json): 32→14.1 s, 64→12.4 s, 128→12.5 s,
+      // 256→15.4 s, fingerprints identical — so the default is 2× the
+      // session shuffle parallelism; `spark.graft.q2.prepartition.numparts`
+      // overrides.
+      val n = s.conf.get("spark.graft.q2.prepartition.numparts", "").trim
+      val parts = if (n.nonEmpty) n.toInt
+                  else 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
+      keyed.repartition(parts, col("line_key"))
+    } else keyed
 
   val q2eSql: String =
     """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_key,

@@ -765,4 +765,69 @@ class StreamingSpec extends SparkSpec {
         "expired unmatched view must surface exactly once with null act columns")
     } finally q.stop()
   }
+
+  test("state-store provider parity: HDFS-backed and RocksDB agree on " +
+       "sessionization and keyed running state") {
+    // The transformWithState suites above REQUIRE RocksDB; everything else
+    // in this spec pins semantics on the default HDFSBackedStateStore.
+    // At 100 TB the state backend is RocksDB (bounded executor heap,
+    // incremental checkpoints), so this test re-runs two representative
+    // stateful pipelines — watermarked session windows and
+    // mapGroupsWithState running totals — under BOTH providers and
+    // asserts the finalized outputs are identical: provider choice is an
+    // ops decision, never a semantics one.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val hdfs =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    def runOnce(provider: String, tag: String)
+        : (Array[(Long, Long)], Array[(Long, Long, Double)]) = {
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey, provider)
+      try {
+        val sess = MemoryStream[Event]
+        val sq = Streams.sessionCounts(sess.toDF())
+          .writeStream.format("memory").queryName(s"prov_sess_$tag")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          sess.addData(ev(1, 0), ev(2, 20), ev(3, 40), ev(4, 120),
+            ev(5, 10, user = 2), ev(6, 55, user = 2))
+          sess.addData(ev(9, 600, user = 99))
+          sq.processAllAvailable()
+        } finally sq.stop()
+        val st = MemoryStream[Event]
+        val tq = Streams.runningUserTotals(st.toDS())
+          .toDF("user_id", "n", "total")
+          .writeStream.format("memory").queryName(s"prov_tot_$tag")
+          .outputMode(OutputMode.Update()).start()
+        try {
+          st.addData(ev(1, 0, user = 7, value = 2.0),
+            ev(2, 1, user = 7, value = 3.0), ev(3, 2, user = 8, value = 1.0))
+          tq.processAllAvailable()
+          st.addData(ev(4, 3, user = 7, value = 5.0))
+          tq.processAllAvailable()
+        } finally tq.stop()
+        val sessions = spark.table(s"prov_sess_$tag")
+          .select(col("user_id"), col("n_events"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        val totals = spark.table(s"prov_tot_$tag")
+          .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+        (sessions, totals)
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+    val (sessH, totH) = runOnce(hdfs, "hdfs")
+    val (sessR, totR) = runOnce(rocks, "rocks")
+    assert(sessH.nonEmpty && totH.nonEmpty, "parity fixture produced no rows")
+    assert(sessH.sameElements(sessR),
+      s"session windows diverge across providers: ${sessH.toSeq} vs ${sessR.toSeq}")
+    assert(totH.sameElements(totR),
+      s"running totals diverge across providers: ${totH.toSeq} vs ${totR.toSeq}")
+  }
 }
