@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalOps.queries ++
       WindowOps.queries ++ UserDefined.queries ++ PipelineOps.queries ++
-      CorpusOps.queries ++ GraphOps.queries ++ graft.sources.MultiFormat.queries
+      CorpusOps.queries ++ GraphOps.queries ++ EventAnalytics.queries ++
+      graft.sources.MultiFormat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ RelationalOps.oracles ++
       WindowOps.oracles ++ UserDefined.oracles ++ PipelineOps.oracles ++
-      CorpusOps.oracles ++ GraphOps.oracles ++ graft.sources.MultiFormat.oracles
+      CorpusOps.oracles ++ GraphOps.oracles ++ EventAnalytics.oracles ++
+      graft.sources.MultiFormat.oracles
 }

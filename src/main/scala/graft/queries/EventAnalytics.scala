@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators (e1–e5): the session/funnel/cohort family a
+  * product-analytics user of the reference harness would run over the
+  * events table — ordered funnels, cohort retention, rolling distinct
+  * users, rank-based winsorization, and session transition matrices.
+  *
+  * Cross-engine determinism: timestamps are compared as epoch-µs integers
+  * (`unix_micros` / `epoch_us`), week cohorts as DATEs from the shared
+  * Monday `date_trunc('week')` convention, and every value statistic is
+  * integer-exact (rank-selected micro-unit boundaries, counts) — no
+  * floating aggregate whose fold order could differ between engines.
+  *
+  * Scale design (100 TB):
+  *  - every per-user step (first-touch, session numbering, funnel stage
+  *    times) shuffles ONCE keyed by user_id, and the downstream aggregates
+  *    reuse that partitioning or reduce to per-group rows first;
+  *  - the rolling-distinct day-explode moves (user, day) pairs — already
+  *    deduplicated, ×7 — never raw events; the scaladoc on e3 names the
+  *    HLL-sketch swap (a9 machinery) once exactness is negotiable;
+  *  - no global windows: the only unpartitioned ORDER BY is the final
+  *    ≤O(100)-row presentation sort.
+  */
+object EventAnalytics {
+
+  private val SessionGapUs = 1800000000L // 30 min
+  private val FunnelWindowUs = 1800000000L // 30 min per funnel step
+
+  // ---- e1: ordered funnel view -> click -> purchase ----
+
+  /** Strict ordered funnel: a user converts at stage 2 if their first
+    * click lands within 30 minutes AFTER their first view, stage 3 if the
+    * first purchase after that click lands within another 30 minutes.
+    * "First event, then window from it" is the standard strict-order
+    * funnel semantics (not "any triple in order").
+    *
+    * Shape: three per-user aggregates chained by user_id-keyed joins —
+    * each stage's frontier is ONE row per qualifying user, so the joins
+    * shrink monotonically; nothing here is ever wider than the user
+    * dimension. The final result is three counter rows.
+    */
+  def e1Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("us") >= col("v_us") && col("us") <= col("v_us") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("us") >= col("c_us") && col("us") <= col("c_us") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val n1 = views.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit("view").as("stage_name"), col("n_users"))
+    val n2 = clicks.agg(count(lit(1)).as("n_users"))
+      .select(lit(2L).as("stage"), lit("click").as("stage_name"), col("n_users"))
+    val n3 = purchases.agg(count(lit(1)).as("n_users"))
+      .select(lit(3L).as("stage"), lit("purchase").as("stage_name"), col("n_users"))
+    n1.unionAll(n2).unionAll(n3).orderBy(col("stage"))
+  }
+
+  val e1Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(us) AS c_us FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click'
+      |        AND us >= v_us AND us <= v_us + 1800000000
+      |      GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(us) AS p_us FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase'
+      |        AND us >= c_us AND us <= c_us + 1800000000
+      |      GROUP BY ev.user_id)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |       (SELECT COUNT(*) FROM v) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  // ---- e2: weekly cohort retention matrix ----
+
+  /** Cohort retention: users grouped by the Monday-truncated week of their
+    * FIRST event; for each (cohort_week, week_offset) the count of cohort
+    * users active in that later week. The standard growth-analytics
+    * triangle. Week arithmetic stays integer (both trunc points share the
+    * Monday convention, so the day diff is always a multiple of 7).
+    *
+    * Shape: first-touch is one user_id-keyed aggregate; activity is the
+    * deduplicated (user, week) set; their join is user_id-keyed again, and
+    * the matrix aggregate reduces to O(weeks²) rows.
+    */
+  def e2Retention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    act.join(cohort, "user_id")
+      .select(col("user_id"),
+        // dates export as ISO strings: both engines' DATE round-trips
+        // through pandas differently (date vs datetime64), so the string
+        // form is the cross-engine-stable declared type (f2 precedent)
+        date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+        expr("CAST(datediff(wk, cwk) / 7 AS BIGINT)").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val e2Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |               CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cwk FROM act GROUP BY user_id)
+      |SELECT strftime(cwk, '%Y-%m-%d') AS cohort_week,
+      |       CAST(date_diff('day', cwk, wk) / 7 AS BIGINT) AS week_offset,
+      |       COUNT(DISTINCT user_id) AS n_active
+      |FROM act JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---- e3: rolling 7-day distinct users per day ----
+
+  /** Trailing-7-day distinct actives per day, EXACT: COUNT DISTINCT over a
+    * sliding date window is not expressible as a window frame (Spark
+    * rejects DISTINCT in frames), and re-scanning 7 days per day is 7×
+    * waste — so each deduplicated (user, day) pair is exploded into the
+    * ≤7 output days it contributes to and one distinct-aggregate keyed by
+    * day finishes the job. The `off = 0` conditional distinct gives the
+    * same-day actives from the same pass.
+    *
+    * 100 TB note: the explode moves the DEDUPED (user, day) set ×7 — at a
+    * billion DAU-days that is still 7G skinny rows/day-range, fine for one
+    * shuffle; when exactness is negotiable the drop-in replacement is a
+    * per-day HLL sketch merged over the trailing frame (a9_hll_merge is
+    * exactly that machinery), which moves O(days) sketches instead.
+    */
+  def e3RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    act.select(col("user_id"), col("day"),
+        explode(expr("sequence(0, 6)")).as("off"))
+      .select(col("user_id"), col("off"),
+        date_format(expr("date_add(day, CAST(off AS INT))"), "yyyy-MM-dd")
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(when(col("off") === 0, col("user_id"))).as("n_day"),
+           countDistinct(col("user_id")).as("n_7day"))
+      .orderBy(col("day"))
+  }
+
+  val e3Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT strftime(day + CAST(r.off AS INTEGER), '%Y-%m-%d') AS day,
+      |       COUNT(DISTINCT CASE WHEN r.off = 0 THEN user_id END) AS n_day,
+      |       COUNT(DISTINCT user_id) AS n_7day
+      |FROM act CROSS JOIN (SELECT unnest(range(7)) AS off) r
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---- e4: rank-based winsorized statistics per event type ----
+
+  /** Winsorized per-group statistics with RANK-SELECTED boundaries: the
+    * clip points are the k-th smallest / k-th largest observed micro-unit
+    * values (k = floor(5% · n)+1 from each end), not interpolated
+    * percentiles — selection over integers is bit-reproducible across
+    * engines, where interpolation arithmetic is a cross-engine fp
+    * minefield. Output: the boundaries, the clipped-tail counts, and the
+    * integer-exact winsorized sum.
+    *
+    * Shape: one window pass (rank + count per group, both over the same
+    * partitioning, one shuffle), per-group boundary extraction to 5 rows,
+    * broadcast back, integer clamp, final aggregate. At 100 TB the
+    * boundary table is |groups| rows — always the broadcast side.
+    */
+  def e4Winsorize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vm"), col("event_id"))
+    val ranked = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .withColumn("k", expr("CAST(floor(0.05 * n) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === col("k") + 1, col("vm"))).as("lo_vm"),
+           max(when(col("rn") === col("n") - col("k"), col("vm"))).as("hi_vm"))
+    ranked.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           max(col("lo_vm")).as("lo_vm"),
+           max(col("hi_vm")).as("hi_vm"),
+           count(when(col("vm") < col("lo_vm"), 1)).as("n_clip_lo"),
+           count(when(col("vm") > col("hi_vm"), 1)).as("n_clip_hi"),
+           sum(expr("LEAST(GREATEST(vm, lo_vm), hi_vm)")).as("winsor_sum_vm"))
+      .orderBy(col("event_type"))
+  }
+
+  val e4Sql: String =
+    """WITH t AS (
+      |  SELECT event_type, event_id,
+      |         CAST(round(value * 1000000) AS BIGINT) AS vm,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(round(value * 1000000) AS BIGINT),
+      |                                     event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |b AS (SELECT event_type,
+      |        MAX(CASE WHEN rn = CAST(floor(0.05 * n) AS BIGINT) + 1
+      |                 THEN vm END) AS lo_vm,
+      |        MAX(CASE WHEN rn = n - CAST(floor(0.05 * n) AS BIGINT)
+      |                 THEN vm END) AS hi_vm
+      |      FROM t GROUP BY event_type)
+      |SELECT t.event_type, COUNT(*) AS n,
+      |       MAX(lo_vm) AS lo_vm, MAX(hi_vm) AS hi_vm,
+      |       COUNT(CASE WHEN vm < lo_vm THEN 1 END) AS n_clip_lo,
+      |       COUNT(CASE WHEN vm > hi_vm THEN 1 END) AS n_clip_hi,
+      |       CAST(SUM(LEAST(GREATEST(vm, lo_vm), hi_vm)) AS BIGINT)
+      |         AS winsor_sum_vm
+      |FROM t JOIN b ON t.event_type = b.event_type
+      |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin
+
+  // ---- e5: session transition matrix ----
+
+  /** Within-session event-type transition counts (the Markov matrix over
+    * user journeys): sessions are the same 30-minute-gap numbering x57
+    * uses, transitions are consecutive-event pairs inside a session.
+    * Output carries both the pair count and the from-state total, so any
+    * consumer can derive exact transition probabilities without a float
+    * in the declared result.
+    *
+    * Shape: ONE user_id-keyed shuffle serves the gap window, the session
+    * numbering, and the lead() — all three windows share the partitioning
+    * (Catalyst reuses the exchange); the transition aggregate then
+    * reduces to |types|² rows.
+    */
+  def e5Transitions(s: SparkSession, d: String): DataFrame = {
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val sess = e
+      .withColumn("prev", lag(col("us"), 1).over(wOrder))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") >= lit(SessionGapUs), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = sess
+      .withColumn("to_type", lead(col("event_type"), 1).over(wSess))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from_total", sum(col("n_trans")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("n_from_total"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val e5Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |           FROM events),
+      |x AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |                       OR us - LAG(us) OVER w >= 1800000000
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |y AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x),
+      |p AS (SELECT event_type AS from_type,
+      |        LEAD(event_type) OVER (PARTITION BY user_id, sid
+      |                               ORDER BY us, event_id) AS to_type
+      |      FROM y),
+      |m AS (SELECT from_type, to_type, COUNT(*) AS n_trans FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |       CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+      |         AS n_from_total
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_funnel"           -> (e1Funnel _),
+    "e2_retention"        -> (e2Retention _),
+    "e3_rolling_distinct" -> (e3RollingDistinct _),
+    "e4_winsorize"        -> (e4Winsorize _),
+    "e5_transitions"      -> (e5Transitions _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_funnel"           -> e1Sql,
+    "e2_retention"        -> e2Sql,
+    "e3_rolling_distinct" -> e3Sql,
+    "e4_winsorize"        -> e4Sql,
+    "e5_transitions"      -> e5Sql
+  )
+}

@@ -59,7 +59,11 @@ class Round9Spec extends SparkSpec {
     }
     val shipped = graft.queries.ReferenceQueries.q2g(spark, d)
     val plan = shipped.queryExecution.executedPlan.toString
-    assert(plan.contains("REPARTITION_BY_COL"),
+    // r10: the lever pins an explicit partition count (2× session
+    // parallelism, docs/aggparts_probe.json), so the marker is
+    // REPARTITION_BY_NUM; accept the count-free r9 form too
+    assert(plan.contains("REPARTITION_BY_COL") ||
+             plan.contains("REPARTITION_BY_NUM"),
       s"shipped shape lost the raw-row repartition:\n$plan")
     // the two line_key HashAggregates must sit in one stage: no Exchange
     // line between the partial (the later match, lower in the tree) and
