@@ -18,7 +18,7 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalOps.queries ++
       WindowOps.queries ++ UserDefined.queries ++ PipelineOps.queries ++
       CorpusOps.queries ++ GraphOps.queries ++ EventAnalytics.queries ++
-      graft.sources.MultiFormat.queries
+      QualityOps.queries ++ graft.sources.MultiFormat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
     ReferenceQueries.oracles ++ RelationalOps.oracles ++
       WindowOps.oracles ++ UserDefined.oracles ++ PipelineOps.oracles ++
       CorpusOps.oracles ++ GraphOps.oracles ++ EventAnalytics.oracles ++
-      graft.sources.MultiFormat.oracles
+      QualityOps.oracles ++ graft.sources.MultiFormat.oracles
 }

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators (dq1–dq4): the validation layer every 100 TB
+  * ingest runs before anything downstream trusts the data — single-pass
+  * column profiling, referential-integrity orphan counts, declarative
+  * constraint validation, and time-spine completeness. The Deequ/great-
+  * expectations surface, expressed as plain declared queries so the same
+  * oracle gate that checks analytics checks the checkers.
+  *
+  * Scale design:
+  *  - dq1 profiles ALL columns in ONE scan — the multi-countDistinct
+  *    rides Spark's Expand (a8 machinery), and the per-column result rows
+  *    are projections of the single aggregate row, so profile cost is one
+  *    pass regardless of column count;
+  *  - dq2 counts orphans with key-projected left-anti joins: only the
+  *    (child_key) and deduplicated (parent_key) columns ever shuffle,
+  *    never the payload;
+  *  - dq3 is one conditional aggregate per table — constraint count does
+  *    not change pass count;
+  *  - dq4 builds the day spine IN-PLAN from the observed min/max (one
+  *    1-row broadcast), so the zero-fill join is spine-sized, not
+  *    data-sized.
+  *
+  * Determinism: numeric min/max export in exact micro-units (BIGINT),
+  * timestamps as epoch-µs, dates as ISO strings; no floating aggregate.
+  */
+object QualityOps {
+
+  // ---- dq1: one-pass column profile of orders ----
+
+  /** Per-column profile (count / nulls / distinct / min / max) of the
+    * orders table, computed in ONE aggregate: numeric and timestamp
+    * columns carry min/max in exact integer units (`*_num`), string
+    * columns in `*_str`; the unused pair is a typed NULL. The per-column
+    * rows are zero-scan projections of the single aggregate row.
+    */
+  def dq1Profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val agg = o.agg(
+      count(lit(1)).as("n_total"),
+      count(col("o_orderkey")).as("ok_n"),
+      countDistinct(col("o_orderkey")).as("ok_d"),
+      min(col("o_orderkey")).as("ok_min"),
+      max(col("o_orderkey")).as("ok_max"),
+      count(col("o_custkey")).as("ck_n"),
+      countDistinct(col("o_custkey")).as("ck_d"),
+      min(col("o_custkey")).as("ck_min"),
+      max(col("o_custkey")).as("ck_max"),
+      count(col("o_totalprice")).as("tp_n"),
+      countDistinct(col("o_totalprice")).as("tp_d"),
+      min(expr("CAST(round(o_totalprice * 1000000) AS BIGINT)")).as("tp_min"),
+      max(expr("CAST(round(o_totalprice * 1000000) AS BIGINT)")).as("tp_max"),
+      count(col("o_orderdate")).as("od_n"),
+      countDistinct(col("o_orderdate")).as("od_d"),
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the cast to
+      // instant-typed TIMESTAMP an identity, which unix_micros requires
+      min(unix_micros(col("o_orderdate").cast("timestamp"))).as("od_min"),
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("od_max"),
+      count(col("o_orderpriority")).as("op_n"),
+      countDistinct(col("o_orderpriority")).as("op_d"),
+      min(col("o_orderpriority")).as("op_min"),
+      max(col("o_orderpriority")).as("op_max"),
+      count(col("o_orderstatus")).as("os_n"),
+      countDistinct(col("o_orderstatus")).as("os_d"),
+      min(col("o_orderstatus")).as("os_min"),
+      max(col("o_orderstatus")).as("os_max"))
+    // ONE aggregate row exploded into per-column rows: a union of
+    // per-column selects would let Catalyst column-prune each branch into
+    // its own narrow aggregate + scan (6 scans); the explode keeps every
+    // stat on the single aggregate subtree, so the table is read once and
+    // the six distincts share one Expand.
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    def numRow(name: String, p: String) = struct(
+      lit(name).as("column_name"), col("n_total"),
+      (col("n_total") - col(s"${p}_n")).as("n_null"),
+      col(s"${p}_d").as("n_distinct"),
+      col(s"${p}_min").as("min_num"), col(s"${p}_max").as("max_num"),
+      nullS.as("min_str"), nullS.as("max_str"))
+    def strRow(name: String, p: String) = struct(
+      lit(name).as("column_name"), col("n_total"),
+      (col("n_total") - col(s"${p}_n")).as("n_null"),
+      col(s"${p}_d").as("n_distinct"),
+      nullL.as("min_num"), nullL.as("max_num"),
+      col(s"${p}_min").as("min_str"), col(s"${p}_max").as("max_str"))
+    agg.select(explode(array(
+        numRow("o_orderkey", "ok"),
+        numRow("o_custkey", "ck"),
+        numRow("o_totalprice_micros", "tp"),
+        numRow("o_orderdate_us", "od"),
+        strRow("o_orderpriority", "op"),
+        strRow("o_orderstatus", "os"))).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val dq1Sql: String =
+    """WITH a AS (SELECT COUNT(*) AS n_total,
+      |  COUNT(o_orderkey) AS ok_n, COUNT(DISTINCT o_orderkey) AS ok_d,
+      |  MIN(o_orderkey) AS ok_min, MAX(o_orderkey) AS ok_max,
+      |  COUNT(o_custkey) AS ck_n, COUNT(DISTINCT o_custkey) AS ck_d,
+      |  MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+      |  COUNT(o_totalprice) AS tp_n, COUNT(DISTINCT o_totalprice) AS tp_d,
+      |  MIN(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS tp_min,
+      |  MAX(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS tp_max,
+      |  COUNT(o_orderdate) AS od_n, COUNT(DISTINCT o_orderdate) AS od_d,
+      |  MIN(epoch_us(o_orderdate)) AS od_min,
+      |  MAX(epoch_us(o_orderdate)) AS od_max,
+      |  COUNT(o_orderpriority) AS op_n, COUNT(DISTINCT o_orderpriority) AS op_d,
+      |  MIN(o_orderpriority) AS op_min, MAX(o_orderpriority) AS op_max,
+      |  COUNT(o_orderstatus) AS os_n, COUNT(DISTINCT o_orderstatus) AS os_d,
+      |  MIN(o_orderstatus) AS os_min, MAX(o_orderstatus) AS os_max
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS column_name, n_total, n_total - ok_n AS n_null,
+      |         ok_d AS n_distinct, ok_min AS min_num, ok_max AS max_num,
+      |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |  FROM a
+      |  UNION ALL SELECT 'o_custkey', n_total, n_total - ck_n, ck_d,
+      |         ck_min, ck_max, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_totalprice_micros', n_total, n_total - tp_n, tp_d,
+      |         tp_min, tp_max, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderdate_us', n_total, n_total - od_n, od_d,
+      |         od_min, od_max, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n_total, n_total - op_n, op_d,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), op_min, op_max FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n_total, n_total - os_n, os_d,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), os_min, os_max FROM a)
+      |ORDER BY column_name""".stripMargin
+
+  // ---- dq2: referential-integrity orphan counts ----
+
+  /** Foreign-key orphan audit across the star schema: for each declared
+    * FK edge, the child row count and the count of child rows whose key
+    * has no parent. Joins are key-projected — the child side reduces to
+    * its FK column, the parent side to its deduplicated key — so at
+    * 100 TB the shuffles move only key columns (and nation-sized parents
+    * broadcast automatically).
+    */
+  def dq2Referential(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.select(col(ck))
+      val parents = parent.select(col(pk)).distinct()
+      val orphans = keys.join(parents, col(ck) === col(pk), "left_anti")
+      keys.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"))
+    }
+    edge("lineitem.l_orderkey->orders",
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey")
+      .unionAll(edge("orders.o_custkey->customer",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionAll(edge("customer.c_nationkey->nation",
+        Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val dq2Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+      |         (SELECT COUNT(*) FROM lineitem) AS n_child,
+      |         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+      |            (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+      |           AS n_orphan
+      |  UNION ALL SELECT 'orders.o_custkey->customer',
+      |         (SELECT COUNT(*) FROM orders),
+      |         (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |            (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+      |  UNION ALL SELECT 'customer.c_nationkey->nation',
+      |         (SELECT COUNT(*) FROM customer),
+      |         (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+      |            (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)))
+      |ORDER BY fk_edge""".stripMargin
+
+  // ---- dq3: declarative constraint validation ----
+
+  /** Constraint-violation counts: each declared invariant is one
+    * conditional aggregate column, so the whole rule set for a table is
+    * ONE scan regardless of rule count (the Deequ execution model). The
+    * result carries (n_checked, n_violation) per rule — a rule that
+    * checks zero rows is visibly vacuous, not silently green.
+    */
+  def dq3Constraints(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity") <= 0, 1)).as("v_qty"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("v_disc"),
+      count(when(col("l_extendedprice") <= 0, 1)).as("v_price"),
+      count(when(col("l_tax") < 0 || col("l_tax") > 1, 1)).as("v_tax"))
+    val ev = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(col("value") < -1000 || col("value") > 1000, 1)).as("v_val"),
+      count(when(!col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"), 1)).as("v_type"),
+      count(when(year(col("ts")) =!= 2024, 1)).as("v_ts"))
+    def row(src: DataFrame, name: String, v: String) = src.select(
+      lit(name).as("constraint_name"), col("n").as("n_checked"),
+      col(v).as("n_violation"))
+    row(li, "lineitem.quantity_positive", "v_qty")
+      .unionAll(row(li, "lineitem.discount_in_unit_range", "v_disc"))
+      .unionAll(row(li, "lineitem.extendedprice_positive", "v_price"))
+      .unionAll(row(li, "lineitem.tax_in_unit_range", "v_tax"))
+      .unionAll(row(ev, "events.value_in_range", "v_val"))
+      .unionAll(row(ev, "events.type_in_enum", "v_type"))
+      .unionAll(row(ev, "events.ts_in_2024", "v_ts"))
+      .orderBy(col("constraint_name"))
+  }
+
+  val dq3Sql: String =
+    """WITH li AS (SELECT COUNT(*) AS n,
+      |  COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS v_qty,
+      |  COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS v_disc,
+      |  COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS v_price,
+      |  COUNT(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 END) AS v_tax
+      |  FROM lineitem),
+      |ev AS (SELECT COUNT(*) AS n,
+      |  COUNT(CASE WHEN value < -1000 OR value > 1000 THEN 1 END) AS v_val,
+      |  COUNT(CASE WHEN event_type NOT IN
+      |    ('click','view','purchase','signup','error') THEN 1 END) AS v_type,
+      |  COUNT(CASE WHEN year(ts) <> 2024 THEN 1 END) AS v_ts
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'lineitem.quantity_positive' AS constraint_name,
+      |         n AS n_checked, v_qty AS n_violation FROM li
+      |  UNION ALL SELECT 'lineitem.discount_in_unit_range', n, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem.extendedprice_positive', n, v_price FROM li
+      |  UNION ALL SELECT 'lineitem.tax_in_unit_range', n, v_tax FROM li
+      |  UNION ALL SELECT 'events.value_in_range', n, v_val FROM ev
+      |  UNION ALL SELECT 'events.type_in_enum', n, v_type FROM ev
+      |  UNION ALL SELECT 'events.ts_in_2024', n, v_ts FROM ev)
+      |ORDER BY constraint_name""".stripMargin
+
+  // ---- dq4: time-spine completeness ----
+
+  /** Events-per-day over the COMPLETE day spine between the observed min
+    * and max: a day with zero events appears as an explicit zero row, not
+    * a silent hole. The spine is generated in-plan from the 1-row
+    * observed-bounds aggregate (broadcast, then `sequence()` + explode),
+    * so the zero-fill left join is spine-sized. This is the freshness /
+    * completeness primitive behind every ingest SLA dashboard.
+    */
+  def dq4Completeness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"))
+    val counts = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(counts, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  val dq4Sql: String =
+    """WITH c AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      |      FROM events),
+      |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+      |            INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+      |       COALESCE(c.n_events, 0) AS n_events
+      |FROM spine LEFT JOIN c ON spine.day = c.day
+      |ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_profile"      -> (dq1Profile _),
+    "dq2_referential"  -> (dq2Referential _),
+    "dq3_constraints"  -> (dq3Constraints _),
+    "dq4_completeness" -> (dq4Completeness _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dq1_profile"      -> dq1Sql,
+    "dq2_referential"  -> dq2Sql,
+    "dq3_constraints"  -> dq3Sql,
+    "dq4_completeness" -> dq4Sql
+  )
+}

@@ -98,4 +98,70 @@ class Round10Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"e4 bounds join is not broadcast:\n${plan.take(3000)}")
   }
+
+  test("dq1 profile: null accounting and distinct bounds are consistent") {
+    val p = graft.queries.QualityOps.dq1Profile(spark, d).collect()
+    assert(p.length === 6)
+    p.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      val nulls = r.getAs[Long]("n_null")
+      val dist = r.getAs[Long]("n_distinct")
+      assert(nulls >= 0 && nulls <= n)
+      assert(dist <= n - nulls,
+        s"${r.getString(0)}: $dist distinct > ${n - nulls} non-null")
+      // exactly one of the (num, str) min/max pairs is populated
+      val hasNum = !r.isNullAt(r.fieldIndex("min_num"))
+      val hasStr = !r.isNullAt(r.fieldIndex("min_str"))
+      assert(hasNum ^ hasStr, s"${r.getString(0)}: num/str pair confusion")
+    }
+    // o_orderkey is the primary key: zero nulls, all-distinct
+    val pk = p.find(_.getString(0) == "o_orderkey").get
+    assert(pk.getAs[Long]("n_null") === 0L)
+    assert(pk.getAs[Long]("n_distinct") === pk.getAs[Long]("n_total"))
+  }
+
+  test("dq1 plan: the whole profile is ONE aggregate subtree (one scan)") {
+    val plan = graft.queries.QualityOps.dq1Profile(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 1,
+      s"dq1 profile re-scans the table $scans times — the explode-from-one-" +
+        s"aggregate shape regressed to per-column union branches")
+  }
+
+  test("dq2 referential integrity: TPC-H star edges have zero orphans") {
+    val rows = graft.queries.QualityOps.dq2Referential(spark, d).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_child") > 0, s"${r.getString(0)}: empty child")
+      assert(r.getAs[Long]("n_orphan") === 0L,
+        s"${r.getString(0)}: ${r.getAs[Long]("n_orphan")} orphans in a " +
+          s"referentially-intact fixture")
+    }
+  }
+
+  test("dq3 constraints: clean fixture, and every rule actually checked rows") {
+    val rows = graft.queries.QualityOps.dq3Constraints(spark, d).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") > 0,
+        s"${r.getString(0)}: vacuous rule (0 rows checked)")
+      assert(r.getAs[Long]("n_violation") === 0L,
+        s"${r.getString(0)}: ${r.getAs[Long]("n_violation")} violations")
+    }
+  }
+
+  test("dq4 completeness: contiguous spine, totals preserved") {
+    val rows = graft.queries.QualityOps.dq4Completeness(spark, d).collect()
+    val days = rows.map(_.getString(0))
+    assert(days.length > 1)
+    // spine is gap-free: consecutive ISO dates differ by exactly one day
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(java.time.LocalDate.parse(a).plusDays(1) ===
+        java.time.LocalDate.parse(b), s"spine hole between $a and $b")
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val expected = Tables.events(spark, d).count()
+    assert(total === expected, s"zero-fill changed the total: $total != $expected")
+  }
 }
