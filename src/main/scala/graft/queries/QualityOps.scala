@@ -136,19 +136,21 @@ object QualityOps {
 
   /** Foreign-key orphan audit across the star schema: for each declared
     * FK edge, the child row count and the count of child rows whose key
-    * has no parent. Joins are key-projected — the child side reduces to
-    * its FK column, the parent side to its deduplicated key — so at
-    * 100 TB the shuffles move only key columns (and nation-sized parents
-    * broadcast automatically).
+    * has no parent — ONE left-outer join + one aggregate per edge (an
+    * anti-join-plus-count pair would scan the child twice and stitch the
+    * two 1-row results with a nested-loop cross join). Joins are
+    * key-projected — the child side reduces to its FK column, the parent
+    * side to its deduplicated key — so at 100 TB the shuffles move only
+    * key columns (and nation-sized parents broadcast automatically).
     */
   def dq2Referential(s: SparkSession, d: String): DataFrame = {
     def edge(name: String, child: DataFrame, ck: String,
              parent: DataFrame, pk: String): DataFrame = {
       val keys = child.select(col(ck))
       val parents = parent.select(col(pk)).distinct()
-      val orphans = keys.join(parents, col(ck) === col(pk), "left_anti")
-      keys.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+      keys.join(parents, col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_child"),
+             count(when(col(pk).isNull, 1)).as("n_orphan"))
         .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"))
     }
     edge("lineitem.l_orderkey->orders",
