@@ -269,17 +269,101 @@ object QualityOps {
       |FROM spine LEFT JOIN c ON spine.day = c.day
       |ORDER BY day""".stripMargin
 
+  // ---- dq5: cross-table sum reconciliation ----
+
+  /** Fact-to-fact reconciliation: per order, the header total
+    * (`o_totalprice`) against the lineitem-derived charge
+    * `Σ extendedprice·(1−discount)·(1+tax)`, reduced to one summary row.
+    * All comparison happens in exact micro-units (per-row double product
+    * rounded ONCE to BIGINT — identical op order in both dialects — then
+    * integer arithmetic only), so the verdict is bit-reproducible.
+    *
+    * Shape: one l_orderkey-keyed partial aggregate (map-side combine over
+    * the biggest table), one orderkey equi-join, one final 1-row
+    * aggregate — at 100 TB the shuffle carries (orderkey, BIGINT) pairs,
+    * never lineitem payload. On this synthetic fixture the header totals
+    * do NOT reconcile (n_exact=0) — the audit exists to report exactly
+    * that, and the drift statistics are deterministic either way.
+    */
+  def dq5Reconcile(s: SparkSession, d: String): DataFrame = {
+    val derived = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)"))
+        .as("derived_micros"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 1000000) AS BIGINT)").as("header_micros"))
+    o.join(derived, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("header_micros"), col("derived_micros"),
+        (col("header_micros") - col("derived_micros")).as("diff"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("derived_micros").isNull, 1)).as("n_no_lineitems"),
+        count(when(col("diff") === 0L, 1)).as("n_exact"),
+        count(when(abs(col("diff")) <= 10000L, 1)).as("n_within_1c"),
+        max(abs(col("diff"))).as("max_abs_diff_micros"),
+        sum(abs(col("diff"))).as("sum_abs_diff_micros"))
+  }
+
+  val dq5Sql: String =
+    """WITH derived AS (
+      |  SELECT l_orderkey,
+      |         SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |             * 1000000) AS BIGINT)) AS derived_micros
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT CAST(round(o_totalprice * 1000000) AS BIGINT) AS header_micros,
+      |         derived_micros,
+      |         CAST(round(o_totalprice * 1000000) AS BIGINT) - derived_micros
+      |           AS diff
+      |  FROM orders LEFT JOIN derived ON o_orderkey = l_orderkey)
+      |SELECT COUNT(*) AS n_orders,
+      |       COUNT(CASE WHEN derived_micros IS NULL THEN 1 END) AS n_no_lineitems,
+      |       COUNT(CASE WHEN diff = 0 THEN 1 END) AS n_exact,
+      |       COUNT(CASE WHEN abs(diff) <= 10000 THEN 1 END) AS n_within_1c,
+      |       CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff_micros,
+      |       CAST(SUM(abs(diff)) AS BIGINT) AS sum_abs_diff_micros
+      |FROM j""".stripMargin
+
+  // ---- dq6: k-anonymity audit ----
+
+  /** k-anonymity over the quasi-identifier pair
+    * (c_nationkey, c_mktsegment): every equivalence class with its member
+    * count and an `at_risk` flag for classes below k=10 — the groups a
+    * privacy review must suppress or generalize before release. One
+    * hash-aggregate shuffle on the quasi-identifier; class count is
+    * bounded by the QI domain (|nations|·|segments|), so the result stays
+    * tiny no matter the table size.
+    */
+  def dq6KAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_members"),
+        (col("n_members") < 10L).as("at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  val dq6Sql: String =
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_members,
+      |       COUNT(*) < 10 AS at_risk
+      |FROM customer GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_profile"      -> (dq1Profile _),
     "dq2_referential"  -> (dq2Referential _),
     "dq3_constraints"  -> (dq3Constraints _),
-    "dq4_completeness" -> (dq4Completeness _)
+    "dq4_completeness" -> (dq4Completeness _),
+    "dq5_reconcile"    -> (dq5Reconcile _),
+    "dq6_kanonymity"   -> (dq6KAnonymity _)
   )
 
   val oracles: Map[String, String] = Map(
     "dq1_profile"      -> dq1Sql,
     "dq2_referential"  -> dq2Sql,
     "dq3_constraints"  -> dq3Sql,
-    "dq4_completeness" -> dq4Sql
+    "dq4_completeness" -> dq4Sql,
+    "dq5_reconcile"    -> dq5Sql,
+    "dq6_kanonymity"   -> dq6Sql
   )
 }

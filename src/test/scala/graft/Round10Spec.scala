@@ -151,6 +151,40 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("dq5 reconcile: coverage accounting ties out against the raw tables") {
+    val r = graft.queries.QualityOps.dq5Reconcile(spark, d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val nOrders = row.getAs[Long]("n_orders")
+    val noLi = row.getAs[Long]("n_no_lineitems")
+    assert(nOrders === Tables.orders(spark, d).count())
+    // orders without lineitems = orders minus distinct child keys
+    val liKeys = Tables.lineitem(spark, d)
+      .select(col("l_orderkey")).distinct().count()
+    assert(noLi === nOrders - liKeys)
+    // bucket containment: exact ⊆ within-a-cent ⊆ joined
+    val nExact = row.getAs[Long]("n_exact")
+    val nCent = row.getAs[Long]("n_within_1c")
+    assert(nExact <= nCent && nCent <= nOrders - noLi)
+    // drift stats are consistent: a nonzero max implies a nonzero sum
+    val maxD = row.getAs[Long]("max_abs_diff_micros")
+    val sumD = row.getAs[Long]("sum_abs_diff_micros")
+    assert(maxD >= 0 && sumD >= maxD)
+  }
+
+  test("dq6 k-anonymity: classes partition the table, flags match counts") {
+    val rows = graft.queries.QualityOps.dq6KAnonymity(spark, d).collect()
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total === Tables.customer(spark, d).count(),
+      "equivalence classes do not partition the table")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") === (r.getAs[Long]("n_members") < 10),
+        s"flag/count disagreement at ${r.get(0)}/${r.get(1)}")
+    }
+    // the sf0.001 fixture genuinely exercises both sides of the flag
+    assert(rows.exists(_.getAs[Boolean]("at_risk")), "no at-risk class")
+  }
+
   test("dq4 completeness: contiguous spine, totals preserved") {
     val rows = graft.queries.QualityOps.dq4Completeness(spark, d).collect()
     val days = rows.map(_.getString(0))
