@@ -349,13 +349,79 @@ object QualityOps {
       |FROM customer GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ---- dq7: two-sample KS distribution-drift audit ----
+
+  /** Distribution drift between two document populations (lang='en' vs
+    * the rest) over `n_chars`, as the exact two-sample Kolmogorov–Smirnov
+    * statistic. D = max|F1−F2| is a rational with denominator n1·n2, so
+    * the whole audit runs in INTEGER arithmetic — per-value counts, one
+    * cumulative window, then max|ca·n2 − cb·n1| — and is bit-reproducible
+    * across engines (no float CDFs, no ln/exp as PSI would need).
+    *
+    * Shape: one value-keyed aggregate (the only data-sized shuffle), then
+    * windows over the DISTINCT VALUE DOMAIN — hundreds of rows here, and
+    * bounded by the value domain (not the corpus) at any scale; for a
+    * truly unbounded domain, pre-bucket the value first. The unpartitioned
+    * window is domain-sized by construction, not a scale hazard. The
+    * int64 cross products are exact while n1·n2 < 2^63 (≈3·10⁹ rows per
+    * side — per-shard audit territory; swap to DECIMAL(38,0) beyond).
+    * Emits numerator/denominator, a floor-division micro-unit D, and the
+    * D > 0.1 drift verdict.
+    */
+  def dq7KsDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .groupBy(col("n_chars"))
+      .agg(count(when(col("lang") === "en", 1)).as("a"),
+           count(when(col("lang") =!= "en", 1)).as("b"))
+    val cumW = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(col("n_chars"),
+        sum(col("a")).over(cumW).as("ca"), sum(col("b")).over(cumW).as("cb"))
+      .select(col("ca"), col("cb"),
+        max(col("ca")).over(allW).as("n1"), max(col("cb")).over(allW).as("n2"))
+      .agg(max(col("n1")).as("n_base"), max(col("n2")).as("n_compare"),
+           max(abs(col("ca") * col("n2") - col("cb") * col("n1"))).as("ks_num"))
+      .select(col("n_base"), col("n_compare"), col("ks_num"),
+        (col("n_base") * col("n_compare")).as("ks_den"),
+        expr("(ks_num * 1000000) div (n_base * n_compare)").as("ks_micros"),
+        (col("ks_num") * 10 > col("n_base") * col("n_compare")).as("drifted"))
+  }
+
+  val dq7Sql: String =
+    """WITH c AS (
+      |  SELECT n_chars,
+      |         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS a,
+      |         COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS b
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT SUM(a) OVER (ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |         SUM(b) OVER (ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |  FROM c),
+      |t AS (SELECT ca, cb, MAX(ca) OVER () AS n1, MAX(cb) OVER () AS n2
+      |      FROM cum)
+      |SELECT CAST(MAX(n1) AS BIGINT) AS n_base,
+      |       CAST(MAX(n2) AS BIGINT) AS n_compare,
+      |       CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) AS ks_num,
+      |       CAST(MAX(n1) * MAX(n2) AS BIGINT) AS ks_den,
+      |       CAST((MAX(abs(ca * n2 - cb * n1)) * 1000000)
+      |            // (MAX(n1) * MAX(n2)) AS BIGINT) AS ks_micros,
+      |       MAX(abs(ca * n2 - cb * n1)) * 10 > MAX(n1) * MAX(n2) AS drifted
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_profile"      -> (dq1Profile _),
     "dq2_referential"  -> (dq2Referential _),
     "dq3_constraints"  -> (dq3Constraints _),
     "dq4_completeness" -> (dq4Completeness _),
     "dq5_reconcile"    -> (dq5Reconcile _),
-    "dq6_kanonymity"   -> (dq6KAnonymity _)
+    "dq6_kanonymity"   -> (dq6KAnonymity _),
+    "dq7_ks_drift"     -> (dq7KsDrift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,6 +430,7 @@ object QualityOps {
     "dq3_constraints"  -> dq3Sql,
     "dq4_completeness" -> dq4Sql,
     "dq5_reconcile"    -> dq5Sql,
-    "dq6_kanonymity"   -> dq6Sql
+    "dq6_kanonymity"   -> dq6Sql,
+    "dq7_ks_drift"     -> dq7Sql
   )
 }

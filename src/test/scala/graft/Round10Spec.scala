@@ -185,6 +185,30 @@ class Round10Spec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("at_risk")), "no at-risk class")
   }
 
+  test("dq7 KS drift: statistic matches a driver-side exact recomputation") {
+    val r = graft.queries.QualityOps.dq7KsDrift(spark, d).collect().head
+    val (n1, n2) = (r.getAs[Long]("n_base"), r.getAs[Long]("n_compare"))
+    val num = r.getAs[Long]("ks_num")
+    assert(r.getAs[Long]("ks_den") === n1 * n2)
+    assert(num >= 0 && num <= n1 * n2, "KS statistic outside [0,1]")
+    assert(r.getAs[Long]("ks_micros") === num * 1000000L / (n1 * n2))
+    assert(r.getAs[Boolean]("drifted") === (num * 10 > n1 * n2))
+    // independent exact recomputation from the raw fixture (bounded: the
+    // documents table is test-sized here; the operator itself never
+    // collects)
+    val docs = Tables.documents(spark, d)
+      .select(col("n_chars"), (col("lang") === "en").as("en")).collect()
+      .map(x => (x.getLong(0), x.getBoolean(1)))
+    val a = docs.filter(_._2).map(_._1).sorted
+    val b = docs.filterNot(_._2).map(_._1).sorted
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    val vals = (a ++ b).distinct.sorted
+    val expect = vals.map { v =>
+      math.abs(a.count(_ <= v).toLong * n2 - b.count(_ <= v).toLong * n1)
+    }.max
+    assert(num === expect, s"KS numerator $num != exact $expect")
+  }
+
   test("dq4 completeness: contiguous spine, totals preserved") {
     val rows = graft.queries.QualityOps.dq4Completeness(spark, d).collect()
     val days = rows.map(_.getString(0))
