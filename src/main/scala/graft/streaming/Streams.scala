@@ -69,6 +69,28 @@ object Streams {
               col("session_window.end").as("sess_end"),
               col("user_id"), col("n_events"))
 
+  /** dq3's streaming twin: continuous constraint monitoring. The same
+    * declarative rule set (value range, event-type enum) evaluated as
+    * conditional aggregates per tumbling hour, so a violation spike
+    * surfaces one window (+watermark) after it happens instead of at the
+    * next batch audit. Rule count never changes the pass count, state is
+    * one aggregate row per open window, and the watermark finalizes (and
+    * frees) each window — the exact posture a 100 TB ingest monitor
+    * needs.
+    */
+  def constraintMonitorStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_checked"),
+           count(when(col("value") < -1000 || col("value") > 1000, 1))
+             .as("v_value_range"),
+           count(when(!col("event_type").isin(
+             "click", "view", "purchase", "signup", "error"), 1))
+             .as("v_type_enum"))
+      .select(col("window.start").as("win_start"), col("n_checked"),
+              col("v_value_range"), col("v_type_enum"))
+
   /** Streaming exact dedup by event_id, state bounded by the watermark. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -310,6 +310,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming constraint monitor counts violations per finalized window, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.constraintMonitorStream(mem.toDF())
+      .writeStream.format("memory").queryName("dqmon_test")
+      .outputMode(OutputMode.Append()).start()
+    val batch1 = Seq(
+      ev(1, 10), ev(2, 20, value = 5000.0),          // value out of range
+      ev(3, 30, typ = "bogus"), ev(4, 40))           // type outside the enum
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(ev(9, 200)) // 03:20 — watermark passes hour 0, finalizing it
+      q.processAllAvailable()
+      val row = spark.table("dqmon_test")
+        .filter(col("win_start") === lit(ts(0))).head()
+      assert(row.getAs[Long]("n_checked") === 4L)
+      assert(row.getAs[Long]("v_value_range") === 1L)
+      assert(row.getAs[Long]("v_type_enum") === 1L)
+      // a late hour-0 violation must not re-open the finalized window
+      mem.addData(ev(5, 15, value = -9999.0))
+      q.processAllAvailable()
+      assert(spark.table("dqmon_test")
+        .filter(col("win_start") === lit(ts(0))).count() === 1L)
+      // parity: the finalized window equals the batch rule evaluation
+      val b = batch1.toDF()
+        .groupBy(window(col("ts"), "1 hour")).agg(
+          count(lit(1)).as("n_checked"),
+          count(when(col("value") < -1000 || col("value") > 1000, 1))
+            .as("v_value_range"),
+          count(when(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"), 1))
+            .as("v_type_enum")).head()
+      assert(row.getAs[Long]("n_checked") === b.getAs[Long]("n_checked"))
+      assert(row.getAs[Long]("v_value_range") === b.getAs[Long]("v_value_range"))
+      assert(row.getAs[Long]("v_type_enum") === b.getAs[Long]("v_type_enum"))
+    } finally q.stop()
+  }
+
   test("streaming hash sample equals the batch filter over the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
