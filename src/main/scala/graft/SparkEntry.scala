@@ -18,7 +18,8 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalOps.queries ++
       WindowOps.queries ++ UserDefined.queries ++ PipelineOps.queries ++
       CorpusOps.queries ++ GraphOps.queries ++ EventAnalytics.queries ++
-      QualityOps.queries ++ graft.sources.MultiFormat.queries
+      QualityOps.queries ++ FeatureOps.queries ++
+      graft.sources.MultiFormat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     ReferenceQueries.oracles ++ RelationalOps.oracles ++
       WindowOps.oracles ++ UserDefined.oracles ++ PipelineOps.oracles ++
       CorpusOps.oracles ++ GraphOps.oracles ++ EventAnalytics.oracles ++
-      QualityOps.oracles ++ graft.sources.MultiFormat.oracles
+      QualityOps.oracles ++ FeatureOps.oracles ++
+      graft.sources.MultiFormat.oracles
 }

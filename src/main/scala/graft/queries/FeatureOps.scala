@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.StringPolyHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators (fe1–fe3): the tabular/feature-prep layer
+  * of a training pipeline — per-group min-max scaling, smoothed target
+  * encoding, and hashing-trick feature buckets. Every statistic is
+  * integer-exact (micro-units, integer floor division, replayed
+  * polyhash), so the features a 1000-executor run produces are
+  * bit-identical to the oracle's.
+  *
+  * Scale design:
+  *  - fe1 joins the 5-row per-group bounds back by BROADCAST, scales
+  *    row-wise, and reduces to a decile histogram — two group-sized
+  *    aggregates, one data-sized pass, no global sort;
+  *  - fe2's global prior comes from an unpartitioned window over the
+  *    ALREADY-AGGREGATED per-category rows (cardinality = category
+  *    domain), never a 1-row cross join against the data;
+  *  - fe3 is explode → one bucket-keyed aggregate whose output is capped
+  *    by the bucket count (64), with map-side partial aggregation doing
+  *    the heavy reduction.
+  */
+object FeatureOps {
+
+  // ---- fe1: per-group min-max scaling, validated as a decile histogram --
+
+  /** Min-max scaling of `events.value` per event_type, reported as the
+    * per-type decile histogram of the scaled feature (counts + exact
+    * scaled-ppm checksums) — the validation artifact a feature pipeline
+    * stores next to the scaler. All arithmetic is integer: value in
+    * micro-units, scaled position in ppm via floor division.
+    */
+  def fe1ScaleHistogram(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("ppm", expr("((v - vmin) * 1000000) div (vmax - vmin)"))
+      .withColumn("decile", least(expr("ppm div 100000"), lit(9L)))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("ppm")).as("sum_ppm"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val fe1Sql: String =
+    """WITH ev AS (SELECT event_type,
+      |              CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+      |b AS (SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax
+      |      FROM ev GROUP BY event_type),
+      |scaled AS (
+      |  SELECT ev.event_type,
+      |         ((v - vmin) * 1000000) // (vmax - vmin) AS ppm
+      |  FROM ev JOIN b USING (event_type))
+      |SELECT event_type, LEAST(ppm // 100000, 9) AS decile,
+      |       COUNT(*) AS n, CAST(SUM(ppm) AS BIGINT) AS sum_ppm
+      |FROM scaled GROUP BY event_type, LEAST(ppm // 100000, 9)
+      |ORDER BY event_type, decile""".stripMargin
+
+  // ---- fe2: smoothed (Bayesian) target encoding ----
+
+  /** Target encoding of event_type against `value` with additive
+    * smoothing toward the global mean: enc = (Σ_cat + m·μ_global) /
+    * (n_cat + m), m = 25 — the standard leak-resistant categorical
+    * encoder. Exact integer form: micro-unit sums, the global mean as
+    * one floor division, the encoding as another; the global prior is
+    * computed by a window over the per-category aggregate rows (category-
+    * domain-sized), so no 1-row broadcast join touches the data path.
+    */
+  def fe2TargetEncode(s: SparkSession, d: String): DataFrame = {
+    val perCat = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    perCat
+      .withColumn("gmean", expr("sum(sum_v) OVER () div sum(n) OVER ()"))
+      .select(col("event_type"), col("n"),
+        expr("(sum_v + 25 * gmean) div (n + 25)").as("enc_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  val fe2Sql: String =
+    """WITH c AS (SELECT event_type, COUNT(*) AS n,
+      |             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+      |               AS sum_v
+      |           FROM events GROUP BY event_type),
+      |g AS (SELECT *, CAST(SUM(sum_v) OVER () AS BIGINT)
+      |               // CAST(SUM(n) OVER () AS BIGINT) AS gmean FROM c)
+      |SELECT event_type, n,
+      |       CAST((sum_v + 25 * gmean) // (n + 25) AS BIGINT) AS enc_micros
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // ---- fe3: hashing-trick feature buckets ----
+
+  /** The hashing trick over document tokens: each token lands in one of
+    * 64 buckets by polyhash, contributing a ±1 signed count (the
+    * sign-bit variant that keeps collisions unbiased). Output is the
+    * corpus-level bucket profile — 64 rows regardless of corpus size,
+    * with map-side partial aggregation absorbing the token stream. The
+    * oracle replays the byte-fold hash literally (x27's idiom).
+    */
+  def fe3FeatureHash(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .select(expr("graft_polyhash(tok)").as("h"))
+      .select(expr("(h div 2) % 64").as("bucket"),
+        expr("CASE WHEN h % 2 = 0 THEN 1L ELSE -1L END").as("sign"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sign")).as("net_sign"))
+      .orderBy(col("bucket"))
+  }
+
+  val fe3Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (
+      |  SELECT list_reduce(list_transform(regexp_split_to_array(tok, ''),
+      |           c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM tok WHERE len(tok) >= 1)
+      |SELECT (h // 2) % 64 AS bucket, COUNT(*) AS n_tokens,
+      |       CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+      |         AS net_sign
+      |FROM h GROUP BY (h // 2) % 64
+      |ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fe1_scale_histogram" -> (fe1ScaleHistogram _),
+    "fe2_target_encode"   -> (fe2TargetEncode _),
+    "fe3_feature_hash"    -> (fe3FeatureHash _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fe1_scale_histogram" -> fe1Sql,
+    "fe2_target_encode"   -> fe2Sql,
+    "fe3_feature_hash"    -> fe3Sql
+  )
+}

@@ -209,6 +209,58 @@ class Round10Spec extends SparkSpec {
     assert(num === expect, s"KS numerator $num != exact $expect")
   }
 
+  test("fe1 scale histogram: deciles partition each group, ppm in range") {
+    val rows = graft.queries.FeatureOps.fe1ScaleHistogram(spark, d).collect()
+    rows.foreach { r =>
+      val dec = r.getAs[Long]("decile")
+      assert(dec >= 0 && dec <= 9)
+      // decile d covers ppm in [d·100000, (d+1)·100000) (decile 9 also
+      // takes the max element's 1000000), so the per-bucket checksum is
+      // bounded by count × bucket ceiling
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("sum_ppm") >= dec * 100000L * n)
+      assert(r.getAs[Long]("sum_ppm") <= (dec + 1L) * 100000L * n)
+    }
+    val byType = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    val expected = Tables.events(spark, d).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.toMap === expected, "histogram loses rows")
+  }
+
+  test("fe2 target encode: smoothing pulls every category toward the prior") {
+    val rows = graft.queries.FeatureOps.fe2TargetEncode(spark, d).collect()
+    assert(rows.length === 5)
+    // raw per-category mean vs encoded: the encoding must lie between the
+    // raw category mean and the global mean (that's what smoothing does)
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gmean = ev.map(_._2).sum / ev.length
+    rows.foreach { r =>
+      val cat = r.getString(0)
+      val vs = ev.filter(_._1 == cat).map(_._2)
+      val cmean = vs.sum / vs.length
+      val enc = r.getAs[Long]("enc_micros")
+      val (lo, hi) = (math.min(cmean, gmean), math.max(cmean, gmean))
+      // floor-division slack of ±1 on each of the three integer divisions
+      assert(enc >= lo - 2 && enc <= hi + 2,
+        s"$cat: enc $enc outside [$lo, $hi] (raw $cmean, prior $gmean)")
+    }
+  }
+
+  test("fe3 feature hash: bucket profile conserves the token stream") {
+    val rows = graft.queries.FeatureOps.fe3FeatureHash(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 64)
+      assert(math.abs(r.getAs[Long]("net_sign")) <= r.getAs[Long]("n_tokens"))
+    }
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1).count()
+    assert(total === expected, "hashing dropped or duplicated tokens")
+  }
+
   test("dq4 completeness: contiguous spine, totals preserved") {
     val rows = graft.queries.QualityOps.dq4Completeness(spark, d).collect()
     val days = rows.map(_.getString(0))
