@@ -3,8 +3,9 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger,
+  ValueState}
 import org.apache.spark.sql.types._
 
 import java.sql.Timestamp
@@ -315,6 +316,133 @@ object Streams {
       .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new InactivityAlerter(gapMs), TimeMode.EventTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
+  }
+
+  /** e1's streaming twin: EXACT strict-ordered funnel (first view → first
+    * click ≤30 min after it → first purchase ≤30 min after that) over a
+    * live stream, finalized by an event-time timer. The funnel outcome is
+    * fully determined by events in [v_us, v_us + 60 min] (the click
+    * window ends at v+30, the purchase window at c+30 ≤ v+60), so a
+    * per-user timer at v_us + 60 min fires exactly when the watermark
+    * proves no qualifying event can still arrive — at that moment the
+    * verdict is computed from the buffered candidates and state is
+    * dropped.
+    *
+    * State per user: the earliest view time (one long, re-armed downward
+    * if an earlier view arrives inside the watermark) plus ONLY the
+    * clicks ≤ v+30 and purchases ≤ v+60 (candidates are pruned as v
+    * moves down) — bounded by one user's hour of activity, never the
+    * stream. Before the first view arrives, candidates buffer under a GC
+    * timer at their max event time: a candidate at t is anchorable only
+    * by a view with v ≤ t, and views arrive at-or-above the watermark,
+    * so once the watermark passes t the candidate is provably dead and
+    * the GC clears it — cross-type disorder (click row before its view
+    * row) is handled EXACTLY, not dropped. Rows older than the watermark
+    * are dropped by the runtime before they reach the processor, which
+    * is what makes both finalization arguments sound.
+    */
+  class FunnelProcessor extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var vUs: ValueState[Long] = _
+    @transient private var gcMs: ValueState[Long] = _ // armed pre-anchor GC timer
+    @transient private var cands: ListState[(Long, Long)] = _ // (kind 2|3, us)
+    private val WinUs = 1800000000L // 30 min in µs
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      vUs = getHandle.getValueState[Long]("vUs",
+        Encoders.scalaLong, TTLConfig.NONE)
+      gcMs = getHandle.getValueState[Long]("gcMs",
+        Encoders.scalaLong, TTLConfig.NONE)
+      cands = getHandle.getListState[(Long, Long)]("cands",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    // timers are ms-epoch; round the µs deadline UP so the timer can never
+    // fire before the last microsecond that could still matter
+    private def ceilMs(u: Long): Long = (u + 999L) / 1000L
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var v = if (vUs.exists()) vUs.get() else Long.MaxValue
+      val v0 = v
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.foreach { e =>
+        val t = us(e.ts)
+        e.event_type match {
+          case "view"     => if (t < v) v = t
+          case "click"    => fresh += ((2L, t))
+          case "purchase" => fresh += ((3L, t))
+          case _          =>
+        }
+      }
+      if (v == Long.MaxValue) {
+        // no anchor yet: a candidate at time t can still qualify until the
+        // watermark passes t (a view must satisfy v <= t and arrive at or
+        // above the watermark), so buffer ALL of them and arm a GC timer
+        // at the max buffered time — when it fires, every buffered
+        // candidate is provably unanchorable and the state clears
+        fresh.foreach(k => cands.appendValue(k))
+        if (fresh.nonEmpty) {
+          val newGc = ceilMs(fresh.map(_._2).max)
+          val oldGc = if (gcMs.exists()) gcMs.get() else Long.MinValue
+          if (newGc > oldGc) {
+            if (oldGc != Long.MinValue) getHandle.deleteTimer(oldGc)
+            getHandle.registerTimer(newGc)
+            gcMs.update(newGc)
+          }
+        }
+        return Iterator.empty
+      }
+      if (v < v0) {
+        if (v0 != Long.MaxValue) getHandle.deleteTimer(ceilMs(v0 + 2 * WinUs))
+        else if (gcMs.exists()) { getHandle.deleteTimer(gcMs.get()); gcMs.clear() }
+        getHandle.registerTimer(ceilMs(v + 2 * WinUs))
+        vUs.update(v)
+        // anchor moved down: candidates outside the (new, earlier)
+        // determining window can no longer qualify — prune them
+        val kept = cands.get()
+          .filter { case (_, t) => t <= v + 2 * WinUs }.toArray
+        cands.clear(); kept.foreach(k => cands.appendValue(k))
+      }
+      fresh.filter { case (k, t) =>
+        t >= v && t <= v + (if (k == 2L) WinUs else 2 * WinUs)
+      }.foreach(k => cands.appendValue(k))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long)] = {
+      if (!vUs.exists()) {
+        // pre-anchor GC: the watermark has passed every buffered
+        // candidate, so none can ever be anchored by a future view
+        cands.clear(); gcMs.clear()
+        return Iterator.empty
+      }
+      val v = vUs.get()
+      val all = cands.get().toSeq
+      val cOpt = all.filter { case (k, t) => k == 2L && t >= v && t <= v + WinUs }
+        .map(_._2).sorted.headOption
+      val pOpt = cOpt.flatMap { c =>
+        all.filter { case (k, t) => k == 3L && t >= c && t <= c + WinUs }
+          .map(_._2).sorted.headOption
+      }
+      vUs.clear(); cands.clear()
+      val stage = if (pOpt.isDefined) 3L else if (cOpt.isDefined) 2L else 1L
+      Iterator((user, stage, v))
+    }
+  }
+
+  /** Streaming funnel over a watermarked event stream: one (user_id,
+    * reached_stage, first_view_us) row per user, emitted when the
+    * watermark passes first_view + 60 min and the verdict is provably
+    * final. Exactly e1's strict-order semantics, computed incrementally.
+    */
+  def funnelStream(events: Dataset[Event],
+                   lateness: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.EventTime(),
         OutputMode.Append(),
         implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
   }

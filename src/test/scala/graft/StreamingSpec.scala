@@ -129,6 +129,86 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // multi-state transformWithState (3 column families) requires RocksDB
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming funnel finalizes exact e1 stages when the watermark passes") { withRocksDb {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.funnelStream(mem.toDS())
+      .toDF("user_id", "reached_stage", "first_view_us")
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // A: view@10 → click@20 → purchase@40  = stage 3
+      // B: view@10, click@50 (40 min > 30 window)  = stage 1
+      // C: view@10 → click@30, purchase@90 (> click+30)  = stage 2
+      // E: click@5 with no view EVER — must produce no row at all
+      mem.addData(
+        ev(1, 10, user = 10, typ = "view"), ev(2, 20, user = 10, typ = "click"),
+        ev(3, 40, user = 10, typ = "purchase"),
+        ev(4, 10, user = 20, typ = "view"),
+        ev(6, 10, user = 30, typ = "view"), ev(7, 30, user = 30, typ = "click"),
+        ev(9, 5, user = 40, typ = "click"))
+      q.processAllAvailable()
+      // watermark is minute 40 < every first_view + 60: nothing final yet
+      assert(spark.table("funnel_test").isEmpty,
+        "no verdict may emit before first_view + 60 min is watermark-final")
+      // late-but-in-envelope stragglers, then the watermark passes min 70
+      mem.addData(ev(5, 50, user = 20, typ = "click"),
+        ev(8, 90, user = 30, typ = "purchase"))
+      q.processAllAvailable()
+      mem.addData(ev(21, 300, user = 99, typ = "view")) // nudge: timers fire
+      q.processAllAvailable()
+      val out = spark.table("funnel_test")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out.get(10L).map(_._1) === Some(3L))
+      assert(out.get(20L).map(_._1) === Some(1L))
+      assert(out.get(30L).map(_._1) === Some(2L))
+      assert(!out.contains(40L), "a user with no view has no funnel verdict")
+      out.collect { case (u, (_, v)) if u != 99L =>
+        assert(v === ts(10).getTime * 1000L, s"user $u anchored off minute 10")
+      }
+    } finally q.stop()
+  }}
+
+  test("streaming funnel buffers cross-type disorder: click row before its view row") { withRocksDb {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 2h lateness so the view arriving after its click is inside the
+    // allowed-lateness envelope, not dropped as a late row
+    val q = Streams.funnelStream(mem.toDS(), lateness = "2 hours")
+      .toDF("user_id", "reached_stage", "first_view_us")
+      .writeStream.format("memory").queryName("funnel_disorder_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 20, user = 50, typ = "click")) // arrives first
+      q.processAllAvailable()
+      mem.addData(ev(2, 10, user = 50, typ = "view"))  // its anchor, later
+      q.processAllAvailable()
+      mem.addData(ev(3, 600, user = 99, typ = "view")) // watermark → min 480
+      q.processAllAvailable()
+      mem.addData(ev(4, 605, user = 99, typ = "view"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_disorder_test")
+        .filter(col("user_id") === 50L).collect()
+      assert(out.length === 1)
+      assert(out.head.getLong(1) === 2L,
+        "the pre-anchor click must be credited once its view arrives")
+    } finally q.stop()
+  }}
+
   test("flatMapGroupsWithState emits the threshold alert exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
