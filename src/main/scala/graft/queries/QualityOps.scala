@@ -414,6 +414,52 @@ object QualityOps {
       |       MAX(abs(ca * n2 - cb * n1)) * 10 > MAX(n1) * MAX(n2) AS drifted
       |FROM t""".stripMargin
 
+  // ---- dq8: day-over-day volume anomaly detection ----
+
+  /** Ingest-volume anomaly audit: each day's event count against the
+    * median of the TRAILING 7 days (current day excluded — the baseline
+    * must not contain the observation it judges), flagging spikes
+    * (n > 1.5×median) and drops (n < 0.5×median). The median of ≤7
+    * integers is an order statistic (or an exact x.5 interpolation), so
+    * the baseline and both verdicts are bit-reproducible. Day one has no
+    * baseline and is explicitly unflagged, not silently compared to 0.
+    *
+    * Shape: one data-sized aggregate to day counts, then a window over
+    * the DAY DOMAIN (rows = days, not events) — same domain-window
+    * discipline as dq7.
+    */
+  def dq8VolumeAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val trailing = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    days
+      .withColumn("trailing_med",
+        expr("percentile(n_events, 0.5D)").over(trailing))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"),
+        col("trailing_med"),
+        (col("trailing_med").isNotNull &&
+          col("n_events") * 2 > col("trailing_med") * 3).as("is_spike"),
+        (col("trailing_med").isNotNull &&
+          col("n_events") * 2 < col("trailing_med")).as("is_drop"))
+      .orderBy(col("day"))
+  }
+
+  val dq8Sql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |m AS (SELECT day, n_events,
+      |        median(n_events) OVER (ORDER BY day
+      |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trailing_med
+      |      FROM d)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, trailing_med,
+      |       trailing_med IS NOT NULL AND n_events * 2 > trailing_med * 3
+      |         AS is_spike,
+      |       trailing_med IS NOT NULL AND n_events * 2 < trailing_med
+      |         AS is_drop
+      |FROM m ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_profile"      -> (dq1Profile _),
     "dq2_referential"  -> (dq2Referential _),
@@ -421,7 +467,8 @@ object QualityOps {
     "dq4_completeness" -> (dq4Completeness _),
     "dq5_reconcile"    -> (dq5Reconcile _),
     "dq6_kanonymity"   -> (dq6KAnonymity _),
-    "dq7_ks_drift"     -> (dq7KsDrift _)
+    "dq7_ks_drift"     -> (dq7KsDrift _),
+    "dq8_volume_anomaly" -> (dq8VolumeAnomaly _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +478,7 @@ object QualityOps {
     "dq4_completeness" -> dq4Sql,
     "dq5_reconcile"    -> dq5Sql,
     "dq6_kanonymity"   -> dq6Sql,
-    "dq7_ks_drift"     -> dq7Sql
+    "dq7_ks_drift"     -> dq7Sql,
+    "dq8_volume_anomaly" -> dq8Sql
   )
 }

@@ -261,6 +261,27 @@ class Round10Spec extends SparkSpec {
     assert(total === expected, "hashing dropped or duplicated tokens")
   }
 
+  test("dq8 volume anomaly: baseline excludes the judged day, day one unflagged") {
+    val rows = graft.queries.QualityOps.dq8VolumeAnomaly(spark, d)
+      .collect().sortBy(_.getString(0))
+    assert(rows.length > 8)
+    // day one has no trailing baseline and must be explicitly unflagged
+    assert(rows.head.isNullAt(rows.head.fieldIndex("trailing_med")))
+    assert(!rows.head.getAs[Boolean]("is_spike") && !rows.head.getAs[Boolean]("is_drop"))
+    // recompute each trailing median driver-side from the emitted counts
+    val ns = rows.map(_.getAs[Long]("n_events"))
+    rows.zipWithIndex.drop(1).foreach { case (r, i) =>
+      val win = ns.slice(math.max(0, i - 7), i).sorted
+      val med =
+        if (win.length % 2 == 1) win(win.length / 2).toDouble
+        else (win(win.length / 2 - 1) + win(win.length / 2)) / 2.0
+      assert(r.getAs[Double]("trailing_med") === med,
+        s"day ${r.getString(0)}: median ${r.getAs[Double]("trailing_med")} != $med")
+      assert(r.getAs[Boolean]("is_spike") === (ns(i) * 2 > med * 3))
+      assert(r.getAs[Boolean]("is_drop") === (ns(i) * 2 < med))
+    }
+  }
+
   test("dq4 completeness: contiguous spine, totals preserved") {
     val rows = graft.queries.QualityOps.dq4Completeness(spark, d).collect()
     val days = rows.map(_.getString(0))
