@@ -4216,6 +4216,54 @@ object PipelineOps {
        |FROM dp JOIN wc USING (w)
        |GROUP BY dp.piece ORDER BY n DESC, piece LIMIT 20""".stripMargin
 
+  /** Per-language tokenizer-vocabulary coverage: for each lang slice, the
+    * total subword pieces and how many are single-char FALLBACKS (pieces
+    * outside the committed vocab — the greedy tokenizer's unknown-char
+    * escape), with coverage in exact ppm. This is the first question a
+    * tokenizer owner asks of a new corpus ("does my vocab fit this
+    * language mix, or am I paying byte-fallback bloat?") and the per-lang
+    * split shows exactly where a Latin-only vocab breaks down. One
+    * explode → one lang-keyed aggregate; the 130-entry vocab membership
+    * test is a codegen'd IN over a literal list, map-side.
+    */
+  def x61VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SubwordPieces.register(s)
+    val vocabArr = graft.functions.SubwordVocab.pieces
+      .map(p => s"'$p'").mkString("array(", ",", ")")
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        expr("graft_subword_pieces(text)").as("pieces"))
+      .select(col("lang"), col("nw"),
+        size(col("pieces")).cast("long").as("np"),
+        expr(s"size(filter(pieces, p -> NOT array_contains($vocabArr, p)))")
+          .cast("long").as("nf"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("np")).as("n_pieces"),
+           sum(col("nf")).as("n_fallback"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_fallback"),
+        expr("((n_pieces - n_fallback) * 1000000) div n_pieces").as("coverage_ppm"),
+        expr("(n_pieces * 1000000) div n_words").as("ppw_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val x61Sql: String =
+    s"""$subwordSqlBase,
+       |fb AS (SELECT w, count(*) AS np,
+       |         count(CASE WHEN dp.piece NOT IN (SELECT piece FROM vocab)
+       |               THEN 1 END) AS nf
+       |       FROM dp GROUP BY w),
+       |wl AS (SELECT d.lang, words.w FROM words
+       |       JOIN documents d USING (doc_id)),
+       |lw AS (SELECT lang, COUNT(*) AS n_words FROM wl GROUP BY lang),
+       |pj AS (SELECT lang, SUM(np) AS np, SUM(nf) AS nf
+       |       FROM wl JOIN fb USING (w) GROUP BY lang)
+       |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(np AS BIGINT) AS n_pieces, CAST(nf AS BIGINT) AS n_fallback,
+       |       CAST(((np - nf) * 1000000) // np AS BIGINT) AS coverage_ppm,
+       |       CAST((np * 1000000) // n_words AS BIGINT) AS ppw_ppm
+       |FROM lw JOIN pj USING (lang) ORDER BY lang""".stripMargin
+
   /** x35's chunking twin with TRUE token windows: fixed-size windows with
     * overlap over the SUBWORD piece sequence instead of whitespace words —
     * the geometry an actual context-length budget produces. Same
@@ -4278,6 +4326,7 @@ object PipelineOps {
     "x44_ivfpq_topk" -> (x44IvfPqTopk _),
     "x45_hybrid_rrf" -> (x45HybridRrf _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
+    "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
@@ -4355,6 +4404,7 @@ object PipelineOps {
     "x44_ivfpq_topk" -> x44Sql,
     "x45_hybrid_rrf" -> x45Sql,
     "x38b_top_pieces"    -> x38bSql,
+    "x61_vocab_coverage" -> x61Sql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
     "x1c_cosine_block"   -> x1cSql,

@@ -282,6 +282,26 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("x61 vocab coverage: totals reconcile with x38's per-doc accounting") {
+    val cov = graft.queries.PipelineOps.x61VocabCoverage(spark, d).collect()
+    cov.foreach { r =>
+      val (np, nf, nw) = (r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("n_fallback"), r.getAs[Long]("n_words"))
+      assert(nf >= 0 && nf <= np)
+      assert(r.getAs[Long]("coverage_ppm") === (np - nf) * 1000000L / np)
+      assert(r.getAs[Long]("ppw_ppm") === np * 1000000L / nw)
+      // greedy longest-match emits ≥1 piece per non-empty word and ≤1
+      // piece per character: 1 ≤ pieces/word ≤ max word length
+      assert(np >= nw || nw == 0)
+    }
+    // corpus totals must equal x38's per-doc sums (same tokenizer, same
+    // corpus — if these drift, one of the two paths changed alone)
+    val x38 = graft.queries.PipelineOps.x38SubwordTokens(spark, d)
+      .agg(sum(col("n_ws")), sum(col("n_subword"))).head()
+    assert(cov.map(_.getAs[Long]("n_words")).sum === x38.getLong(0))
+    assert(cov.map(_.getAs[Long]("n_pieces")).sum === x38.getLong(1))
+  }
+
   test("dq4 completeness: contiguous spine, totals preserved") {
     val rows = graft.queries.QualityOps.dq4Completeness(spark, d).collect()
     val days = rows.map(_.getString(0))
