@@ -302,6 +302,48 @@ object ScaleProbe {
       return
     }
 
+    // Group-key-narrowing probe (`intkeys` arg, r10): q2e/f/g's declared
+    // group key concat(k1,'-',k2[,'-',k3]) is injective over its integer
+    // inputs, so the inner aggregate can group by the raw integer columns
+    // and synthesize the string once per group post-agg. Times both
+    // shapes (3 trials each, fingerprints must agree per key); evidence:
+    // docs/intkeys_probe.json.
+    if (args.contains("intkeys")) {
+      def fingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+        val h = df.withColumn("__fp", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(expr("bit_xor(__fp)")).first()
+        if (h.isNullAt(0)) 0L else h.getLong(0)
+      }
+      val keys = Seq("q2e_substr_agg", "q2f_substr_agg", "q2g_substr_agg")
+      val rows = for (k <- keys; narrow <- Seq(false, true)) yield {
+        spark.conf.set("spark.graft.q2.intkeys", narrow.toString)
+        val trials = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val fp = fingerprint(SparkEntry.queries(k)(spark, src))
+          ((System.nanoTime() - t0) / 1e9, fp)
+        }
+        val med = trials.map(_._1).sorted.apply(1)
+        require(trials.map(_._2).distinct.size == 1, s"$k fingerprint unstable")
+        val shape = if (narrow) "int_keys" else "string_key"
+        println(f"$k%-16s $shape%-11s median $med%6.2f s " +
+          f"(${trials.map(t => f"${t._1}%.2f").mkString("/")}) fp=${trials.head._2}%d")
+        (k, shape, med, trials, trials.head._2)
+      }
+      spark.conf.unset("spark.graft.q2.intkeys")
+      keys.foreach { k =>
+        val fps = rows.filter(_._1 == k).map(_._5)
+        require(fps.distinct.size == 1, s"$k: intkeys changed the result! $fps")
+      }
+      val json = rows.map { case (k, shape, med, trials, _) =>
+        f""""${k}.$shape":{"median_secs":$med%.2f,"trials":[${trials.map(t => f"${t._1}%.2f").mkString(",")}]}"""
+      }.mkString(s"""{"sf_dir":"$src","identical_per_key":true,""", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/intkeys_probe.json"), json.getBytes)
+      println("wrote docs/intkeys_probe.json")
+      spark.stop()
+      return
+    }
+
     // AQE skew-join probe (`skew` arg): an adversarially skewed join key
     // (key 0 carries 50% of the left side) through a plain shuffled join,
     // AQE off vs on. Evidence that the runtime skew-split activates

@@ -115,14 +115,18 @@ object ReferenceQueries {
     * one counter.
     */
   def q2e(s: SparkSession, d: String): DataFrame =
-    presorted(s, Tables.lineitem(s, d)
-        .select(col("l_extendedprice"), col("l_quantity"),
-          concat(col("l_orderkey").cast("string"), lit("-"),
-            col("l_linenumber").cast("string")).as("line_key")))
-      .groupBy(col("line_key"))
-      .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
-           sum(money(col("l_quantity"))).cast("double").as("total_qty"),
-           count(lit(1)).as("n_lines"))
+    q2Grouped(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity")),
+      intKeys = Seq("l_orderkey", "l_linenumber"),
+      lineKey = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")),
+      aggs = Seq(
+        sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
+        sum(money(col("l_quantity"))).cast("double").as("total_qty"),
+        count(lit(1)).as("n_lines")))
+      .select(col("line_key"), col("total_price"), col("total_qty"),
+        col("n_lines"))
       .orderBy(col("line_key"))
 
   /** The q2e/f/g high-cardinality plan-shape lever: when
@@ -144,7 +148,8 @@ object ReferenceQueries {
     * variant was tried first: Catalyst's EliminateSorts removes a sort
     * below an aggregate, so that rule can never fire on this pattern.)
     */
-  private def presorted(s: SparkSession, keyed: DataFrame): DataFrame =
+  private def presorted(s: SparkSession, keyed: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
     if (s.conf.get("spark.graft.q2.prepartition", "true").toBoolean) {
       // Partition-count sub-lever (r9 advice): at ~14.6M groups in one
       // 32-partition wave each q2g task hash-aggregates ~456k singleton
@@ -158,8 +163,42 @@ object ReferenceQueries {
       val n = s.conf.get("spark.graft.q2.prepartition.numparts", "").trim
       val parts = if (n.nonEmpty) n.toInt
                   else 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
-      keyed.repartition(parts, col("line_key"))
+      keyed.repartition(parts, keys: _*)
     } else keyed
+
+  /** Second q2 lever (round 10): GROUP-KEY NARROWING. The declared group
+    * key `line_key` is `concat(k1,'-',k2[,'-',k3])` over non-negative
+    * integer fields — an INJECTIVE function of its inputs (the separator
+    * makes the decimal renderings unambiguous), so grouping by the raw
+    * integer columns produces exactly the same groups, and the string can
+    * be synthesized ONCE PER GROUP after the aggregate instead of once per
+    * input row before it. What that buys in the ≥10⁶-group regime: the
+    * hash aggregate hashes/compares 8-byte longs instead of ~20-byte
+    * UTF8Strings, the pre-aggregation shuffle rows carry the narrow
+    * integer key instead of the string, and the concat runs once per
+    * GROUP (14.6M at q2g/sf0.1) instead of once per input ROW (19.2M) —
+    * and the string never enters the shuffle. This is precisely the rewrite an
+    * injectivity-aware optimizer rule would derive from
+    * `GROUP BY concat(a,'-',b)`; Catalyst has no such rule, so the lever
+    * applies it at build time, conf-flagged like the prepartition lever:
+    * `spark.graft.q2.intkeys` (default true; `false` restores the
+    * string-keyed aggregate). Both shapes are fingerprint-identical —
+    * ScaleProbe `intkeys` mode times and pins them
+    * (docs/intkeys_probe.json), and Round10Spec asserts equality at
+    * sf0.001 on every q2e/f/g key.
+    */
+  private def q2Grouped(s: SparkSession, raw: DataFrame,
+      intKeys: Seq[String], lineKey: org.apache.spark.sql.Column,
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    if (s.conf.get("spark.graft.q2.intkeys", "true").toBoolean)
+      presorted(s, raw, intKeys.map(col))
+        .groupBy(intKeys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("line_key", lineKey)
+    else
+      presorted(s, raw.withColumn("line_key", lineKey), Seq(col("line_key")))
+        .groupBy(col("line_key"))
+        .agg(aggs.head, aggs.tail: _*)
 
   val q2eSql: String =
     """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_key,
@@ -178,15 +217,17 @@ object ReferenceQueries {
     * agg is effectively a re-keyed shuffle of the whole input.
     */
   def q2f(s: SparkSession, d: String): DataFrame =
-    presorted(s, Tables.lineitem(s, d)
+    q2Grouped(s, Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-          explode(expr("sequence(0, 3)")).as("rep"))
-        .withColumn("line_key", concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"), lit("-"),
-          col("rep").cast("string"))))
-      .groupBy(col("line_key"))
-      .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
-           count(lit(1)).as("n_lines"))
+          explode(expr("sequence(0, 3)")).as("rep")),
+      intKeys = Seq("l_orderkey", "l_linenumber", "rep"),
+      lineKey = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"), lit("-"),
+        col("rep").cast("string")),
+      aggs = Seq(
+        sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_lines")))
+      .select(col("line_key"), col("total_price"), col("n_lines"))
       .orderBy(col("line_key"))
 
   val q2fSql: String =
@@ -221,15 +262,16 @@ object ReferenceQueries {
     */
   def q2g(s: SparkSession, d: String): DataFrame = {
     graft.functions.StringPolyHash.register(s)
-    val groups = presorted(s, Tables.lineitem(s, d)
+    val groups = q2Grouped(s, Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-          explode(expr("sequence(0, 31)")).as("rep"))
-        .withColumn("line_key", concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"), lit("-"),
-          col("rep").cast("string"))))
-      .groupBy(col("line_key"))
-      .agg(sum(money(col("l_extendedprice"))).as("price_dec"),
-           count(lit(1)).as("n_lines"))
+          explode(expr("sequence(0, 31)")).as("rep")),
+      intKeys = Seq("l_orderkey", "l_linenumber", "rep"),
+      lineKey = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"), lit("-"),
+        col("rep").cast("string")),
+      aggs = Seq(
+        sum(money(col("l_extendedprice"))).as("price_dec"),
+        count(lit(1)).as("n_lines")))
     groups
       .groupBy(substring(col("line_key"), 1, 2).as("bucket"))
       .agg(count(lit(1)).as("n_groups"),

@@ -315,4 +315,26 @@ class Round10Spec extends SparkSpec {
     val expected = Tables.events(spark, d).count()
     assert(total === expected, s"zero-fill changed the total: $total != $expected")
   }
+
+  /** The r10 group-key-narrowing lever: concat(k1,'-',k2[,'-',k3]) over
+    * non-negative integers is injective, so grouping by the raw integer
+    * columns must be bit-identical to grouping by the string — on every
+    * q2 key that carries the lever, both flag settings.
+    */
+  test("q2 intkeys lever: narrowed group key is bit-identical on q2e/f/g") {
+    def fp(df: org.apache.spark.sql.DataFrame): Long = {
+      val h = df.withColumn("__fp", xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))
+        .agg(expr("bit_xor(__fp)")).head()
+      if (h.isNullAt(0)) 0L else h.getLong(0)
+    }
+    for (k <- Seq("q2e_substr_agg", "q2f_substr_agg", "q2g_substr_agg")) {
+      val narrow = fp(SparkEntry.queries(k)(spark, d))
+      try {
+        spark.conf.set("spark.graft.q2.intkeys", "false")
+        val stringKeyed = fp(SparkEntry.queries(k)(spark, d))
+        assert(narrow === stringKeyed,
+          s"$k: intkeys lever changed the result")
+      } finally spark.conf.unset("spark.graft.q2.intkeys")
+    }
+  }
 }

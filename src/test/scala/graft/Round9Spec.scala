@@ -65,12 +65,15 @@ class Round9Spec extends SparkSpec {
     assert(plan.contains("REPARTITION_BY_COL") ||
              plan.contains("REPARTITION_BY_NUM"),
       s"shipped shape lost the raw-row repartition:\n$plan")
-    // the two line_key HashAggregates must sit in one stage: no Exchange
+    // the two inner HashAggregates must sit in one stage: no Exchange
     // line between the partial (the later match, lower in the tree) and
-    // the final aggregate over line_key
+    // the final inner aggregate. r10: the intkeys lever narrows the inner
+    // group key from line_key to the raw integer columns, so accept
+    // either key shape (the outer bucket agg matches neither pattern).
     val lines = plan.linesIterator.toVector
     val aggIdx = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("HashAggregate(keys=[line_key") => i }
+      case (l, i) if l.contains("HashAggregate(keys=[line_key") ||
+                     l.contains("HashAggregate(keys=[l_orderkey") => i }
     assert(aggIdx.size == 2, s"expected 2 line_key aggs:\n$plan")
     assert(!lines.slice(aggIdx.min, aggIdx.max).exists(_.contains("Exchange")),
       s"exchange between partial and final line_key aggs:\n$plan")
