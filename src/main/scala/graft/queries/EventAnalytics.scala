@@ -288,12 +288,83 @@ object EventAnalytics {
       |         AS n_from_total
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  // ---- e6: SCD type-2 dimension build (validity intervals) ----
+
+  /** Slowly-changing-dimension type-2 build — the warehouse operator that
+    * turns a change-event stream into versioned rows with validity
+    * intervals. Here the tracked attribute is each user's event_type:
+    * consecutive runs of the same type (ordered by (us, event_id), a
+    * total order) collapse into one version row carrying
+    * `[valid_from_us, valid_to_us)` (half-open; NULL upper bound and
+    * is_current=true on the newest version), the 1-based version number,
+    * and the run's event count.
+    *
+    * Scale shape: ONE user_id-keyed exchange serves everything — the
+    * change-point lag(), the running-sum version stamp, the (user_id,
+    * version) aggregate (HashPartitioning(user_id) already clusters it;
+    * EnsureRequirements inserts nothing), and the lead() that closes each
+    * interval with the successor's start. Round10Spec pins the
+    * single-exchange plan. Per-user state is one row's worth in each
+    * window — nothing accumulates. The version stamp is a window
+    * SUM(int): the oracle CASTs it (and the interval bounds) to BIGINT —
+    * the r9 x57 lesson, enforced by tools/check.py's dtype gate.
+    */
+  def e6Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+             col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      // event_type is constant within a run; min() just makes the pick
+      // deterministic for the planner
+      .agg(min(col("event_type")).as("attr"),
+           min(col("us")).as("valid_from_us"),
+           count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val e6Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |           FROM events),
+      |x AS (SELECT user_id, us, event_id, event_type,
+      |        CASE WHEN LAG(event_type) OVER
+      |               (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |             OR LAG(event_type) OVER
+      |               (PARTITION BY user_id ORDER BY us, event_id)
+      |               <> event_type
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM e),
+      |y AS (SELECT user_id, us, event_type,
+      |        SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |      FROM x),
+      |g AS (SELECT user_id, version, MIN(event_type) AS attr,
+      |        MIN(us) AS valid_from_us, COUNT(*) AS n_events
+      |      FROM y GROUP BY user_id, version)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, attr,
+      |       valid_from_us, n_events,
+      |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |         AS valid_to_us,
+      |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |         IS NULL AS is_current
+      |FROM g ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_funnel"           -> (e1Funnel _),
     "e2_retention"        -> (e2Retention _),
     "e3_rolling_distinct" -> (e3RollingDistinct _),
     "e4_winsorize"        -> (e4Winsorize _),
-    "e5_transitions"      -> (e5Transitions _)
+    "e5_transitions"      -> (e5Transitions _),
+    "e6_scd2"             -> (e6Scd2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,6 +372,7 @@ object EventAnalytics {
     "e2_retention"        -> e2Sql,
     "e3_rolling_distinct" -> e3Sql,
     "e4_winsorize"        -> e4Sql,
-    "e5_transitions"      -> e5Sql
+    "e5_transitions"      -> e5Sql,
+    "e6_scd2"             -> e6Sql
   )
 }

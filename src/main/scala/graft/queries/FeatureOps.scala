@@ -129,15 +129,57 @@ object FeatureOps {
       |FROM h GROUP BY (h // 2) % 64
       |ORDER BY bucket""".stripMargin
 
+  // ---- fe4: deterministic cross-validation folds + stratification audit --
+
+  /** Hash-based k-fold assignment (k=5) with the stratification-balance
+    * audit a training pipeline stores next to the split: every doc lands
+    * in fold `knuth(doc_id) % 5` — a STATELESS, content-independent
+    * function of the stable id, so the assignment needs no shuffle, no
+    * RNG state, and reproduces bit-identically on any cluster shape (the
+    * q2d Knuth multiplicative hash; doc_id ≤ ~10⁷ keeps the product well
+    * under 2⁶³ in both engines). The declared output is the audit, not
+    * the assignment: per (lang, fold) doc counts, char totals, and each
+    * fold's integer-ppm share WITHIN its language — imbalance across
+    * folds inside a stratum is exactly what invalidates CV estimates.
+    * Output cardinality is 5 × |langs| regardless of corpus size; the
+    * per-lang total comes from a window over the already-aggregated rows
+    * (fe2's no-cross-join idiom).
+    */
+  def fe4CrossvalFolds(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(5L))
+          .as("fold"))
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .withColumn("share_ppm", expr(
+        "n_docs * 1000000L div SUM(n_docs) OVER (PARTITION BY lang)"))
+      .orderBy(col("lang"), col("fold"))
+
+  val fe4Sql: String =
+    """WITH f AS (
+      |  SELECT lang, n_chars,
+      |         (doc_id * 2654435761) % 1000000007 % 5 AS fold
+      |  FROM documents),
+      |g AS (SELECT lang, fold, COUNT(*) AS n_docs,
+      |        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      |      FROM f GROUP BY lang, fold)
+      |SELECT lang, fold, n_docs, n_chars_total,
+      |       CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY lang)
+      |         AS BIGINT) AS share_ppm
+      |FROM g ORDER BY lang, fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fe1_scale_histogram" -> (fe1ScaleHistogram _),
     "fe2_target_encode"   -> (fe2TargetEncode _),
-    "fe3_feature_hash"    -> (fe3FeatureHash _)
+    "fe3_feature_hash"    -> (fe3FeatureHash _),
+    "fe4_crossval_folds"  -> (fe4CrossvalFolds _)
   )
 
   val oracles: Map[String, String] = Map(
     "fe1_scale_histogram" -> fe1Sql,
     "fe2_target_encode"   -> fe2Sql,
-    "fe3_feature_hash"    -> fe3Sql
+    "fe3_feature_hash"    -> fe3Sql,
+    "fe4_crossval_folds"  -> fe4Sql
   )
 }

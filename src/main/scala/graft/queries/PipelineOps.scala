@@ -4264,6 +4264,51 @@ object PipelineOps {
        |       CAST((np * 1000000) // n_words AS BIGINT) AS ppw_ppm
        |FROM lw JOIN pj USING (lang) ORDER BY lang""".stripMargin
 
+  /** BPE tokenizer TRAINING, inner loop (Sennrich et al. 2016): count
+    * adjacent symbol pairs across the corpus, weighted by word frequency
+    * — the statistic whose argmax becomes the next merge rule. This is
+    * the step a tokenizer-training pipeline fans out over the full
+    * corpus, and its scale shape is the whole point: the corpus-sized
+    * explode feeds ONE word-keyed aggregate whose output is the DISTINCT
+    * word-frequency table (vocabulary-sized, Zipf-bounded — it grows
+    * sublinearly while the corpus grows linearly), and every per-word
+    * pair enumeration after that is per-DISTINCT-word work. At 100 TB the
+    * expensive side (pair explosion × positions) never touches the raw
+    * corpus again. The initial symbol alphabet is single characters, so
+    * iteration-1 pairs are exactly `substring(w, i, 2)`; the declared
+    * output is the top-50 merge candidates by total occurrence count with
+    * a total (n DESC, pair ASC) order — TakeOrderedAndProject, no global
+    * sort — plus the distinct-word support count that separates
+    * high-frequency-word pairs from broadly-supported ones.
+    */
+  def x62BpePairCounts(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf.select(col("w"), col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), " +
+          "i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_occurrences"),
+           count_distinct(col("w")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(50)
+  }
+
+  val x62Sql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, COUNT(*) AS freq FROM words
+      |       WHERE len(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT w, freq, substr(w, CAST(i AS INTEGER), 2) AS pair
+      |  FROM wf, LATERAL unnest(range(1, len(w))) t(i))
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+      |       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |FROM pairs GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin
+
   /** x35's chunking twin with TRUE token windows: fixed-size windows with
     * overlap over the SUBWORD piece sequence instead of whitespace words —
     * the geometry an actual context-length budget produces. Same
@@ -4327,6 +4372,7 @@ object PipelineOps {
     "x45_hybrid_rrf" -> (x45HybridRrf _),
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x61_vocab_coverage" -> (x61VocabCoverage _),
+    "x62_bpe_pair_counts" -> (x62BpePairCounts _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
@@ -4405,6 +4451,7 @@ object PipelineOps {
     "x45_hybrid_rrf" -> x45Sql,
     "x38b_top_pieces"    -> x38bSql,
     "x61_vocab_coverage" -> x61Sql,
+    "x62_bpe_pair_counts" -> x62Sql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
     "x1c_cosine_block"   -> x1cSql,

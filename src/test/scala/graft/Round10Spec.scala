@@ -337,4 +337,64 @@ class Round10Spec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.q2.intkeys")
     }
   }
+
+  test("e6 SCD2: contiguous versions, chained intervals, one current row " +
+       "per user, no same-attr adjacent versions, one user exchange") {
+    val df = EventAnalytics.e6Scd2(spark, d)
+    // plan hygiene: the lag/sum windows, the (user_id, version) agg, and
+    // the lead() interval close must all ride ONE user_id-keyed exchange
+    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges")
+    val byUser = df.collect().groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ===
+        (1L to sorted.length.toLong), s"user $u versions not contiguous")
+      // half-open intervals chain: valid_to == successor's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"),
+            s"user $u: interval chain broken at version ${a.getAs[Long]("version")}")
+          assert(a.getAs[String]("attr") !== b.getAs[String]("attr"),
+            s"user $u: adjacent versions share attr — run collapse failed")
+        case _ => ()
+      }
+      assert(rows.count(_.getAs[Boolean]("is_current")) === 1,
+        s"user $u: not exactly one current version")
+      assert(sorted.last.getAs[Boolean]("is_current"),
+        s"user $u: current flag not on the last version")
+    }
+    // every event is accounted for by exactly one version row
+    val total = byUser.values.flatten.map(_.getAs[Long]("n_events")).sum
+    assert(total === Tables.events(spark, d).count())
+  }
+
+  test("fe4 folds: complete partition of the corpus, in-range folds, " +
+       "per-lang shares floor-sum to at most 1e6") {
+    val rows = graft.queries.FeatureOps.fe4CrossvalFolds(spark, d).collect()
+    assert(rows.forall { r =>
+      val f = r.getAs[Long]("fold"); f >= 0 && f < 5 })
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, d).count(),
+      "fold assignment dropped or duplicated documents")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val share = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(share <= 1000000L && share > 1000000L - rs.length,
+        s"$lang: floor-ppm shares sum to $share")
+    }
+  }
+
+  test("x62 BPE pairs: 2-char pairs, descending counts, support bounds") {
+    val rows = graft.queries.PipelineOps.x62BpePairCounts(spark, d).collect()
+    assert(rows.length === 50)
+    assert(rows.forall(_.getAs[String]("pair").length === 2))
+    val counts = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "top-50 not count-descending")
+    assert(rows.forall(r => r.getAs[Long]("n_words") >= 1 &&
+      r.getAs[Long]("n_words") <= r.getAs[Long]("n_occurrences")),
+      "distinct-word support outside [1, n_occurrences]")
+  }
 }
