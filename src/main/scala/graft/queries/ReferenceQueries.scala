@@ -187,18 +187,37 @@ object ReferenceQueries {
     * (docs/intkeys_probe.json), and Round10Spec asserts equality at
     * sf0.001 on every q2e/f/g key.
     */
+  /** `amplify` > 1 marks the q2f/q2g in-plan replication: `raw` arrives
+    * WITHOUT the `rep` column and the narrowed path explodes
+    * `sequence(0, amplify-1)` AFTER the repartition — the replication
+    * commutes with the exchange because hash(k1, k2) already co-locates
+    * every (k1, k2, rep) replica, so the shuffle moves the natural rows
+    * (600k at q2g/sf0.1) instead of the amplified stream (19.2M): 32×
+    * less shuffle I/O feeding the SAME 14.6M-group aggregate — the
+    * declared group-cardinality stress is untouched, only the transport
+    * of identical replicas is. The string-keyed stress shape keeps the
+    * explode above the exchange (the full re-keyed-shuffle pathology the
+    * spill probes pin).
+    */
   private def q2Grouped(s: SparkSession, raw: DataFrame,
       intKeys: Seq[String], lineKey: org.apache.spark.sql.Column,
-      aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
-    if (s.conf.get("spark.graft.q2.intkeys", "true").toBoolean)
-      presorted(s, raw, intKeys.map(col))
+      aggs: Seq[org.apache.spark.sql.Column], amplify: Int = 1): DataFrame = {
+    def amplified(df: DataFrame): DataFrame =
+      if (amplify > 1)
+        df.withColumn("rep", explode(expr(s"sequence(0, ${amplify - 1})")))
+      else df
+    if (s.conf.get("spark.graft.q2.intkeys", "true").toBoolean) {
+      val baseKeys = intKeys.filterNot(_ == "rep")
+      amplified(presorted(s, raw, baseKeys.map(col)))
         .groupBy(intKeys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("line_key", lineKey)
-    else
-      presorted(s, raw.withColumn("line_key", lineKey), Seq(col("line_key")))
+    } else
+      presorted(s, amplified(raw).withColumn("line_key", lineKey),
+          Seq(col("line_key")))
         .groupBy(col("line_key"))
         .agg(aggs.head, aggs.tail: _*)
+  }
 
   val q2eSql: String =
     """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_key,
@@ -218,8 +237,8 @@ object ReferenceQueries {
     */
   def q2f(s: SparkSession, d: String): DataFrame =
     q2Grouped(s, Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-          explode(expr("sequence(0, 3)")).as("rep")),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      amplify = 4,
       intKeys = Seq("l_orderkey", "l_linenumber", "rep"),
       lineKey = concat(col("l_orderkey").cast("string"), lit("-"),
         col("l_linenumber").cast("string"), lit("-"),
@@ -263,8 +282,8 @@ object ReferenceQueries {
   def q2g(s: SparkSession, d: String): DataFrame = {
     graft.functions.StringPolyHash.register(s)
     val groups = q2Grouped(s, Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-          explode(expr("sequence(0, 31)")).as("rep")),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      amplify = 32,
       intKeys = Seq("l_orderkey", "l_linenumber", "rep"),
       lineKey = concat(col("l_orderkey").cast("string"), lit("-"),
         col("l_linenumber").cast("string"), lit("-"),
