@@ -285,6 +285,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(NarrowGroupKeyRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NarrowGroupKeyRewrite
     if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ CosineTopKStrategy

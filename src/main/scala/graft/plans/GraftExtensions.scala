@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     // flag-gated (spark.graft.rangeJoin.bucket) — a no-op unless opted in
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // flag-gated (spark.graft.narrowGroupKey) — a no-op unless opted in
+    e.injectOptimizerRule(_ => NarrowGroupKeyRewrite)
     e.injectPlannerStrategy(_ => CosineTopKStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_polyhash"),

@@ -324,6 +324,51 @@ object ReferenceQueries {
       |            c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003)) AS BIGINT) AS key_checksum
       |FROM g GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY bucket""".stripMargin
 
+  // ---- q2h: group-key narrowing via the OPTIMIZER RULE (declared naive) --
+
+  /** q2e's shape DECLARED with the string concat group key — no build-time
+    * lever — and planned by the flag-gated
+    * [[graft.plans.NarrowGroupKeyRewrite]]: the rule proves the engine can
+    * derive the q2 `intkeys` narrowing from the naive declaration, exactly
+    * as j10 proves the range-join rewrite the j6 composition does by hand.
+    * Distinct aggregate list from q2e (qty only) keeps the two keys'
+    * outputs distinct. The oracle checks the REWRITTEN plan's results;
+    * PlanRewriteSpec asserts the optimized plan actually lost the
+    * concat-backed grouping. j10's flag scoping applies verbatim: the
+    * flag-dependent plan is EXECUTED inside the scope (materialized to the
+    * data-stamped scratch layout) so no other query ever sees the flag.
+    */
+  private[graft] def q2hRaw(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("line_key"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("total_qty"),
+           count(lit(1)).as("n_lines"))
+
+  def q2hNarrowRule(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftPlanner.install(s)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${graft.Scratch.dir(s)}/graft_q2h_out_$tag"
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/lineitem.parquet"), path) {
+      val flag = graft.plans.NarrowGroupKeyRewrite.Flag
+      val prev = s.conf.getOption(flag)
+      s.conf.set(flag, "true")
+      try q2hRaw(s, d).write.mode("overwrite").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None    => s.conf.unset(flag)
+      }
+    }
+    graft.Tables.cachedParquet(s, path).orderBy(col("line_key"))
+  }
+
+  val q2hSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_key,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY 1 ORDER BY line_key""".stripMargin
+
   private def q2Sql(prefixLen: Int): String =
     s"""SELECT substr(o_orderpriority, 1, $prefixLen) AS prio_prefix,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -527,6 +572,7 @@ object ReferenceQueries {
     "sql2_q3_text"     -> (viaSql(sql2Q3Text) _),
     "sql2_q5_text"     -> (viaSql(sql2Q5Text) _),
     "q2g_substr_agg"   -> (q2g _),
+    "q2h_narrow_rule"  -> (q2hNarrowRule _),
     "q1a_scan_filter" -> (q1a _),
     "q1b_scan_filter" -> (q1b _),
     "q1c_scan_filter" -> (q1c _),
@@ -556,6 +602,7 @@ object ReferenceQueries {
     "q2e_substr_agg"  -> q2eSql,
     "q2f_substr_agg"  -> q2fSql,
     "q2g_substr_agg"  -> q2gSql,
+    "q2h_narrow_rule" -> q2hSql,
     "sql1_text_parity" -> sql1Text,
     "sql2_q1_text"    -> sql2Q1Text,
     "sql2_q2_text"    -> sql2Q2Text,

@@ -260,4 +260,110 @@ class PlanRewriteSpec extends SparkSpec {
       assert(ok.count() === 1L)
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.Flag)
   }
+
+  test("NarrowGroupKeyRewrite: concat group key narrows to the raw integer " +
+       "columns with identical results, including the negative domain") {
+    GraftPlanner.install(spark)
+    // negative fields exercise the injectivity proof's hard case:
+    // a=1,b=-2 -> "1--2" and a=-1,b=2 -> "-1-2" must stay distinct groups
+    val df = spark.range(0, 1000)
+      .selectExpr("(id % 5) - 2 AS a", "(id % 7) - 3 AS b", "id AS v")
+    def q = df.groupBy(concat(col("a").cast("string"), lit("-"),
+        col("b").cast("string")).as("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+    spark.conf.set(graft.plans.NarrowGroupKeyRewrite.Flag, "true")
+    val narrowed = try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Aggregate [_graft_narrowkey_0"),
+        s"rule did not narrow the grouping:\n$plan")
+      val aggLine = plan.linesIterator
+        .find(_.trim.startsWith("Aggregate")).getOrElse("")
+      assert(!aggLine.contains("_groupingexpression"),
+        s"concat-backed key survived as the group key:\n$plan")
+      q.collect()
+    } finally spark.conf.unset(graft.plans.NarrowGroupKeyRewrite.Flag)
+    val declared = q.collect()
+    assert(narrowed.sameElements(declared),
+      "narrowing changed the aggregate's results")
+    assert(declared.length === 35, "fixture should have 5*7 groups")
+  }
+
+  test("NarrowGroupKeyRewrite bails on every unsound shape") {
+    GraftPlanner.install(spark)
+    import spark.implicits._
+    def grouped(df: org.apache.spark.sql.DataFrame,
+        key: org.apache.spark.sql.Column) =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+    def firesOn(df: org.apache.spark.sql.DataFrame,
+        key: org.apache.spark.sql.Column): Boolean =
+      grouped(df, key).queryExecution.optimizedPlan.toString
+        .contains("_graft_narrowkey")
+    spark.conf.set(graft.plans.NarrowGroupKeyRewrite.Flag, "true")
+    try {
+      val ints = spark.range(0, 100).selectExpr("id % 3 AS a", "id % 4 AS b")
+      // the sound shape DOES fire (sanity for the bail assertions below)
+      assert(firesOn(ints,
+        concat(col("a").cast("string"), lit("-"), col("b").cast("string"))))
+      // digit separator: "1" + "2"+"3" vs "12" + "3" would collide
+      assert(!firesOn(ints,
+        concat(col("a").cast("string"), lit("7"), col("b").cast("string"))))
+      // no separator at all
+      assert(!firesOn(ints,
+        concat(col("a").cast("string"), col("b").cast("string"))))
+      // multi-char separator (unproven in general — must bail)
+      assert(!firesOn(ints,
+        concat(col("a").cast("string"), lit("--"), col("b").cast("string"))))
+      // non-integral field: string columns concat is not injective
+      val strs = Seq(("x", "y"), ("x-y", "")).toDF("a", "b")
+      assert(!firesOn(strs, concat(col("a"), lit("-"), col("b"))))
+      // nullable field: Concat nulls the whole key, merging all
+      // null-field rows into ONE group — the null-correct wrapper must
+      // keep that exact shape: every (null, b) row shares one group.
+      // Parquet round-trip: local-relation inputs get their Project
+      // folded (ConvertToLocalRelation) and CASE-built nulls get the
+      // cast pushed into the branches (the rule conservatively bails on
+      // both); parquet attributes are the real nullable-column shape.
+      val nullPath = s"${graft.Scratch.dir(spark)}/narrow_null_fixture"
+      spark.range(0, 12).selectExpr(
+          "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 3 END AS a",
+          "id % 2 AS b")
+        .write.mode("overwrite").parquet(nullPath)
+      val nullable = spark.read.parquet(nullPath)
+      val key = concat(col("a").cast("string"), lit("-"),
+        col("b").cast("string"))
+      assert(firesOn(nullable, key))
+      val nullRows = grouped(nullable, key).collect()
+      assert(nullRows.count(_.isNullAt(0)) === 1, "null semantics drifted")
+      assert(nullRows.find(_.isNullAt(0)).get.getAs[Long]("n") === 4,
+        "null-key group lost a row")
+      assert(nullRows.length === 5)
+    } finally spark.conf.unset(graft.plans.NarrowGroupKeyRewrite.Flag)
+  }
+
+  test("q2h: the declared-naive concat group key plans narrowed, " +
+       "matching the unrewritten results") {
+    GraftPlanner.install(spark)
+    val d = TestSpark.sf0001
+    def raw = graft.queries.ReferenceQueries.q2hRaw(spark, d)
+    // flag off: the concat-backed grouping ships as declared
+    assert(!raw.queryExecution.optimizedPlan.toString
+      .contains("_graft_narrowkey"))
+    val declared = raw.orderBy(col("line_key")).collect()
+    spark.conf.set(graft.plans.NarrowGroupKeyRewrite.Flag, "true")
+    val narrowed = try {
+      val qe = raw.queryExecution
+      assert(qe.optimizedPlan.toString.contains("_graft_narrowkey"),
+        s"rule did not fire on q2h:\n${qe.optimizedPlan}")
+      val phys = qe.executedPlan.toString
+      assert(phys.contains("HashAggregate(keys=[_graft_narrowkey") ||
+             phys.contains("HashAggregate(keys=[knownfloatingpointnormalized") ||
+             phys.split("\n").exists(l => l.contains("HashAggregate") &&
+               l.contains("_graft_narrowkey")),
+        s"physical agg not keyed on the narrowed columns:\n$phys")
+      raw.orderBy(col("line_key")).collect()
+    } finally spark.conf.unset(graft.plans.NarrowGroupKeyRewrite.Flag)
+    assert(narrowed.sameElements(declared),
+      "q2h narrowing changed the results")
+  }
 }
