@@ -2956,8 +2956,16 @@ object PipelineOps {
     x27SimhashNeardup(s, d)
       .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-      .withColumn("edit", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("edit") * 5 <= greatest(length(col("ta")), length(col("tb"))))
+      // BANDED Levenshtein: the verification only needs distances up to
+      // the keep cutoff floor(maxlen/5), and Spark's 3-arg levenshtein
+      // runs the banded O(threshold·len) algorithm and returns -1 beyond
+      // it — so `edit >= 0` is exactly the original `edit*5 <= maxlen`
+      // keep-filter, kept distances are the true distances, and the
+      // per-pair kernel drops from O(len²) to O(len·len/5). The cutoff is
+      // part of the declared semantics, so banding loses nothing.
+      .withColumn("edit", expr("levenshtein(ta, tb, " +
+        "cast(greatest(length(ta), length(tb)) div 5 as int))").cast("long"))
+      .filter(col("edit") >= 0)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
