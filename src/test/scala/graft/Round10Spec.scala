@@ -386,6 +386,26 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  /** The r10 replication pushdown: q2g's amplification explode must sit
+    * ABOVE the repartition exchange (the shuffle moves natural rows, the
+    * replicas are generated locally after), and the inner aggregate still
+    * groups at full amplified cardinality.
+    */
+  test("q2g replication pushdown: explode above the exchange") {
+    val plan = SparkEntry.queries("q2g_substr_agg")(spark, d)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    val exch = lines.indexWhere(l => l.contains("Exchange") &&
+      (l.contains("REPARTITION_BY_NUM") || l.contains("REPARTITION_BY_COL")))
+    assert(gen >= 0, s"no explode in the plan:\n$plan")
+    assert(exch >= 0, s"no repartition exchange in the plan:\n$plan")
+    // tree prints root-first: the generate must be ABOVE (closer to the
+    // agg) than the exchange, i.e. appear EARLIER in the printout
+    assert(gen < exch,
+      s"explode sits below the exchange — amplified rows are shuffled:\n$plan")
+  }
+
   test("x62 BPE pairs: 2-char pairs, descending counts, support bounds") {
     val rows = graft.queries.PipelineOps.x62BpePairCounts(spark, d).collect()
     assert(rows.length === 50)
