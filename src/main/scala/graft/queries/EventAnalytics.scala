@@ -358,7 +358,83 @@ object EventAnalytics {
       |         IS NULL AS is_current
       |FROM g ORDER BY user_id, version""".stripMargin
 
+  // ---- e7: multi-touch attribution (first / last / linear) ----
+
+  /** Marketing attribution over the touch→conversion graph: every
+    * purchase credits the user's preceding view/click touches inside a
+    * 7-day lookback, under the three standard models at once —
+    * first-touch, last-touch, and linear (equal split). Output is the
+    * per-channel credit ledger: first/last counts, touch volume, and
+    * linear credit in exact integer micro-credits (each of a purchase's
+    * k touches earns `1000000 div k`; integer floor division replays
+    * identically in DuckDB, and per-purchase credit conservation is
+    * within k-1 micro-units of 10⁶ by construction — Round10Spec pins
+    * both).
+    *
+    * Scale shape: the touch↔purchase pairing is a user_id-keyed
+    * equi-join with the lookback interval as residual (touches per user
+    * per window bound the blowup — the lookback IS the state bound),
+    * then the three models share ONE purchase-keyed exchange: both
+    * row_number orders and the per-purchase count ride the same window
+    * partition. The final channel rollup is a few-row aggregate.
+    */
+  private val E7LookbackUs = 7L * 24 * 3600 * 1000000 // 7 days in µs
+
+  def e7Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"),
+        col("event_id").as("purchase_id"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("us").as("t_us"),
+        col("event_id").as("touch_id"), col("event_type").as("channel"))
+    val w = Window.partitionBy(col("purchase_id"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") &&
+              col("t_us") >= col("p_us") - lit(E7LookbackUs))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("rn_first",
+        row_number().over(w.orderBy(col("t_us"), col("touch_id"))))
+      .withColumn("rn_last",
+        row_number().over(w.orderBy(col("t_us").desc, col("touch_id").desc)))
+      .groupBy(col("channel"))
+      .agg(sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("n_first"),
+           sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("n_last"),
+           count(lit(1)).as("n_touches"),
+           sum(expr("1000000L div k")).as("linear_micro"))
+      .orderBy(col("channel"))
+  }
+
+  val e7Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |            FROM events),
+      |p AS (SELECT user_id, us AS p_us, event_id AS purchase_id FROM ev
+      |      WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, us AS t_us, event_id AS touch_id,
+      |             event_type AS channel FROM ev
+      |      WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT p.purchase_id, t.channel, t.t_us, t.touch_id
+      |      FROM p JOIN t USING (user_id)
+      |      WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+      |r AS (SELECT purchase_id, channel,
+      |        COUNT(*) OVER (PARTITION BY purchase_id) AS k,
+      |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |          ORDER BY t_us, touch_id) AS rn_first,
+      |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |          ORDER BY t_us DESC, touch_id DESC) AS rn_last
+      |      FROM j)
+      |SELECT channel,
+      |       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_first,
+      |       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_last,
+      |       COUNT(*) AS n_touches,
+      |       CAST(SUM(1000000 // k) AS BIGINT) AS linear_micro
+      |FROM r GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_attribution"      -> (e7Attribution _),
     "e1_funnel"           -> (e1Funnel _),
     "e2_retention"        -> (e2Retention _),
     "e3_rolling_distinct" -> (e3RollingDistinct _),
@@ -368,6 +444,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_attribution"      -> e7Sql,
     "e1_funnel"           -> e1Sql,
     "e2_retention"        -> e2Sql,
     "e3_rolling_distinct" -> e3Sql,

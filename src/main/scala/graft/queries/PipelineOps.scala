@@ -172,6 +172,15 @@ object PipelineOps {
     * minhash permutations, 4×4 LSH banding, exact-Jaccard verification of
     * bucket collisions only.
     */
+  /** Per-doc distinct word-3-gram polyhash shingle set, over a `toks`
+    * array column — the ONE definition x3/x58's machinery and x63's
+    * ground-truth side share.
+    */
+  private val ShingleHashExpr =
+    "array_distinct(transform(" +
+      "transform(sequence(1, size(toks)-2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
+      "s -> graft_polyhash(s)))"
   /** Shared minhash machinery for x3 (self-join near-dup) and x58
     * (train-vs-eval fuzzy decontam): per-doc distinct 3-gram polyhash
     * shingles (`hashed`, persisted — the CALLER must hand it to
@@ -189,12 +198,8 @@ object PipelineOps {
     // array) before explode — no shuffle needed for per-doc set semantics.
     // The result feeds three consumers (minhash+sizes, exact intersection
     // twice); persist so the tokenize+hash pipeline runs once per action.
-    val hashed = docs.select(col("doc_id"), explode(expr(
-      "array_distinct(transform(" +
-        "transform(sequence(1, size(toks)-2), " +
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))), " +
-        "s -> graft_polyhash(s)))"
-    )).as("h"))
+    val hashed = docs.select(col("doc_id"),
+        explode(expr(ShingleHashExpr)).as("h"))
       .persist()
 
     // one pass computes all 16 minima AND the set size (sizes reused by the
@@ -4317,6 +4322,104 @@ object PipelineOps {
       |FROM pairs GROUP BY pair
       |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin
 
+  // ===== x63: minhash-banding recall audit vs exact ground truth ==========
+
+  /** The dedup twin of x40's ANN-recall audit: MEASURE what the 4×4
+    * banding actually recalls, per true-Jaccard decile, against exact
+    * all-pairs ground truth on a pinned constant-size block (doc_id <
+    * 1000 — the x1c bounded-exact pattern; all-pairs truth is quadratic,
+    * so the block size is an absolute constant, never a corpus
+    * fraction). Theory says band collision probability is the s-curve
+    * 1-(1-J⁴)⁴ — ≈10% at J=0.4, ≈99% at J=0.9 — so x3's verified output
+    * under-recalls near its own 0.4 threshold; this key turns that
+    * liability into an oracle-checked NUMBER per decile (recall in
+    * integer ppm; the decile is exact integer arithmetic
+    * `(10·n_common) div union`, top decile capped at 9 so [0.9, 1.0]
+    * shares a row). A pipeline owner reads this table to pick
+    * bands × rows for their threshold. The found side is x3's REAL
+    * output restricted to the block (pairs inside the block collide in
+    * bands independently of the rest of the corpus, so the restriction
+    * is exact).
+    */
+  private val X63Block = 1000L
+
+  def x63DedupRecall(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val hashed = Tables.documents(s, d)
+      .filter(col("doc_id") < X63Block)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
+    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = hashed.as("ta").join(hashed.as("tb"),
+        col("ta.h") === col("tb.h") && col("ta.doc_id") < col("tb.doc_id"))
+      .select(col("ta.doc_id").as("doc_a"), col("tb.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("sa.n") + col("sb.n") - col("n_common")).as("un"))
+      // J >= 0.4 in exact integers: 5·n_common >= 2·union
+      .filter(col("n_common") * 5 >= col("un") * 2)
+      .withColumn("bucket",
+        least(expr("(n_common * 10) div un"), lit(9L)))
+    val found = x3MinhashNeardup(s, d)
+      .filter(col("doc_a") < X63Block && col("doc_b") < X63Block)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_ppm", expr("n_found * 1000000L div n_truth"))
+      .orderBy(col("bucket"))
+  }
+
+  val x63Sql: String = {
+    s"""WITH $minhashCtesSql,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh ha ON ha.doc_id = c.doc_a
+       |  JOIN sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY c.doc_a, c.doc_b),
+       |found AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |          >= $JaccThreshold
+       |    AND i.doc_a < $X63Block AND i.doc_b < $X63Block),
+       |bsh AS (SELECT * FROM sh WHERE doc_id < $X63Block),
+       |bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+       |tinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM bsh a JOIN bsh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b, n_common,
+       |         sa.n + sb.n - n_common AS un
+       |  FROM tinter
+       |  JOIN bsizes sa ON sa.doc_id = tinter.doc_a
+       |  JOIN bsizes sb ON sb.doc_id = tinter.doc_b
+       |  WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 2)
+       |SELECT LEAST((n_common * 10) // un, 9) AS bucket,
+       |       COUNT(*) AS n_truth,
+       |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_found,
+       |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |         * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** x35's chunking twin with TRUE token windows: fixed-size windows with
     * overlap over the SUBWORD piece sequence instead of whitespace words —
     * the geometry an actual context-length budget produces. Same
@@ -4381,6 +4484,7 @@ object PipelineOps {
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x62_bpe_pair_counts" -> (x62BpePairCounts _),
+    "x63_dedup_recall"   -> (x63DedupRecall _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
@@ -4460,6 +4564,7 @@ object PipelineOps {
     "x38b_top_pieces"    -> x38bSql,
     "x61_vocab_coverage" -> x61Sql,
     "x62_bpe_pair_counts" -> x62Sql,
+    "x63_dedup_recall"   -> x63Sql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
     "x1c_cosine_block"   -> x1cSql,

@@ -406,6 +406,38 @@ class Round10Spec extends SparkSpec {
       s"explode sits below the exchange — amplified rows are shuffled:\n$plan")
   }
 
+  test("e7 attribution: one first and one last per purchase, linear " +
+       "credit conserved within integer floor slack") {
+    val rows = EventAnalytics.e7Attribution(spark, d).collect()
+    val nFirst = rows.map(_.getAs[Long]("n_first")).sum
+    val nLast = rows.map(_.getAs[Long]("n_last")).sum
+    val nTouch = rows.map(_.getAs[Long]("n_touches")).sum
+    val linear = rows.map(_.getAs[Long]("linear_micro")).sum
+    assert(nFirst > 0, "no attributed purchase — fixture assumption broke")
+    assert(nFirst === nLast,
+      "every attributed purchase has exactly one first and one last touch")
+    // per purchase, k touches earn k * (1e6 div k) micro-credits: at most
+    // 1e6, short by at most k-1 — summed over P purchases the total sits
+    // in [1e6*P - (T - P), 1e6*P]
+    assert(linear <= 1000000L * nFirst, "linear credit over-attributed")
+    assert(linear >= 1000000L * nFirst - (nTouch - nFirst),
+      "linear credit leaked more than the integer-floor slack")
+  }
+
+  test("x63 dedup-recall audit: buckets in the threshold range, found " +
+       "never exceeds truth, ppm arithmetic exact") {
+    val rows = graft.queries.PipelineOps.x63DedupRecall(spark, d).collect()
+    assert(rows.nonEmpty, "no truth pairs in the audited block")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 4 && b <= 9, s"decile $b outside the J>=0.4 range")
+      val t = r.getAs[Long]("n_truth"); val f = r.getAs[Long]("n_found")
+      assert(f >= 0 && f <= t, "found pairs exceed ground truth")
+      assert(r.getAs[Long]("recall_ppm") === f * 1000000L / t,
+        "recall ppm drifted from exact integer arithmetic")
+    }
+  }
+
   test("x62 BPE pairs: 2-char pairs, descending counts, support bounds") {
     val rows = graft.queries.PipelineOps.x62BpePairCounts(spark, d).collect()
     assert(rows.length === 50)
