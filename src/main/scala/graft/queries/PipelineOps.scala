@@ -4420,6 +4420,62 @@ object PipelineOps {
        |GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ===== x65: skip-gram co-occurrence counts ==============================
+
+  /** Windowed skip-gram co-occurrence counting — the statistic embedding
+    * training consumes (word2vec's (center, context) pair stream, GloVe's
+    * co-occurrence matrix). Distinct from x55: x55 counts ADJACENT bigrams
+    * and ranks by PMI through two vocabulary joins; this key counts every
+    * ordered pair within a ±3-token window with GloVe's distance
+    * discount, and needs NO join at all — pair enumeration happens inside
+    * the row (nested `transform` over the token array, bounded by
+    * window·|toks| so output is linear in corpus token count), and the
+    * only shuffle is ONE word-pair-keyed aggregation with map-side
+    * partial combine. That single-shuffle shape is the whole 100 TB
+    * story: co-occurrence counting over a petabyte corpus is exactly one
+    * wordcount-shaped pass, and the `n_cooc >= 5` min-count filter
+    * happens post-aggregate (it cannot be pushed below the count — but
+    * the partial aggregate already bounds what the exchange carries to
+    * one row per (partition, pair)).
+    *
+    * Distance weighting in exact integers: context at distance d gets
+    * weight (4 - d) ∈ {3, 2, 1} — the same monotone-decreasing ranking as
+    * GloVe's 1/d discount but in exact integer arithmetic, so both
+    * engines order identically with ties broken on the pair itself.
+    */
+  def x65SkipgramCooc(s: SparkSession, d: String): DataFrame = {
+    val win = 3
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(toks) - 1), i ->
+           |  transform(sequence(1, least($win, size(toks) - i)), d ->
+           |    struct(element_at(toks, i) AS wa,
+           |           element_at(toks, i + d) AS wb,
+           |           CAST(${win + 1} - d AS BIGINT) AS wgt))))""".stripMargin))
+        .as("p"))
+      .select(col("p.wa"), col("p.wb"), col("p.wgt"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("n_cooc"), sum(col("wgt")).as("w_cooc"))
+      .filter(col("n_cooc") >= 5)
+      .orderBy(col("w_cooc").desc, col("wa"), col("wb"))
+      .limit(30)
+  }
+
+  val x65Sql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |pos AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+      |p AS (
+      |  SELECT toks[i] AS wa, toks[i + d.d] AS wb, 4 - d.d AS wgt
+      |  FROM pos, (SELECT unnest(range(1, 4)) AS d) d
+      |  WHERE i + d.d <= len(toks))
+      |SELECT wa, wb, COUNT(*) AS n_cooc,
+      |       CAST(SUM(wgt) AS BIGINT) AS w_cooc
+      |FROM p GROUP BY wa, wb HAVING COUNT(*) >= 5
+      |ORDER BY w_cooc DESC, wa, wb LIMIT 30""".stripMargin
+
   /** x35's chunking twin with TRUE token windows: fixed-size windows with
     * overlap over the SUBWORD piece sequence instead of whitespace words —
     * the geometry an actual context-length budget produces. Same
@@ -4485,6 +4541,7 @@ object PipelineOps {
     "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x62_bpe_pair_counts" -> (x62BpePairCounts _),
     "x63_dedup_recall"   -> (x63DedupRecall _),
+    "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
@@ -4565,6 +4622,7 @@ object PipelineOps {
     "x61_vocab_coverage" -> x61Sql,
     "x62_bpe_pair_counts" -> x62Sql,
     "x63_dedup_recall"   -> x63Sql,
+    "x65_skipgram_cooc"  -> x65Sql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
     "x1c_cosine_block"   -> x1cSql,

@@ -76,7 +76,8 @@ class AuditSpec extends SparkSpec {
         "x51_heavy_hitters", // two single-row broadcasts: CMS bytes + total count
         "x52_ndcg", // x1b's 10-query ground-truth panel + x12c's 16-centroid broadcast
         "x48_epoch_shuffle", // 3-row epoch table broadcast (ShufEpochs constant)
-        "x55_pmi_collocations") // single-row total-token-count broadcast (x19's avgdl shape)
+        "x55_pmi_collocations", // single-row total-token-count broadcast (x19's avgdl shape)
+        "x64_triangle_count") // two single-row global aggregates cross-joined (edge count × wedge/triangle counts)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet

@@ -449,4 +449,54 @@ class Round10Spec extends SparkSpec {
       r.getAs[Long]("n_words") <= r.getAs[Long]("n_occurrences")),
       "distinct-word support outside [1, n_occurrences]")
   }
+
+  test("x64 triangle count matches a driver-side exact recompute") {
+    val row = graft.queries.GraphOps.x64TriangleCount(spark, d).collect()
+    assert(row.length === 1)
+    val (nE, nW, nT) = (row(0).getAs[Long]("n_edges"),
+      row(0).getAs[Long]("n_wedges"), row(0).getAs[Long]("n_triangles"))
+    assert(nE > 0 && nW >= nT && nT >= 0)
+    // exact recompute: adjacency sets from the same co-purchase pairs;
+    // each triangle has exactly 3 edges, so sum |N(a) ∩ N(b)| over
+    // edges (a,b) counts every triangle exactly 3 times
+    val op = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(nE === edges.size.toLong, "edge count drifted")
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val tri3 = edges.iterator.map { case (a, b) => (adj(a) & adj(b)).size }.sum
+    assert(tri3 % 3 === 0, "triangle-incidence sum not divisible by 3")
+    assert(nT === tri3.toLong / 3, "triangle count drifted from exact")
+  }
+
+  test("x65 skip-gram co-occurrence matches a driver-side exact recompute") {
+    val rows = graft.queries.PipelineOps.x65SkipgramCooc(spark, d).collect()
+    assert(rows.length === 30)
+    val w = rows.map(_.getAs[Long]("w_cooc"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b },
+      "top-30 not weight-descending")
+    // exact recompute of the full (wa, wb) -> (count, weight) table
+    val counts = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    Tables.documents(spark, d).select(col("text")).collect().foreach { r =>
+      val toks = r.getString(0).split(" ", -1)
+      for (i <- toks.indices; dd <- 1 to 3 if i + dd < toks.length) {
+        val k = (toks(i), toks(i + dd))
+        val (c, ww) = counts.getOrElse(k, (0L, 0L))
+        counts(k) = (c + 1, ww + (4 - dd))
+      }
+    }
+    val expected = counts.iterator
+      .filter(_._2._1 >= 5)
+      .map { case ((wa, wb), (c, ww)) => (wa, wb, c, ww) }.toSeq
+      .sortBy { case (wa, wb, _, ww) => (-ww, wa, wb) }.take(30)
+    val got = rows.map(r => (r.getAs[String]("wa"), r.getAs[String]("wb"),
+      r.getAs[Long]("n_cooc"), r.getAs[Long]("w_cooc"))).toSeq
+    assert(got === expected, "top-30 drifted from exact recompute")
+  }
 }
