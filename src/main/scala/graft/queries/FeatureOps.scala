@@ -169,17 +169,117 @@ object FeatureOps {
       |         AS BIGINT) AS share_ppm
       |FROM g ORDER BY lang, fold""".stripMargin
 
+  // ---- fe5: contingency lift (feature-association audit) ---------------
+
+  /** Observed-vs-expected lift table between the binned event value and
+    * the event type — the exact-integer core of the chi²/mutual-information
+    * feature-selection audit (lift_ppm = P(x,y)/(P(x)·P(y)) in ppm; MI and
+    * χ² are monotone post-processings of exactly these cells, but their
+    * logs/squares leave integer arithmetic, so the DECLARED output is the
+    * cell table both derive from).
+    *
+    * Scale design: ONE data-sized aggregation to the (bucket × type) cell
+    * table (map-side partials absorb the stream), then marginals via
+    * windows over the ≤ 12×|types| AGGREGATED rows — domain-sized, never a
+    * second data pass. Integer headroom: the n·10⁶·N product needs < 2⁶³,
+    * which holds to N ≈ 3·10⁶ rows; past that widen the ppm product to
+    * DECIMAL(38,0) on both engines (ordering unchanged).
+    */
+  def fe5FeatureLift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, d)
+      .select(expr("width_bucket(value, 0.0D, 500.0D, 10)").as("vbucket"),
+        col("event_type"))
+      .groupBy(col("vbucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("rn", sum(col("n")).over(Window.partitionBy(col("vbucket"))))
+      .withColumn("cn", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+      .select(col("vbucket"), col("event_type"), col("n"), col("rn"),
+        col("cn"), expr("n * 1000000L * nt div (rn * cn)").as("lift_ppm"))
+      .orderBy(col("vbucket"), col("event_type"))
+  }
+
+  val fe5Sql: String =
+    """WITH b AS (
+      |  SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS BIGINT) + 1, 0),
+      |               11) AS vbucket,
+      |         event_type
+      |  FROM events),
+      |cells AS (SELECT vbucket, event_type, COUNT(*) AS n
+      |          FROM b GROUP BY vbucket, event_type),
+      |m AS (SELECT vbucket, event_type, n,
+      |        CAST(SUM(n) OVER (PARTITION BY vbucket) AS BIGINT) AS rn,
+      |        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS cn,
+      |        CAST(SUM(n) OVER () AS BIGINT) AS nt
+      |      FROM cells)
+      |SELECT vbucket, event_type, n, rn, cn,
+      |       CAST(n * 1000000 * nt // (rn * cn) AS BIGINT) AS lift_ppm
+      |FROM m ORDER BY vbucket, event_type""".stripMargin
+
+  // ---- fe6: sequence-length bucketing / padding-waste audit ------------
+
+  /** Length-bucketed batching audit: documents grouped into 16-token
+    * length buckets (the dynamic-batching strategy of every sequence
+    * trainer), reporting per bucket the padding waste ppm at the bucket
+    * boundary vs the waste of padding the whole corpus to its max length.
+    * This is the table that justifies (and sizes) length-bucketed
+    * batching on a real corpus.
+    *
+    * Scale design: one scan → one tiny keyed aggregate (output rows =
+    * length-domain / 16, a constant); the corpus-max comparison is a
+    * window over those few AGGREGATED rows. Wordcount-shaped at any
+    * corpus size.
+    */
+  def fe6LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(expr("(n_tok + 15) div 16").as("bucket"), col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_sum"))
+      .withColumn("corpus_max",
+        max(col("bucket") * 16L).over(Window.partitionBy()))
+      .select(col("bucket"), col("n_docs"), col("n_tok_sum"),
+        expr("(n_docs * bucket * 16 - n_tok_sum) * 1000000 " +
+          "div (n_docs * bucket * 16)").as("pad_waste_ppm"),
+        expr("(n_docs * corpus_max - n_tok_sum) * 1000000 " +
+          "div (n_docs * corpus_max)").as("global_waste_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val fe6Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |g AS (SELECT (n_tok + 15) // 16 AS bucket, COUNT(*) AS n_docs,
+      |        CAST(SUM(n_tok) AS BIGINT) AS n_tok_sum
+      |      FROM t GROUP BY 1),
+      |w AS (SELECT *, CAST(MAX(bucket * 16) OVER () AS BIGINT) AS corpus_max
+      |      FROM g)
+      |SELECT bucket, n_docs, n_tok_sum,
+      |       CAST((n_docs * bucket * 16 - n_tok_sum) * 1000000
+      |         // (n_docs * bucket * 16) AS BIGINT) AS pad_waste_ppm,
+      |       CAST((n_docs * corpus_max - n_tok_sum) * 1000000
+      |         // (n_docs * corpus_max) AS BIGINT) AS global_waste_ppm
+      |FROM w ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fe1_scale_histogram" -> (fe1ScaleHistogram _),
     "fe2_target_encode"   -> (fe2TargetEncode _),
     "fe3_feature_hash"    -> (fe3FeatureHash _),
-    "fe4_crossval_folds"  -> (fe4CrossvalFolds _)
+    "fe4_crossval_folds"  -> (fe4CrossvalFolds _),
+    "fe5_feature_lift"    -> (fe5FeatureLift _),
+    "fe6_length_buckets"  -> (fe6LengthBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
     "fe1_scale_histogram" -> fe1Sql,
     "fe2_target_encode"   -> fe2Sql,
     "fe3_feature_hash"    -> fe3Sql,
-    "fe4_crossval_folds"  -> fe4Sql
+    "fe4_crossval_folds"  -> fe4Sql,
+    "fe5_feature_lift"    -> fe5Sql,
+    "fe6_length_buckets"  -> fe6Sql
   )
 }

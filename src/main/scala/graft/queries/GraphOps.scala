@@ -113,14 +113,28 @@ object GraphOps {
     * integers; n_wedges is the oriented wedge count, i.e. the actual work
     * the closure join performed, so the row doubles as a plan-cost audit.
     */
-  def x64TriangleCount(s: SparkSession, d: String): DataFrame = {
+  /** Part co-purchase edges: distinct (a, b), a < b, for parts sharing an
+    * order. Pair enumeration is bounded by the order's line count (≤ 7 in
+    * TPC-H-shaped data), so the self-join per order key never blows up.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val edges = op.as("x").join(op.as("y"),
+    op.as("x").join(op.as("y"),
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b"))
       .distinct()
-      .persist()
+  }
+
+  private val coPurchaseEdgesSql: String =
+    """op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |       FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p)""".stripMargin
+
+  def x64TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d).persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(edges))
     val deg = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node")))
@@ -147,11 +161,7 @@ object GraphOps {
   }
 
   val x64Sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-      |            FROM lineitem),
-      |edges AS (
-      |  SELECT DISTINCT x.p AS a, y.p AS b
-      |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+    s"""WITH $coPurchaseEdgesSql,
       |deg AS (
       |  SELECT node, COUNT(*) * 4294967296 + node AS rank FROM (
       |    SELECT a AS node FROM edges
@@ -178,13 +188,90 @@ object GraphOps {
       |       n_wedges, n_triangles
       |FROM closed""".stripMargin
 
+  // ===== x67: label-propagation communities (mode update) =================
+
+  /** Synchronous label propagation — community detection by iterated
+    * neighbourhood-majority vote (the curation use: community = topical /
+    * domain cluster in the co-purchase or link graph, a grouping key for
+    * mixture balancing that connected components (x15's min-label loop)
+    * cannot produce, because CC merges everything reachable while LPA
+    * stops at dense boundaries).
+    *
+    * Determinism: classic LPA breaks count-ties randomly; here the update
+    * is the TOTAL order (count DESC, label ASC) — mode with min-label
+    * tie-break — and all nodes update synchronously from the previous
+    * round's labels, so every round is a pure function of the last and
+    * both engines converge identically. Iteration count fixed at 3
+    * (geometric stabilization; keeps the oracle's unrolled CTE chain
+    * tractable).
+    *
+    * Scale design (100 TB): per round ONE edges×labels equi-join (both
+    * sides hash-partitioned on node), then a (node, label)-keyed count and
+    * a node-keyed argmax via `max(struct(cnt, -label))` — an AGGREGATE,
+    * not a per-node sort, and a celebrity node's neighbourhood splits
+    * across (node, label) groups, so no single reducer sees its whole
+    * adjacency. Labels travel as (node, long) pairs; adjacency lists are
+    * never materialized.
+    */
+  private val LpaIters = 3
+
+  def x67LpaCommunities(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(und))
+    var lab = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaIters) {
+      val hist = und.join(lab, und("dst") === lab("node"))
+        .groupBy(und("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      lab = hist
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+    }
+    // declared output: the community-size histogram (community-domain-
+    // sized; the per-node assignment stays distributed and is never
+    // collected — a pipeline joins `lab` by node where it needs it)
+    lab.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+  }
+
+  val x67Sql: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""h$i AS (
+         |  SELECT e.src, l.label, COUNT(*) AS cnt
+         |  FROM und e JOIN l${i - 1} l ON l.node = e.dst
+         |  GROUP BY e.src, l.label),
+         |l$i AS (
+         |  SELECT src AS node, label FROM (
+         |    SELECT src, label,
+         |           ROW_NUMBER() OVER (PARTITION BY src
+         |                              ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM h$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseEdgesSql,
+       |und AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$rounds
+       |SELECT label, COUNT(*) AS n_members
+       |FROM l$LpaIters
+       |GROUP BY label ORDER BY n_members DESC, label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x28_pagerank"       -> (x28Pagerank _),
-    "x64_triangle_count" -> (x64TriangleCount _)
+    "x28_pagerank"        -> (x28Pagerank _),
+    "x64_triangle_count"  -> (x64TriangleCount _),
+    "x67_lpa_communities" -> (x67LpaCommunities _)
   )
 
   val oracles: Map[String, String] = Map(
-    "x28_pagerank"       -> x28Sql,
-    "x64_triangle_count" -> x64Sql
+    "x28_pagerank"        -> x28Sql,
+    "x64_triangle_count"  -> x64Sql,
+    "x67_lpa_communities" -> x67Sql
   )
 }

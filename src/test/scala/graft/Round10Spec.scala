@@ -499,4 +499,71 @@ class Round10Spec extends SparkSpec {
       r.getAs[Long]("n_cooc"), r.getAs[Long]("w_cooc"))).toSeq
     assert(got === expected, "top-30 drifted from exact recompute")
   }
+
+  test("fe5 lift table: marginals tie out, lift arithmetic exact, cells " +
+       "partition the events") {
+    val rows = graft.queries.FeatureOps.fe5FeatureLift(spark, d).collect()
+    val total = Tables.events(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total,
+      "cells do not partition the event stream")
+    val byBucket = rows.groupBy(_.getAs[Long]("vbucket"))
+    byBucket.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n")).sum === g.head.getAs[Long]("rn"),
+        "row marginal drifted from the cell sum")
+    }
+    rows.foreach { r =>
+      val (n, rn, cn, nt) = (r.getAs[Long]("n"), r.getAs[Long]("rn"),
+        r.getAs[Long]("cn"), total)
+      assert(r.getAs[Long]("lift_ppm") === n * 1000000L * nt / (rn * cn),
+        "lift ppm drifted from exact integer arithmetic")
+    }
+  }
+
+  test("fe6 length buckets: doc totals conserved, waste ppm exact, " +
+       "bucket boundary honored") {
+    val rows = graft.queries.FeatureOps.fe6LengthBuckets(spark, d).collect()
+    val docs = Tables.documents(spark, d).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1).length.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_tok_sum")).sum === docs.sum)
+    val corpusMax = rows.map(_.getAs[Long]("bucket") * 16).max
+    rows.foreach { r =>
+      val (b, nd, ts) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tok_sum"))
+      assert(ts > nd * (b - 1) * 16, "tokens at or below the bucket floor")
+      assert(ts <= nd * b * 16, "tokens exceed bucket capacity")
+      assert(r.getAs[Long]("pad_waste_ppm") ===
+        (nd * b * 16 - ts) * 1000000L / (nd * b * 16))
+      assert(r.getAs[Long]("global_waste_ppm") ===
+        (nd * corpusMax - ts) * 1000000L / (nd * corpusMax))
+    }
+  }
+
+  test("x67 LPA communities match a driver-side synchronous recompute") {
+    val rows = graft.queries.GraphOps.x67LpaCommunities(spark, d).collect()
+    // recompute: same co-purchase edges, 3 synchronous mode-update rounds
+    // with (count DESC, label ASC) tie-break
+    val op = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = op.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length; e <- Seq(
+        (ps(i), ps(j)), (ps(j), ps(i)))) yield e
+    }.toSet.toSeq
+    val nbrs = und.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    var lab: Map[Long, Long] = nbrs.keysIterator.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (node, ns) =>
+        val hist = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        node -> hist.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expected = lab.values.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }.toSeq
+      .sortBy { case (l, c) => (-c, l) }
+    val got = rows.map(r =>
+      (r.getAs[Long]("label"), r.getAs[Long]("n_members"))).toSeq
+    assert(got === expected, "community histogram drifted from exact LPA")
+  }
 }
