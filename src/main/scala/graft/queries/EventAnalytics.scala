@@ -433,7 +433,101 @@ object EventAnalytics {
       |       CAST(SUM(1000000 // k) AS BIGINT) AS linear_micro
       |FROM r GROUP BY channel ORDER BY channel""".stripMargin
 
+  // ---- e8: RFM segmentation via value-domain quantile binning ----------
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic lifecycle-marketing cube: each user scored 1–5 per dimension,
+    * output as the segment-cell histogram with its revenue.
+    *
+    * The interesting part is HOW the quintiles are computed. The textbook
+    * ntile(5) needs a GLOBAL sort of the user table in one partition —
+    * the single-partition-window trap (at 10⁹ users, one reducer sorts
+    * everything). Instead each score is quantile-disc binning through the
+    * metric's VALUE-DOMAIN CDF (dq7's discipline): aggregate users per
+    * metric value, cumulative-sum over that domain-sized table, and score
+    * every value as ceil(5·cdf) = (5·cum + n − 1) div n — equal metric
+    * values share a score (quantile-disc tie semantics, deterministic on
+    * both engines), and the user table is never globally sorted: users
+    * join their score by metric VALUE (a domain-sized build side).
+    * Recency is whole days behind the corpus max day (the 1-row watermark
+    * broadcast, x19's avgdl shape); monetary is exact integer cents.
+    */
+  def e8RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("max_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val watermark = users.agg(max(col("max_day")).as("wm"))
+    val metrics = users.crossJoin(broadcast(watermark))
+      .select(col("user_id"),
+        expr("datediff(wm, max_day)").cast("long").as("recency"),
+        col("freq"), col("cents"))
+
+    // quantile-disc score map for one metric: value -> ceil(5 * cdf)
+    def scoreMap(metric: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val dom = metrics.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+      dom
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nt", sum(col("c")).over(Window.partitionBy()))
+        .select(col("v").as(metric),
+          expr("(cum * 5 + nt - 1) div nt").as(s"${metric}_score"))
+    }
+    // recency scores 1 = most recent: the CDF runs over ascending recency,
+    // so score 1 is the freshest quintile already; freq/cents score 5 =
+    // heaviest, so flip those to the conventional direction
+    metrics
+      .join(scoreMap("recency"), Seq("recency"))
+      .join(scoreMap("freq"), Seq("freq"))
+      .join(scoreMap("cents"), Seq("cents"))
+      .select(col("user_id"), col("recency_score").as("r_score"),
+        expr("6 - freq_score").as("f_score"),
+        expr("6 - cents_score").as("m_score"), col("cents"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val e8Sql: String = {
+    def cdf(metric: String) =
+      s"""${metric}_map AS (
+         |  SELECT v AS $metric,
+         |         CAST((cum * 5 + nt - 1) // nt AS BIGINT) AS ${metric}_score
+         |  FROM (SELECT v,
+         |          CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |          CAST(SUM(c) OVER () AS BIGINT) AS nt
+         |        FROM (SELECT $metric AS v, COUNT(*) AS c
+         |              FROM metrics GROUP BY 1)))""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id, MAX(CAST(ts AS DATE)) AS max_day, COUNT(*) AS freq,
+       |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |           AS cents
+       |  FROM events GROUP BY user_id),
+       |metrics AS (
+       |  SELECT user_id,
+       |         CAST(date_diff('day', max_day,
+       |           (SELECT MAX(max_day) FROM u)) AS BIGINT) AS recency,
+       |         freq, cents
+       |  FROM u),
+       |${cdf("recency")},
+       |${cdf("freq")},
+       |${cdf("cents")}
+       |SELECT recency_score AS r_score, 6 - freq_score AS f_score,
+       |       6 - cents_score AS m_score, COUNT(*) AS n_users,
+       |       CAST(SUM(cents) AS BIGINT) AS cents_total
+       |FROM metrics
+       |JOIN recency_map USING (recency)
+       |JOIN freq_map USING (freq)
+       |JOIN cents_map USING (cents)
+       |GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_rfm_segments"     -> (e8RfmSegments _),
     "e7_attribution"      -> (e7Attribution _),
     "e1_funnel"           -> (e1Funnel _),
     "e2_retention"        -> (e2Retention _),
@@ -444,6 +538,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_rfm_segments"     -> e8Sql,
     "e7_attribution"      -> e7Sql,
     "e1_funnel"           -> e1Sql,
     "e2_retention"        -> e2Sql,

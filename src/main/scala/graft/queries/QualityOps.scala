@@ -460,7 +460,52 @@ object QualityOps {
       |         AS is_drop
       |FROM m ORDER BY day""".stripMargin
 
+  // ---- dq9: feed-freshness (timeliness) audit --------------------------
+
+  /** Timeliness — the data-quality dimension dq1–dq8 don't cover: per
+    * feed (event_type stands in for the upstream source), the lag of its
+    * newest row behind the newest row anywhere, with a staleness flag at
+    * the 24 h SLA. The table an ingestion dashboard renders directly.
+    *
+    * Scale design: ONE data-sized aggregate to the per-feed (n, max_ts)
+    * rows; the global watermark is a max-window over those ≤ |feeds|
+    * AGGREGATED rows. Lag in whole seconds (timestampdiff — integer on
+    * both engines); timestamps leave the result as formatted strings so
+    * the driver hash never meets an engine-specific timestamp era
+    * (dq8's day-format discipline).
+    */
+  def dq9Freshness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))
+      .withColumn("watermark", max(col("max_ts")).over(Window.partitionBy()))
+      .select(col("event_type"), col("n_events"),
+        date_format(col("max_ts"), "yyyy-MM-dd HH:mm:ss").as("newest"),
+        // whole-second truncation BEFORE differencing: DuckDB's
+        // date_diff('second') counts boundary crossings, Spark's
+        // timestampdiff counts full elapsed seconds — off by one when the
+        // sub-second parts straddle a boundary; unix_timestamp floors
+        // both ends to the boundary-crossing semantics
+        expr("unix_timestamp(watermark) - unix_timestamp(max_ts)").as("lag_s"),
+        expr("unix_timestamp(watermark) - unix_timestamp(max_ts) > 86400")
+          .as("is_stale"))
+      .orderBy(col("event_type"))
+  }
+
+  val dq9Sql: String =
+    """WITH f AS (SELECT event_type, COUNT(*) AS n_events,
+      |             MAX(ts) AS max_ts
+      |           FROM events GROUP BY event_type),
+      |w AS (SELECT *, MAX(max_ts) OVER () AS watermark FROM f)
+      |SELECT event_type, n_events,
+      |       strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS newest,
+      |       CAST(date_diff('second', max_ts, watermark) AS BIGINT) AS lag_s,
+      |       date_diff('second', max_ts, watermark) > 86400 AS is_stale
+      |FROM w ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq9_freshness"    -> (dq9Freshness _),
     "dq1_profile"      -> (dq1Profile _),
     "dq2_referential"  -> (dq2Referential _),
     "dq3_constraints"  -> (dq3Constraints _),
@@ -472,6 +517,7 @@ object QualityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq9_freshness"    -> dq9Sql,
     "dq1_profile"      -> dq1Sql,
     "dq2_referential"  -> dq2Sql,
     "dq3_constraints"  -> dq3Sql,

@@ -550,6 +550,15 @@ object ReferenceQueries {
   val sql2Q1Text: String = q1Sql("100000")
   val sql2Q2Text: String = q2Sql(1)
   val sql2Q3Text: String = q3Sql("1997-01-01")
+  /** Q4 as SQL text — the one family member whose text form cannot reuse
+    * the oracle string verbatim: token explosion is `explode(split(...))`
+    * in Spark SQL but `unnest(string_split(...))` in DuckDB, so the Spark
+    * text is spelled here and the shared oracle stays q4WordcountSql.
+    */
+  val sql2Q4Text: String =
+    """SELECT token, COUNT(*) AS cnt
+      |FROM (SELECT explode(split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
   val sql2Q5Text: String =
     """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_items,
       |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
@@ -570,6 +579,7 @@ object ReferenceQueries {
     "sql2_q1_text"     -> (viaSql(sql2Q1Text) _),
     "sql2_q2_text"     -> (viaSql(sql2Q2Text) _),
     "sql2_q3_text"     -> (viaSql(sql2Q3Text) _),
+    "sql2_q4_text"     -> (viaSql(sql2Q4Text) _),
     "sql2_q5_text"     -> (viaSql(sql2Q5Text) _),
     "q2g_substr_agg"   -> (q2g _),
     "q2h_narrow_rule"  -> (q2hNarrowRule _),
@@ -607,6 +617,7 @@ object ReferenceQueries {
     "sql2_q1_text"    -> sql2Q1Text,
     "sql2_q2_text"    -> sql2Q2Text,
     "sql2_q3_text"    -> sql2Q3Text,
+    "sql2_q4_text"    -> q4WordcountSql,
     "sql2_q5_text"    -> sql2Q5Text,
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),

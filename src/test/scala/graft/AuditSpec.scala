@@ -77,7 +77,8 @@ class AuditSpec extends SparkSpec {
         "x52_ndcg", // x1b's 10-query ground-truth panel + x12c's 16-centroid broadcast
         "x48_epoch_shuffle", // 3-row epoch table broadcast (ShufEpochs constant)
         "x55_pmi_collocations", // single-row total-token-count broadcast (x19's avgdl shape)
-        "x64_triangle_count") // two single-row global aggregates cross-joined (edge count × wedge/triangle counts)
+        "x64_triangle_count", // two single-row global aggregates cross-joined (edge count × wedge/triangle counts)
+        "e8_rfm_segments") // single-row corpus-max-day watermark broadcast (x19's avgdl shape)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet

@@ -566,4 +566,59 @@ class Round10Spec extends SparkSpec {
       (r.getAs[Long]("label"), r.getAs[Long]("n_members"))).toSeq
     assert(got === expected, "community histogram drifted from exact LPA")
   }
+
+  test("dq9 freshness: watermark feed has zero lag, stale flag ties to lag") {
+    val rows = graft.queries.QualityOps.dq9Freshness(spark, d).collect()
+    assert(rows.nonEmpty)
+    val lags = rows.map(_.getAs[Long]("lag_s"))
+    assert(lags.min === 0L, "no feed sits at the watermark")
+    assert(lags.forall(_ >= 0L), "negative lag")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_stale") === (r.getAs[Long]("lag_s") > 86400L),
+        "staleness flag inconsistent with lag")
+    }
+  }
+
+  test("e8 RFM segments match a driver-side exact quantile-disc recompute") {
+    val rows = graft.queries.EventAnalytics.e8RfmSegments(spark, d).collect()
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val users = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.map(_._2).max, xs.size.toLong, xs.map(_._3).sum)
+    }.toSeq
+    val wm = users.map(_._2).max
+    val metrics = users.map { case (u, md, f, c) =>
+      (u, java.time.temporal.ChronoUnit.DAYS.between(md, wm), f, c)
+    }
+    def scores(vals: Seq[Long]): Map[Long, Long] = {
+      val dom = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val nt = vals.size.toLong
+      var cum = 0L
+      dom.map { case (v, c) =>
+        cum += c; v -> ((cum * 5 + nt - 1) / nt)
+      }.toMap
+    }
+    val (rs, fs, ms) = (scores(metrics.map(_._2)), scores(metrics.map(_._3)),
+      scores(metrics.map(_._4)))
+    val expected = metrics
+      .map { case (_, r, f, c) => ((rs(r), 6 - fs(f), 6 - ms(c)), c) }
+      .groupBy(_._1).map { case (k, xs) => (k, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = rows.map(r => ((r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+      r.getAs[Long]("m_score")), r.getAs[Long]("n_users"),
+      r.getAs[Long]("cents_total"))).toSeq
+    assert(got === expected, "RFM cube drifted from exact quantile-disc")
+  }
+
+  test("sql2_q4_text produces exactly q4_wordcount's rows") {
+    val viaText = SparkEntry.queries("sql2_q4_text")(spark, d).collect()
+    val viaApi = SparkEntry.queries("q4_wordcount")(spark, d).collect()
+    assert(viaText.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      viaApi.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "SQL-text Q4 drifted from the DataFrame form")
+  }
 }
