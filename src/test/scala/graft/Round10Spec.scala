@@ -465,7 +465,7 @@ class Round10Spec extends SparkSpec {
     val edges = op.groupBy(_._1).values.flatMap { g =>
       val ps = g.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet
     assert(nE === edges.size.toLong, "edge count drifted")
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
       .withDefaultValue(Set.empty)
@@ -548,9 +548,9 @@ class Round10Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val und = op.groupBy(_._1).values.flatMap { g =>
       val ps = g.map(_._2).distinct.sorted
-      for (i <- ps.indices; j <- i + 1 until ps.length; e <- Seq(
-        (ps(i), ps(j)), (ps(j), ps(i)))) yield e
-    }.toSet.toSeq
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys
+      .toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val nbrs = und.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     var lab: Map[Long, Long] = nbrs.keysIterator.map(n => n -> n).toMap
     for (_ <- 1 to 3) {
