@@ -559,6 +559,22 @@ object ReferenceQueries {
     """SELECT token, COUNT(*) AS cnt
       |FROM (SELECT explode(split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** Q1 through PARAMETERIZED SQL — `spark.sql(text, args)` named-marker
+    * binding, the injection-safe templating surface a SQL-first user
+    * drives the engine with. The marker binds a typed literal at parse
+    * time, so Catalyst sees the same constant-folded plan as the inlined
+    * text (plan parity with q1a is pinned in Round10Spec); the oracle is
+    * the inlined form.
+    */
+  def sql3ParamText(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.registerTables(s, d)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_extendedprice > :threshold
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      Map("threshold" -> 100000))
+  }
   val sql2Q5Text: String =
     """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_items,
       |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
@@ -581,6 +597,7 @@ object ReferenceQueries {
     "sql2_q3_text"     -> (viaSql(sql2Q3Text) _),
     "sql2_q4_text"     -> (viaSql(sql2Q4Text) _),
     "sql2_q5_text"     -> (viaSql(sql2Q5Text) _),
+    "sql3_param_text"  -> (sql3ParamText _),
     "q2g_substr_agg"   -> (q2g _),
     "q2h_narrow_rule"  -> (q2hNarrowRule _),
     "q1a_scan_filter" -> (q1a _),
@@ -619,6 +636,7 @@ object ReferenceQueries {
     "sql2_q3_text"    -> sql2Q3Text,
     "sql2_q4_text"    -> q4WordcountSql,
     "sql2_q5_text"    -> sql2Q5Text,
+    "sql3_param_text" -> q1Sql("100000"),
     "q3a_join_topk"   -> q3Sql("1995-07-01"),
     "q3b_join_topk"   -> q3Sql("1997-01-01"),
     "q3c_join_topk"   -> q3Sql("2002-01-01"),

@@ -157,12 +157,68 @@ object UserDefined {
       |       COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- u6: typed Dataset API — groupByKey + flatMapGroups --------------
+
+  /** The typed-Dataset extension mechanism: `KeyValueGroupedDataset
+    * .flatMapGroups` with case-class/tuple Encoders — per-user session
+    * statistics (30-min gap rule) computed by arbitrary JVM logic over
+    * each user's event group, the escape hatch for per-group algorithms
+    * Spark SQL cannot express (u1–u5 cover scalar/agg/table functions;
+    * this is the whole-group form, the batch twin of streaming
+    * transformWithState).
+    *
+    * Scale honesty: one user-keyed exchange (object serdes, NOT
+    * Tungsten — the declared cost of leaving SQL), then each group is
+    * sorted in executor memory, so state is bounded by max events per
+    * user — fine for per-user interaction streams (10²–10⁴), and the
+    * window-function formulation (the oracle's own shape, s3/x57's path)
+    * is the fallback when a single key's history cannot fit. Output is
+    * integer-exact: session count via gap>30 min splits, max gap in
+    * whole seconds of the microsecond timeline.
+    */
+  def u6TypedSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long)]) =>
+        val ts = it.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        var sessions = 1L
+        var maxGap = 0L
+        var i = 1
+        while (i < ts.length) {
+          val gap = ts(i) - ts(i - 1)
+          if (gap > 1800L * 1000000L) sessions += 1
+          if (gap > maxGap) maxGap = gap
+          i += 1
+        }
+        Iterator((uid, ts.length.toLong, sessions, maxGap / 1000000L))
+      }
+      .toDF("user_id", "n_events", "n_sessions", "max_gap_s")
+      .orderBy(col("user_id"))
+  }
+
+  val u6Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+      |g AS (SELECT user_id, t_us,
+      |        t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+      |          AS gap
+      |      FROM e)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_sessions,
+      |       CAST(COALESCE(MAX(gap), 0) // 1000000 AS BIGINT) AS max_gap_s
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_udf"  -> (u1Udf _),
     "u2_udaf" -> (u2Udaf _),
     "u3_udtf" -> (u3Udtf _),
     "u4_heavy_hitters" -> (u4HeavyHitters _),
-    "u5_decl_agg" -> (u5DeclAgg _)
+    "u5_decl_agg" -> (u5DeclAgg _),
+    "u6_typed_sessions" -> (u6TypedSessions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +226,7 @@ object UserDefined {
     "u2_udaf" -> u2Sql,
     "u3_udtf" -> u3Sql,
     "u4_heavy_hitters" -> u4Sql,
-    "u5_decl_agg" -> u5Sql
+    "u5_decl_agg" -> u5Sql,
+    "u6_typed_sessions" -> u6Sql
   )
 }

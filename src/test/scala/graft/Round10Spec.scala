@@ -614,6 +614,48 @@ class Round10Spec extends SparkSpec {
     assert(got === expected, "RFM cube drifted from exact quantile-disc")
   }
 
+  test("u6 typed sessions match a driver-side exact recompute") {
+    val rows = graft.queries.UserDefined.u6TypedSessions(spark, d).collect()
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      val ts = xs.map(_._2).sorted
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      (u, ts.length.toLong, 1L + gaps.count(_ > 1800000000L),
+        (if (gaps.isEmpty) 0L else gaps.max) / 1000000L)
+    }.toSeq.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq
+    assert(got === expected, "typed session stats drifted from exact")
+  }
+
+  test("sql3 parameterized binding produces exactly q1a's rows") {
+    val viaParam = SparkEntry.queries("sql3_param_text")(spark, d).collect()
+    val viaApi = SparkEntry.queries("q1a_scan_filter")(spark, d).collect()
+    assert(viaParam.length === viaApi.length && viaParam.length > 0)
+    assert(viaParam.map(_.toSeq).toSeq === viaApi.map(_.toSeq).toSeq,
+      "parameterized SQL drifted from the DataFrame form")
+  }
+
+  test("Observation piggybacks scan-side metrics on the action: no second pass") {
+    // the 100 TB discipline for row-count audits: CollectMetricsExec
+    // rides the production action instead of a second full scan
+    val obs = org.apache.spark.sql.Observation("audit")
+    val out = Tables.events(spark, d)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents_seen"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect()
+    val seen = obs.get
+    assert(seen("rows_seen") === out.map(_.getAs[Long]("n")).sum,
+      "observed row count drifted from the aggregated result")
+    val cents = Tables.events(spark, d)
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).collect()(0).getLong(0)
+    assert(seen("cents_seen") === cents,
+      "observed checksum drifted from a direct aggregate")
+  }
+
   test("sql2_q4_text produces exactly q4_wordcount's rows") {
     val viaText = SparkEntry.queries("sql2_q4_text")(spark, d).collect()
     val viaApi = SparkEntry.queries("q4_wordcount")(spark, d).collect()
