@@ -69,11 +69,21 @@ object Bench {
     }
 
     // Warmup: exercise parquet reader, codegen, and shuffle machinery once
-    // so per-query timings below are steady-state, not JVM init.
+    // so per-query timings below are steady-state, not JVM init. Two layers:
+    //  - full-scan every table once so the OS file cache is hot (a cold
+    //    machine otherwise charges the first sweep's queries for disk I/O
+    //    that no steady-state deployment pays per query);
+    //  - one untimed pass over the two heaviest CPU kernels (the 14.6M-group
+    //    q2g hash aggregate and x9's shingle/intersection expressions) so
+    //    C2 has compiled the hot loops before any timed trial — measured on
+    //    a cold host, q2g runs 38 s on its first execution and 2–3 s from
+    //    the third on; without this the median of 3 interleaved trials
+    //    lands mid-ramp (13.8 s) and reports JIT state, not the plan.
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      SparkEntry.queries.get("q2a_substr_agg").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("s1_tumble").foreach(_(spark, sfDir).count())
+      (Tables.relational ++ Seq("events", "documents", "embeddings"))
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      Seq("q2a_substr_agg", "q2g_substr_agg", "x9_ngram_jaccard", "s1_tumble")
+        .foreach(k => SparkEntry.queries.get(k).foreach(_(spark, sfDir).count()))
     } catch { case _: Throwable => () }
 
     // Reference parity: run_query.py --num-trials N reports the median.

@@ -526,7 +526,59 @@ object EventAnalytics {
        |GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
   }
 
+  // ---- e9: activity streaks (gaps-and-islands) ---------------------------
+
+  /** Longest consecutive-day activity streak per user, reported as the
+    * corpus histogram (n_users per max-streak length) — the engagement
+    * statistic behind streak badges and habit-formation analyses, and the
+    * canonical GAPS-AND-ISLANDS window pattern: consecutive days collapse
+    * to one island because day − row_number() is constant exactly on a run.
+    * Days are epoch-day integers (unix ms div 86 400 000), so island
+    * arithmetic is pure BIGINT on both engines — no date type crosses the
+    * oracle boundary.
+    *
+    * 100 TB shape: (user, day) dedup is one keyed aggregate that map-side
+    * partials absorb (events per user-day collapse before the exchange);
+    * the row_number window rides the SAME user-keyed partitioning; island
+    * lengths and per-user maxima are two more aggregates on
+    * already-user-local rows (no new exchange); the final histogram is
+    * domain-sized (≤ max streak length rows).
+    */
+  def e9ActivityStreaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    days
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .withColumn("isl", col("day") - col("rn"))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+      .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("max_streak"))
+  }
+
+  val e9Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |           AS isl
+      |  FROM days),
+      |runs AS (SELECT user_id, isl, COUNT(*) AS len
+      |         FROM isl GROUP BY user_id, isl),
+      |mx AS (SELECT user_id, MAX(len) AS max_streak
+      |       FROM runs GROUP BY user_id)
+      |SELECT max_streak, COUNT(*) AS n_users
+      |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_activity_streaks" -> (e9ActivityStreaks _),
     "e8_rfm_segments"     -> (e8RfmSegments _),
     "e7_attribution"      -> (e7Attribution _),
     "e1_funnel"           -> (e1Funnel _),
@@ -538,6 +590,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e9_activity_streaks" -> e9Sql,
     "e8_rfm_segments"     -> e8Sql,
     "e7_attribution"      -> e7Sql,
     "e1_funnel"           -> e1Sql,

@@ -729,6 +729,24 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("e9 activity-streak histogram matches a driver-side exact recompute") {
+    val rows = graft.queries.EventAnalytics.e9ActivityStreaks(spark, d).collect()
+    val days = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = days.groupBy(_._1).map { case (_, xs) =>
+      val ds = xs.map(_._2).sorted
+      // islands: consecutive days share a (day - index) anchor
+      ds.zipWithIndex.map { case (day, i) => day - i }
+        .groupBy(identity).map(_._2.size).max.toLong
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq.sorted
+    val got = rows.map(r => (r.getAs[Long]("max_streak"),
+      r.getAs[Long]("n_users"))).toSeq
+    assert(got === expected, "streak histogram drifted from exact")
+    assert(got.map(_._2).sum === days.map(_._1).distinct.length.toLong,
+      "histogram does not cover every user exactly once")
+  }
+
   test("dq10 Benford audit: digit domain, ppm closure, pinned expectations") {
     val rows = graft.queries.QualityOps.dq10Benford(spark, d).collect()
     assert(rows.nonEmpty && rows.length <= 9)
