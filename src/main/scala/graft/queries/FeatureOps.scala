@@ -321,7 +321,50 @@ object FeatureOps {
       |         - CAST(SUM(xi) AS BIGINT) * CAST(SUM(xj) AS BIGINT) AS cov_num
       |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  // ---- fe8: supervised lag-feature assembly on the regular grid ---------
+
+  /** Forecasting feature rows built on w8's regular hourly grid: per
+    * (event_type, hour) the LOCF value plus its 1 h / 2 h / 24 h lags and
+    * the NEXT hour's event count as the supervised target — the exact
+    * table a demand-forecast trainer consumes, and the reason w8 creates
+    * missing grid rows in the first place (lag columns must step over
+    * empty hours, not skip them). Boundary rows keep their nulls: a
+    * feature store materializes them and lets the trainer mask, because
+    * silently dropping boundary hours shifts every fold boundary.
+    *
+    * 100 TB shape: w8's one data-sized aggregate, then THREE lags + one
+    * lead riding a single per-type window over the domain-sized grid —
+    * no new data pass, no new exchange beyond w8's.
+    */
+  def fe8LagFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr_ms"))
+    graft.queries.WindowOps.w8ResampleGrid(s, d)
+      .select(col("event_type"), col("hr_ms"), col("n_events"),
+        col("vm_locf"),
+        lag(col("vm_locf"), 1).over(w).as("vm_lag_1h"),
+        lag(col("vm_locf"), 2).over(w).as("vm_lag_2h"),
+        lag(col("vm_locf"), 24).over(w).as("vm_lag_24h"),
+        lead(col("n_events"), 1).over(w).as("target_next_n"))
+      .orderBy(col("event_type"), col("hr_ms"))
+  }
+
+  val fe8Sql: String = {
+    val grid = graft.queries.WindowOps.w8Sql.replace("\n", "\n|  ")
+    s"""WITH g AS (
+       |  ${grid})
+       |SELECT event_type, hr_ms, n_events, vm_locf,
+       |       LAG(vm_locf, 1) OVER w AS vm_lag_1h,
+       |       LAG(vm_locf, 2) OVER w AS vm_lag_2h,
+       |       LAG(vm_locf, 24) OVER w AS vm_lag_24h,
+       |       LEAD(n_events, 1) OVER w AS target_next_n
+       |FROM g
+       |WINDOW w AS (PARTITION BY event_type ORDER BY hr_ms)
+       |ORDER BY event_type, hr_ms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fe8_lag_features"    -> (fe8LagFeatures _),
     "fe7_covariance"      -> (fe7Covariance _),
     "fe1_scale_histogram" -> (fe1ScaleHistogram _),
     "fe2_target_encode"   -> (fe2TargetEncode _),
@@ -332,6 +375,7 @@ object FeatureOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "fe8_lag_features"    -> fe8Sql,
     "fe7_covariance"      -> fe7Sql,
     "fe1_scale_histogram" -> fe1Sql,
     "fe2_target_encode"   -> fe2Sql,

@@ -1254,7 +1254,90 @@ object RelationalOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- j13: nearest-event (bidirectional as-of) join ----
+
+  /** For every purchase, the temporally NEAREST click by the same user —
+    * in either direction (j5's ASOF is backward-only; recommendation and
+    * attribution features routinely want the nearest interaction, not the
+    * last). Ties between an equally-near earlier and later click resolve
+    * backward (the earlier click), deterministically.
+    *
+    * Scale shape: this is NOT a join at all — both event streams merge
+    * into ONE user-keyed window pass (two ignore-nulls running extremes
+    * over the (ts, event_id)-ordered stream), so the only exchange is the
+    * user hash partition and no purchase×click pairing ever materializes.
+    * That unconditionally beats the union-of-two-ASOF-joins plan (two
+    * merge joins + dedup) and is skew-safe up to a single user's history,
+    * the same bound every per-user window in the library carries.
+    */
+  def j13NearestMatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("click_ts",
+        when(col("event_type") === "click", col("ts_us")))
+      .withColumn("prev_click", last(col("click_ts"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_click", first(col("click_ts"), ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        expr("""CASE
+                |  WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+                |  WHEN next_click IS NULL THEN ts_us - prev_click
+                |  WHEN prev_click IS NULL THEN next_click - ts_us
+                |  ELSE least(ts_us - prev_click, next_click - ts_us)
+                |END""".stripMargin).as("dist_us"),
+        expr("""CASE
+                |  WHEN prev_click IS NULL AND next_click IS NULL THEN 'none'
+                |  WHEN next_click IS NULL THEN 'back'
+                |  WHEN prev_click IS NULL THEN 'fwd'
+                |  WHEN ts_us - prev_click <= next_click - ts_us THEN 'back'
+                |  ELSE 'fwd'
+                |END""".stripMargin).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  val j13Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+      |           AS click_ts
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |x AS (
+      |  SELECT *,
+      |         LAST_VALUE(click_ts IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts_us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_click,
+      |         FIRST_VALUE(click_ts IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts_us, event_id
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |           AS next_click
+      |  FROM ev)
+      |SELECT event_id, user_id, ts_us,
+      |       CASE
+      |         WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+      |         WHEN next_click IS NULL THEN ts_us - prev_click
+      |         WHEN prev_click IS NULL THEN next_click - ts_us
+      |         ELSE LEAST(ts_us - prev_click, next_click - ts_us)
+      |       END AS dist_us,
+      |       CASE
+      |         WHEN prev_click IS NULL AND next_click IS NULL THEN 'none'
+      |         WHEN next_click IS NULL THEN 'back'
+      |         WHEN prev_click IS NULL THEN 'fwd'
+      |         WHEN ts_us - prev_click <= next_click - ts_us THEN 'back'
+      |         ELSE 'fwd'
+      |       END AS direction
+      |FROM x WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j13_nearest_match"  -> (j13NearestMatch _),
     "j1_broadcast"       -> (j1Broadcast _),
     "f13_url"            -> (f13Url _),
     "j10_range_rule"     -> (j10RangeRule _),
@@ -1301,6 +1384,7 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "j13_nearest_match"  -> j13Sql,
     "f13_url"        -> f13Sql,
     "j10_range_rule" -> j10Sql,
     "f14_bitwise"    -> f14Sql,

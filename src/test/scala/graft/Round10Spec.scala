@@ -747,6 +747,60 @@ class Round10Spec extends SparkSpec {
       "histogram does not cover every user exactly once")
   }
 
+  test("j13 nearest match agrees with a driver-side exact recompute") {
+    val rows = graft.queries.RelationalOps.j13NearestMatch(spark, d).collect()
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.filter(_._3 == "purchase").map { case (id, u, _, ts) =>
+      // mirror the window's (ts_us, event_id) total order exactly: a click
+      // at the purchase's own µs counts as prev/next by event_id
+      val clicks = byUser(u).filter(_._3 == "click")
+      if (clicks.isEmpty) (id, None: Option[Long], "none")
+      else {
+        val back = clicks.filter(c => c._4 < ts || (c._4 == ts && c._1 < id))
+          .map(ts - _._4).sorted.headOption
+        val fwd = clicks.filter(c => c._4 > ts || (c._4 == ts && c._1 > id))
+          .map(_._4 - ts).sorted.headOption
+        (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (b <= f) (id, Some(b), "back") else (id, Some(f), "fwd")
+          case (Some(b), None) => (id, Some(b), "back")
+          case (None, Some(f)) => (id, Some(f), "fwd")
+          case _ => (id, None, "none")
+        }
+      }
+    }.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getString(4))).toSeq
+    assert(got === expected.toSeq, "nearest-click table drifted from exact")
+  }
+
+  test("fe8 lag features step over the w8 grid exactly") {
+    val grid = graft.queries.WindowOps.w8ResampleGrid(spark, d).collect()
+      .map(r => ((r.getString(0), r.getAs[Long]("hr_ms")),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("vm_locf")))).toMap
+    val rows = graft.queries.FeatureOps.fe8LagFeatures(spark, d).collect()
+    assert(rows.length === grid.size, "fe8 dropped or invented grid rows")
+    val H = 3600000L
+    rows.foreach { r =>
+      val t = r.getString(0); val hr = r.getAs[Long]("hr_ms")
+      def lagv(k: Long): Option[Long] = grid.get((t, hr - k * H)).map(_._2)
+      def opt(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(opt(4) === lagv(1) || (r.isNullAt(4) && lagv(1).isEmpty))
+      assert(opt(5) === lagv(2) || (r.isNullAt(5) && lagv(2).isEmpty))
+      assert(opt(6) === lagv(24) || (r.isNullAt(6) && lagv(24).isEmpty))
+      val nxt = grid.get((t, hr + H)).map(_._1)
+      assert(opt(7) === nxt || (r.isNullAt(7) && nxt.isEmpty),
+        s"$t@$hr target drifted")
+    }
+  }
+
   test("dq10 Benford audit: digit domain, ppm closure, pinned expectations") {
     val rows = graft.queries.QualityOps.dq10Benford(spark, d).collect()
     assert(rows.nonEmpty && rows.length <= 9)
