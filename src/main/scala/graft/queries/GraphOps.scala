@@ -293,15 +293,78 @@ object GraphOps {
        |GROUP BY label ORDER BY n_members DESC, label""".stripMargin
   }
 
+  // ===== x68: "also bought" common-buyer similarity ========================
+
+  /** Item-item collaborative similarity — the "customers who bought X also
+    * bought Y" table: for every part pair, the count of DISTINCT common
+    * buyers and the Jaccard of their buyer sets in integer ppm, top-20 by
+    * similarity. This is the co-occurrence flavor every recommender
+    * bootstrap computes (and the bipartite cousin of x64's wedge closure:
+    * here the wedge CENTER is a customer, the legs are parts).
+    *
+    * Scale design (100 TB): wedge work is Σ_c C(basket(c), 2) — inherently
+    * quadratic in basket size, so the declared semantics HUB-DAMPS it:
+    * customers with > 256 distinct parts are excluded as centers (the
+    * standard co-occurrence discipline — a crawler-bot "customer" with 10⁶
+    * items would otherwise contribute 5·10¹¹ wedges; real signal lives in
+    * bounded baskets). With the cap, per-customer join groups are ≤ 256
+    * rows, the pair enumeration is ONE customer-keyed equi-self-join, and
+    * the (v, w)-keyed count is absorbed by map-side partials. Full buyer
+    * degrees (the Jaccard denominator) come from an UNCAPPED part-keyed
+    * aggregate, and the min-common ≥ 3 filter shrinks the pair table to
+    * the signal before the two degree joins.
+    */
+  def x68AlsoBought(s: SparkSession, d: String): DataFrame = {
+    val cp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), Seq("ok"))
+      .select(col("c"), col("p")).distinct()
+    val buyers = cp.groupBy(col("p")).agg(count(lit(1)).as("buyers"))
+    val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+    val cpd = cp.join(deg.filter(col("dg") <= 256).select(col("c")), Seq("c"))
+    val cn = cpd.as("x").join(cpd.as("y"),
+        col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("v"), col("y.p").as("w"))
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 3)
+    cn.join(buyers.select(col("p").as("v"), col("buyers").as("bv")), Seq("v"))
+      .join(buyers.select(col("p").as("w"), col("buyers").as("bw")), Seq("w"))
+      .select(col("v"), col("w"), col("common"), col("bv"), col("bw"),
+        expr("common * 1000000L div (bv + bw - common)").as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("v"), col("w"))
+      .limit(20)
+  }
+
+  val x68Sql: String =
+    """WITH cp AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |buyers AS (SELECT p, COUNT(*) AS buyers FROM cp GROUP BY p),
+      |deg AS (SELECT c, COUNT(*) AS dg FROM cp GROUP BY c),
+      |cpd AS (SELECT cp.c, cp.p FROM cp JOIN deg ON cp.c = deg.c
+      |        WHERE deg.dg <= 256),
+      |cn AS (
+      |  SELECT x.p AS v, y.p AS w, COUNT(*) AS common
+      |  FROM cpd x JOIN cpd y ON x.c = y.c AND x.p < y.p
+      |  GROUP BY x.p, y.p HAVING COUNT(*) >= 3)
+      |SELECT v, w, common, a.buyers AS bv, b.buyers AS bw,
+      |       CAST(common * 1000000 // (a.buyers + b.buyers - common)
+      |         AS BIGINT) AS jac_ppm
+      |FROM cn JOIN buyers a ON a.p = cn.v JOIN buyers b ON b.p = cn.w
+      |ORDER BY jac_ppm DESC, v, w LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_pagerank"        -> (x28Pagerank _),
     "x64_triangle_count"  -> (x64TriangleCount _),
-    "x67_lpa_communities" -> (x67LpaCommunities _)
+    "x67_lpa_communities" -> (x67LpaCommunities _),
+    "x68_also_bought"     -> (x68AlsoBought _)
   )
 
   val oracles: Map[String, String] = Map(
     "x28_pagerank"        -> x28Sql,
     "x64_triangle_count"  -> x64Sql,
-    "x67_lpa_communities" -> x67Sql
+    "x67_lpa_communities" -> x67Sql,
+    "x68_also_bought"     -> x68Sql
   )
 }

@@ -801,6 +801,34 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("x68 also-bought similarity matches a driver-side exact recompute") {
+    val rows = graft.queries.GraphOps.x68AlsoBought(spark, d).collect()
+    val cp = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .join(Tables.orders(spark, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), Seq("ok"))
+      .select(col("c"), col("p")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val buyers = cp.groupBy(_._2).map { case (p, xs) => (p, xs.length.toLong) }
+    val baskets = cp.groupBy(_._1).values.map(_.map(_._2).sorted)
+      .filter(_.length <= 256)
+    val common = scala.collection.mutable.Map[(Long, Long), Long]()
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        common((ps(i), ps(j))) = common.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val expected = common.iterator.filter(_._2 >= 3L).map { case ((v, w), cm) =>
+      val (bv, bw) = (buyers(v), buyers(w))
+      (v, w, cm, bv, bw, cm * 1000000L / (bv + bw - cm))
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "also-bought top-20 drifted from exact")
+    got.foreach { case (_, _, cm, bv, bw, _) =>
+      assert(cm <= math.min(bv, bw), "common buyers exceed a buyer set")
+    }
+  }
+
   test("dq10 Benford audit: digit domain, ppm closure, pinned expectations") {
     val rows = graft.queries.QualityOps.dq10Benford(spark, d).collect()
     assert(rows.nonEmpty && rows.length <= 9)
