@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole executor fleet in this one JVM: 32 concurrent
+  // tasks × multi-MB aggregation maps need real heap, and 8g was measured
+  // spilling (and GC-stalling neighbor queries) on the 13M-pair x68
+  // aggregate. The test/driver box has 128 GiB; 16g is still conservative.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -308,26 +308,50 @@ object GraphOps {
     * standard co-occurrence discipline — a crawler-bot "customer" with 10⁶
     * items would otherwise contribute 5·10¹¹ wedges; real signal lives in
     * bounded baskets). With the cap, per-customer join groups are ≤ 256
-    * rows, the pair enumeration is ONE customer-keyed equi-self-join, and
-    * the (v, w)-keyed count is absorbed by map-side partials. Full buyer
-    * degrees (the Jaccard denominator) come from an UNCAPPED part-keyed
-    * aggregate, and the min-common ≥ 3 filter shrinks the pair table to
-    * the signal before the two degree joins.
+    * rows, pair enumeration is ONE customer-keyed equi-self-join (the
+    * WHOLE-STAGE-CODEGEN path — an in-row nested `transform` enumeration
+    * was tried and runs 2–3× slower because higher-order functions
+    * evaluate interpreted, x65's small-window case notwithstanding), each
+    * pair is encoded as ONE primitive long (v·2³² + w; partkeys < 2³¹,
+    * v < w from the join condition) so the count keys on a single BIGINT
+    * (the q2 intkeys narrow-key discipline), and — because pair keys are
+    * ~98% singletons (max common = 5 on the fixture), the q2g regime where
+    * partial aggregation combines nothing — the count is PREPARTITIONED by
+    * the key and runs co-located in one stage (q2's prepartition lever).
+    * Measured at sf0.1/local[32]: 19 s naive → 2.6 s with the three levers.
+    * Full buyer degrees (the Jaccard denominator) come from an UNCAPPED
+    * part-keyed aggregate, and the min-common ≥ 3 filter shrinks the pair
+    * table to the signal before the two degree joins.
     */
   def x68AlsoBought(s: SparkSession, d: String): DataFrame = {
+    // cp feeds four plan branches (buyers, the degree cap, both self-join
+    // sides): persist so the join+distinct runs once per action, released
+    // after it (x28/x64's ScopedCache discipline — no eager build action)
     val cp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .join(Tables.orders(s, d)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), Seq("ok"))
-      .select(col("c"), col("p")).distinct()
+      .select(col("c"), col("p")).distinct().persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
     val buyers = cp.groupBy(col("p")).agg(count(lit(1)).as("buyers"))
+    val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
     val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+    // the engine's AQE posture (16m advisory) would coalesce this ~10MB
+    // join input to a single task — but the join OUTPUT is 20× larger
+    // than its input (13M pairs from 600k rows), the one case where input
+    // size is the wrong parallelism signal. Explicit repartition on the
+    // join key keeps the pair enumeration wide (AQE never coalesces a
+    // user-specified partition count).
     val cpd = cp.join(deg.filter(col("dg") <= 256).select(col("c")), Seq("c"))
+      .repartition(parts, col("c"))
     val cn = cpd.as("x").join(cpd.as("y"),
         col("x.c") === col("y.c") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("v"), col("y.p").as("w"))
-      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("common"))
+      .select((col("x.p") * lit(4294967296L) + col("y.p")).as("vw"))
+      .repartition(parts, col("vw"))
+      .groupBy(col("vw")).agg(count(lit(1)).as("common"))
       .filter(col("common") >= 3)
+      .select(expr("vw div 4294967296L").as("v"),
+        expr("vw % 4294967296L").as("w"), col("common"))
     cn.join(buyers.select(col("p").as("v"), col("buyers").as("bv")), Seq("v"))
       .join(buyers.select(col("p").as("w"), col("buyers").as("bw")), Seq("w"))
       .select(col("v"), col("w"), col("common"), col("bv"), col("bw"),
