@@ -577,7 +577,62 @@ object EventAnalytics {
       |SELECT max_streak, COUNT(*) AS n_users
       |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin
 
+  // ---- e10: conversion-lag histogram -------------------------------------
+
+  /** Time-to-convert: for every user, the lag from their FIRST view to the
+    * first purchase AFTER it, reported as the hour-bucketed histogram
+    * (bucket capped at 72 h — the standard attribution-window tail bucket)
+    * with the exact per-bucket lag sum in seconds. e1 counts who converts,
+    * e7 assigns credit; this measures HOW LONG conversion takes — the
+    * latency distribution behind attribution-window and retargeting-delay
+    * choices. Users with no view, or no purchase after their first view,
+    * are out of the population by definition.
+    *
+    * 100 TB shape: one user-keyed window (first-view timestamp) feeding a
+    * purchase-row filter and one user-keyed aggregate — the window and the
+    * aggregate ride the SAME user hash partition, so the stream crosses
+    * ONE exchange; the histogram is a second, bucket-domain-sized
+    * aggregate (≤ 73 rows out at any scale). All µs integers.
+    */
+  def e10ConversionLag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase" && col("us") > col("fv"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us") - col("fv")).as("lag_us"))
+      .select(least(expr("lag_us div 3600000000L"), lit(72L)).as("lag_bucket_h"),
+        col("lag_us"))
+      .groupBy(col("lag_bucket_h"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(sum(lag_us div 1000000) AS BIGINT)").as("lag_s_sum"))
+      .orderBy(col("lag_bucket_h"))
+  }
+
+  val e10Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |f AS (
+      |  SELECT user_id, event_type, us,
+      |         MIN(CASE WHEN event_type = 'view' THEN us END)
+      |           OVER (PARTITION BY user_id) AS fv
+      |  FROM ev),
+      |lags AS (
+      |  SELECT user_id, MIN(us - fv) AS lag_us
+      |  FROM f WHERE event_type = 'purchase' AND us > fv
+      |  GROUP BY user_id)
+      |SELECT LEAST(lag_us // 3600000000, 72) AS lag_bucket_h,
+      |       COUNT(*) AS n_users,
+      |       CAST(SUM(lag_us // 1000000) AS BIGINT) AS lag_s_sum
+      |FROM lags GROUP BY 1 ORDER BY lag_bucket_h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_conversion_lag"  -> (e10ConversionLag _),
     "e9_activity_streaks" -> (e9ActivityStreaks _),
     "e8_rfm_segments"     -> (e8RfmSegments _),
     "e7_attribution"      -> (e7Attribution _),
@@ -590,6 +645,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e10_conversion_lag"  -> e10Sql,
     "e9_activity_streaks" -> e9Sql,
     "e8_rfm_segments"     -> e8Sql,
     "e7_attribution"      -> e7Sql,

@@ -829,6 +829,29 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("e10 conversion-lag histogram matches a driver-side exact recompute") {
+    val rows = graft.queries.EventAnalytics.e10ConversionLag(spark, d).collect()
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = ev.groupBy(_._1).flatMap { case (_, xs) =>
+      val views = xs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val ps = xs.filter(t => t._2 == "purchase" && t._3 > fv).map(_._3 - fv)
+        if (ps.isEmpty) None else Some(ps.min)
+      }
+    }.toSeq
+    val expected = lags.groupBy(l => math.min(l / 3600000000L, 72L))
+      .map { case (b, ls) => (b, ls.size.toLong, ls.map(_ / 1000000L).sum) }
+      .toSeq.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected, "conversion-lag histogram drifted from exact")
+    assert(got.map(_._2).sum === lags.size.toLong)
+  }
+
   test("dq10 Benford audit: digit domain, ppm closure, pinned expectations") {
     val rows = graft.queries.QualityOps.dq10Benford(spark, d).collect()
     assert(rows.nonEmpty && rows.length <= 9)
