@@ -125,8 +125,23 @@ object Bench {
       val times = samples(name).sorted
       name -> times(times.length / 2)
     }.toMap
+    // Noise self-description (r10 verdict): the median alone can't tell a
+    // reader whether a slow key is a regression or one poisoned sample on a
+    // degraded host. min = best observed (closest to the plan's true cost);
+    // spread = max/min over the valid samples (1.0 = perfectly stable).
+    val stats = names.map { name =>
+      val valid = samples(name).filter(_ >= 0)
+      val (mn, spread) =
+        if (valid.isEmpty) (-1.0, -1.0)
+        else (valid.min, if (valid.min > 0) valid.max / valid.min else -1.0)
+      name -> (mn, spread)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val statsJson = names.map { n =>
+      val (mn, sp) = stats(n)
+      f""""$n":{"min":$mn%.3f,"spread":$sp%.2f}"""
+    }.mkString("{", ",", "}")
     val planJson = planInfo.map { case (k, (st, by)) =>
       f""""$k":{"stages":$st,"shuffle_mb":${by / 1048576.0}%.3f}"""
     }.mkString("{", ",", "}")
@@ -169,7 +184,7 @@ object Bench {
     // total (r7 postmortem — 25 failed keys made 118.9s look faster than a
     // clean 142.4s). `comparable:false` marks it explicitly.
     val comparable = failed == 0
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"queries":$qs,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the
     // driver's artifact keeps only a stdout tail, so per-key timings were
@@ -189,7 +204,10 @@ object Bench {
     // large. This second line always fits, so total/failed/slowest survive in
     // BENCH_r{N}.json without needing the full line.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val (mn, sp) = stats(k)
+        "\"" + k + "\":" + f"""{"med":$v%.3f,"min":$mn%.3f,"spread":$sp%.2f}"""
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"headline","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -682,6 +682,122 @@ object ScaleProbe {
       return
     }
 
+    // Scaling-exponent probe (`exponent` arg, r10 verdict item 3): the
+    // 100 TB claim for the super-linear-risk families (PPJoin x9, minhash
+    // x3, triangle x64, also-bought x68) has so far been architectural
+    // argument; this measures it. Each key runs at 1×/4×/8× amplified
+    // volume on a corpus whose per-replica structure is IDENTICAL to 1×
+    // (documents: Caesar-rotation replicas — constant duplicate rate,
+    // disjoint cross-replica tokens; relational: key-offset replicas —
+    // disjoint subgraphs), so true output grows exactly linearly and the
+    // fitted exponent isolates ENGINE scaling. For each (key, n): one cold
+    // run (includes any published-layout build — the real per-snapshot
+    // cost x64 pays) and one warm run; exponent = least-squares slope of
+    // ln(t) on ln(n). Evidence: docs/scaling_probe.json.
+    if (args.contains("exponent")) {
+      def relCorpus(nRep: Int): String = {
+        val dir = s"$scratch/graft_scale_rel_$nRep"
+        val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
+        if (!done2.exists()) {
+          // disjoint-replica key offsets: every replica is its own
+          // order/customer/part subgraph (strides clear sf0.1's key ranges)
+          val li = spark.read.parquet(s"$src/lineitem.parquet")
+          spark.range(nRep).crossJoin(li)
+            .withColumn("l_orderkey", col("l_orderkey") + col("id") * 100000000L)
+            .withColumn("l_partkey", col("l_partkey") + col("id") * 10000000L)
+            .withColumn("l_suppkey", col("l_suppkey") + col("id") * 1000000L)
+            .drop("id")
+            .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+          val ord = spark.read.parquet(s"$src/orders.parquet")
+          spark.range(nRep).crossJoin(ord)
+            .withColumn("o_orderkey", col("o_orderkey") + col("id") * 100000000L)
+            .withColumn("o_custkey", col("o_custkey") + col("id") * 10000000L)
+            .drop("id")
+            .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+          done2.createNewFile()
+        }
+        dir
+      }
+      def docsCorpus(nRep: Int): String = {
+        require(nRep <= 26, s"Caesar corpus supports n <= 26; got $nRep")
+        val dir = s"$scratch/graft_scale_docs_$nRep"
+        val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
+        if (!done2.exists()) {
+          val docs = spark.read.parquet(s"$src/documents.parquet")
+          val lower = "abcdefghijklmnopqrstuvwxyz"
+          val upper = lower.toUpperCase
+          def rot(str: String, k: Int) = str.drop(k) + str.take(k)
+          (0 until nRep).map { i =>
+            val k = i % 26
+            docs.withColumn("doc_id", col("doc_id") + i * 100000000L)
+              .withColumn("text",
+                translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k)))
+          }.reduce(_ unionByName _)
+            .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          done2.createNewFile()
+        }
+        dir
+      }
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      val scales = Seq(1, 4, 8)
+      val keys = Seq(
+        "x9_ngram_jaccard"   -> "docs",
+        "x3_minhash_neardup" -> "docs",
+        "x64_triangle_count" -> "rel",
+        "x68_also_bought"    -> "rel")
+      // corpora built before any timing (generation must not pollute the
+      // cold runs' file cache accounting any more than a fresh mount would)
+      val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
+        Seq(("docs", sc) -> (if (sc == 1) src else docsCorpus(sc)),
+            ("rel", sc) -> (if (sc == 1) src else relCorpus(sc)))
+      }).flatten.toMap
+      def fit(xs: Seq[Double], ys: Seq[Double]): Double = {
+        val n = xs.size
+        val mx = xs.sum / n; val my = ys.sum / n
+        val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+        val den = xs.map(x => (x - mx) * (x - mx)).sum
+        num / den
+      }
+      val entries = keys.map { case (key, fam) =>
+        val fn = SparkEntry.queries(key)
+        val rows = scales.map { sc =>
+          val d = dirs((fam, sc))
+          // cold = full per-snapshot cost: drop any published layout the
+          // key caches per corpus (x64/x67's co-purchase graph)
+          val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+          rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_copurchase_$tag"))
+          val t0 = System.nanoTime()
+          val n0 = fn(spark, d).count()
+          val cold = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val n1 = fn(spark, d).count()
+          val warm = (System.nanoTime() - t1) / 1e9
+          require(n0 == n1, s"$key unstable row count at $sc×: $n0 vs $n1")
+          println(f"$key%-20s ${sc}%-2dx rows=$n0%9d cold=$cold%7.2f s warm=$warm%7.2f s")
+          (sc, cold, warm, n0)
+        }
+        val lnN = scales.map(s => math.log(s.toDouble))
+        val eCold = fit(lnN, rows.map(r => math.log(r._2)))
+        val eWarm = fit(lnN, rows.map(r => math.log(r._3)))
+        println(f"$key%-20s exponent cold=$eCold%5.2f warm=$eWarm%5.2f")
+        val per = rows.map { case (sc, c, w, n0) =>
+          f""""${sc}x":{"cold_secs":$c%.2f,"warm_secs":$w%.2f,"rows":$n0%d}"""
+        }.mkString(",")
+        f""""$key":{"exponent_cold":$eCold%.2f,"exponent_warm":$eWarm%.2f,$per}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/scaling_probe.json"),
+        entries.mkString(
+          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar-rotation replicas","rel":"key-offset disjoint replicas"},"keys":{""",
+          ",", "}}").getBytes)
+      println("wrote docs/scaling_probe.json")
+      spark.stop()
+      return
+    }
+
     if (args.contains("cascade")) {
       val dir = cascadeCorpus()
       for (q <- Seq("x27_simhash_neardup", "x34_editdist_verify")) {

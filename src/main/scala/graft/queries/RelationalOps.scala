@@ -367,6 +367,98 @@ object RelationalOps {
       |WHERE p_size <= 5
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---- c1: CBO join reorder over ANALYZE'd catalog statistics ----
+
+  /** Cost-based join reordering — the last unexercised row of SURVEY §4's
+    * optimizer table. Catalyst's `CostBasedJoinReorder` only fires when (a)
+    * `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled` are on
+    * and (b) every base relation carries catalog statistics — which temp
+    * views over bare parquet never do. So the key materializes EXTERNAL
+    * catalog tables (zero data copied; LOCATION points at the existing
+    * testdata parquet) and runs `ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS` over the join/filter columns once per (session, sfDir) — the
+    * exact ceremony a real migration runs nightly at 100 TB so the
+    * optimizer can order a star join by estimated cardinality instead of
+    * syntax.
+    *
+    * The query is written in a deliberately BAD syntactic order — the
+    * fact-fact-ish join first (`orders ⋈ customer`), the selective dim
+    * (`nation` filtered to one region, 1/5 of rows) last — with broadcast
+    * disabled so join ORDER is the lever under test. With stats present the
+    * DP reorderer joins `customer ⋈ σ(nation)` first (5× customer
+    * reduction) before touching orders; PlanRewriteSpec asserts the
+    * optimized plan's inner join is exactly {customer, nation} and that the
+    * parent session's confs stay stock (conf-island discipline, j12
+    * precedent).
+    */
+  private val c1Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+  // per-(iso session, sfDir) one-time CREATE+ANALYZE; the weak key keeps a
+  // stopped parent's island GC-able
+  private val c1Analyzed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  /** The three external tables + analyzed columns (join keys + filter +
+    * agg columns — what cardinality estimation actually reads).
+    */
+  private val c1Tables = Seq(
+    "orders"   -> "o_custkey, o_totalprice",
+    "customer" -> "c_custkey, c_nationkey",
+    "nation"   -> "n_nationkey, n_regionkey, n_name")
+
+  /** Sanitized per-sfDir table-name suffix (catalog identifiers can't
+    * carry '/' or '.').
+    */
+  private def c1Tag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_").replaceAll("_+", "_").stripPrefix("_")
+
+  def c1CboReorder(s: SparkSession, d: String): DataFrame = {
+    val iso = c1Memo.computeIfAbsent(s, parent => {
+      val s2 = parent.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        parent.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.session.timeZone",
+        parent.conf.get("spark.sql.session.timeZone"))
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // with broadcast on, every dim join is a broadcast and order barely
+      // matters at test SF; shuffle joins make order the measured lever —
+      // and at 100 TB the orders⋈customer side IS a shuffle join
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2
+    })
+    val tag = c1Tag(d)
+    val done = c1Analyzed.computeIfAbsent(iso,
+      _ => java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
+    if (done.add(d)) {
+      c1Tables.foreach { case (t, cols) =>
+        // DROP+CREATE rather than IF NOT EXISTS: the in-memory catalog is
+        // shared per-context, so a fresh island in the same JVM must not
+        // trust (or double-create) tables a previous session registered
+        iso.sql(s"DROP TABLE IF EXISTS c1_${t}_$tag")
+        iso.sql(s"CREATE TABLE c1_${t}_$tag USING parquet LOCATION '$d/$t.parquet'")
+        iso.sql(s"ANALYZE TABLE c1_${t}_$tag COMPUTE STATISTICS FOR COLUMNS $cols")
+      }
+    }
+    iso.sql(
+      s"""SELECT n_name, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM c1_orders_$tag o
+         |JOIN c1_customer_$tag c ON o.o_custkey = c.c_custkey
+         |JOIN c1_nation_$tag n ON c.c_nationkey = n.n_nationkey
+         |WHERE n.n_regionkey = 0
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  val c1Sql: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey = 0
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ---- l1: Z-order (Morton) clustering key for 2-D data layout ----
   // The OPTIMIZE-ZORDER primitive: interleave (user bucket, minute-of-day)
   // so sort-and-write by z makes any aligned 2-D rectangle near-contiguous
@@ -1355,6 +1447,7 @@ object RelationalOps {
     "j8_bucketed_join"   -> (j8BucketedJoin _),
     "j11_dpp_join"       -> (j11DppJoin _),
     "j12_runtime_bloom"  -> (j12RuntimeBloom _),
+    "c1_cbo_reorder"     -> (c1CboReorder _),
     "l1_zorder_cluster"  -> (l1ZorderCluster _),
     "a1_distinct"        -> (a1Distinct _),
     "a5_approx_percentile" -> (a5ApproxPercentile _),
@@ -1401,6 +1494,7 @@ object RelationalOps {
     "j8_bucketed_join" -> j8Sql,
     "j11_dpp_join" -> j11Sql,
     "j12_runtime_bloom" -> j12Sql,
+    "c1_cbo_reorder" -> c1Sql,
     "j9_full_outer" -> j9Sql,
     "l1_zorder_cluster" -> l1Sql,
     "a1_distinct"    -> a1Sql,

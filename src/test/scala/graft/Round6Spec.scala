@@ -98,8 +98,10 @@ class Round6Spec extends SparkSpec {
       assert(plan.contains("graft_x39_index_"),
         "plan does not read the published index")
       // the expression's physical-plan name is its class prettyName
-      // ("stringpolyhash"), not the registered SQL alias
-      assert(plan.toLowerCase.contains("polyhash"),
+      // ("shinglehashes" since the r11 fused kernel; "stringpolyhash"
+      // before), not the registered SQL alias
+      assert(plan.toLowerCase.contains("shinglehashes") ||
+             plan.toLowerCase.contains("polyhash"),
         "no batch-side shingle fingerprinting in plan")
       // the batch corpus is scanned 3× (new-crawl slice + two twin
       // slices); a 4th documents scan would mean the base side is being
