@@ -761,6 +761,13 @@ object ScaleProbe {
         val den = xs.map(x => (x - mx) * (x - mx)).sum
         num / den
       }
+      // one untimed 1× pass per key first: C2 + parquet-footer caches would
+      // otherwise land entirely in the first key's 1× cold sample and skew
+      // its fitted exponent downward
+      keys.foreach { case (key, fam) =>
+        try SparkEntry.queries(key)(spark, dirs((fam, 1))).count()
+        catch { case _: Throwable => () }
+      }
       val entries = keys.map { case (key, fam) =>
         val fn = SparkEntry.queries(key)
         val rows = scales.map { sc =>

@@ -99,6 +99,58 @@ class Round11Spec extends SparkSpec {
     assert(bad == 0L, "shingle kernel diverges on edge-case token arrays")
   }
 
+  test("AvailableNow file-source stream over real events parquet matches batch") {
+    // the deployment-shaped path (readStream over the actual parquet →
+    // foreachBatch → scratch sink), not just the MemoryStream-shaped one:
+    // an AvailableNow run must drain the whole table and land exactly the
+    // batch aggregation's rows.
+    import org.apache.spark.sql.streaming.Trigger
+    val d = TestSpark.sf0001
+    val path = s"$d/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val phys = spark.read.parquet(path).schema
+    // the file source takes a DIRECTORY (the landing-dir deployment shape);
+    // testdata ships single-file tables, so point at the SF dir and filter
+    // to this table's file
+    val raw = spark.readStream.schema(phys)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    // same ts canonicalization Tables.events applies (dtype-branched)
+    val canon = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val agg = graft.streaming.Streams.tumblingCounts(canon)
+    val outDir = s"${graft.Scratch.dir(spark)}/graft_stream_filesource_out"
+    val ckpt = s"${graft.Scratch.dir(spark)}/graft_stream_filesource_ckpt"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(outDir)); rmrf(new java.io.File(ckpt))
+    val q = agg.writeStream
+      .outputMode("complete") // complete: every window survives → batch parity
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    assert(q.awaitTermination(180000),
+      "AvailableNow run did not drain the file source in time")
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batchRes = graft.streaming.Streams
+      .tumblingCounts(Tables.events(spark, d))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty, "stream landed zero rows")
+    assert(streamed == batchRes,
+      s"file-source streaming result diverges from batch (${streamed.size} vs ${batchRes.size} rows)")
+  }
+
   test("shingle kernel stays inside WholeStageCodegen") {
     graft.functions.ShingleHashes.register(spark)
     val docs = Tables.documents(spark, TestSpark.sf0001)
