@@ -779,16 +779,17 @@ object PipelineOps {
 
   def x50SubstringDedup(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
+    graft.functions.WordGramSha.register(s)
     val w = org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val occ = toks
       .filter(size(col("t")) >= SubstrK)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $SubstrK), " +
-          s"i -> struct(i AS pos, sha2(concat_ws(' ', slice(t, i + 1, $SubstrK)), 256) AS h))"))
-        .as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+      // fused codegen'd k-gram digest kernel; the array index IS the
+      // 0-based window start, so posexplode recovers the pos column the
+      // old struct-building HOF carried
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_wordgram_sha(t, $SubstrK)")).as(Seq("pos", "h")))
     val rm = occ
       .withColumn("rn", row_number().over(
         w.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
@@ -1561,20 +1562,22 @@ object PipelineOps {
     * Output: every passage occurring more than once, with its copy count,
     * how many docs it spans, and the earliest doc carrying it.
     */
-  def x16PassageDedup(s: SparkSession, d: String): DataFrame =
+  def x16PassageDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordGramSha.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, (size(toks)-1) div $PassageTokens), " +
-          s"i -> sha2(concat_ws(' ', slice(toks, i*$PassageTokens+1, $PassageTokens)), 256))"
-      )).as("h"))
+      // fused codegen'd passage-digest kernel (stride-k windows, truncated
+      // tail) — same digests as the old slice/concat_ws HOF
+      .select(col("doc_id"),
+        explode(expr(s"graft_wordgram_passage_sha(toks, $PassageTokens)")).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_copies"),
            countDistinct(col("doc_id")).as("n_docs"),
            min(col("doc_id")).as("first_doc"))
       .filter(col("n_copies") >= 2)
       .orderBy(col("h"))
+  }
 
   val x16Sql: String =
     s"""WITH toks AS (
@@ -2061,12 +2064,14 @@ object PipelineOps {
     * real text (at W=8 the synthetic corpus has zero collisions).
     */
   def x20Decontam(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordGramSha.register(s)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= DecontamW)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${DecontamW - 1}), " +
-          s"i -> sha2(concat_ws(' ', slice(toks, i, $DecontamW)), 256))")).as("h"))
+      // fused codegen'd W-gram digest kernel (same digests as the old
+      // slice/concat_ws HOF, which evaluated interpreted)
+      .select(col("doc_id"),
+        explode(expr(s"graft_wordgram_sha(toks, $DecontamW)")).as("h"))
       .distinct()
       .persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(sh))
@@ -2107,8 +2112,8 @@ object PipelineOps {
        |  SELECT doc_id, split(text, ' ') AS t FROM documents
        |  WHERE size(split(text, ' ')) >= $w),
        |sh AS (
-       |  SELECT DISTINCT doc_id, sha2(concat_ws(' ', slice(t, i, $w)), 256) AS h
-       |  FROM (SELECT doc_id, t, explode(sequence(1, size(t) - ${w - 1})) AS i FROM toks)),
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, explode(graft_wordgram_sha(t, $w)) AS h FROM toks)),
        |test AS (SELECT doc_id AS test_doc, h FROM sh WHERE doc_id % 97 = 0),
        |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
        |pruned AS (
@@ -2142,6 +2147,7 @@ object PipelineOps {
     */
   def x46DecontamBloom(s: SparkSession, d: String): DataFrame = {
     graft.functions.BloomFunctions.register(s)
+    graft.functions.WordGramSha.register(s)
     graft.GraftSession.registerTables(s, d)
     s.sql(
       s"""${decontamCteSql(DecontamW)}
@@ -2168,12 +2174,12 @@ object PipelineOps {
     * with no broadcast side at all.
     */
   def x60BoilerplateFrac(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordGramSha.register(s)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= DecontamW)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${DecontamW - 1}), " +
-          s"i -> sha2(concat_ws(' ', slice(toks, i, $DecontamW)), 256))")).as("h"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_wordgram_sha(toks, $DecontamW)")).as("h"))
       .distinct()
       .persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(sh))

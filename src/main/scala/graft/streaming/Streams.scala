@@ -624,17 +624,20 @@ object Streams {
     * per distinct passage inside the watermark, independent of passage text
     * size, and ages out with event time. Expects (doc_id, text, ingest_ts).
     */
-  def dedupPassages(docs: DataFrame): DataFrame =
+  def dedupPassages(docs: DataFrame): DataFrame = {
+    graft.functions.WordGramSha.register(docs.sparkSession)
     docs
       .select(col("doc_id"), col("ingest_ts"),
         split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), col("ingest_ts"), posexplode(expr(
-        "transform(sequence(0, (size(toks)-1) div 20), " +
-          "i -> sha2(concat_ws(' ', slice(toks, i*20+1, 20)), 256))"
-      )).as(Seq("passage_idx", "h")))
+      // fused codegen'd passage-digest kernel — identical digests to batch
+      // x16 (same kernel)
+      .select(col("doc_id"), col("ingest_ts"),
+        posexplode(expr("graft_wordgram_passage_sha(toks, 20)"))
+          .as(Seq("passage_idx", "h")))
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
+  }
 
   /** Streaming twin of x20 decontamination: each arriving document's
     * 4-token shingles (sha-256 digested — the batch x20 contract) are
@@ -646,28 +649,30 @@ object Streams {
     * primitive an ingest pipeline puts in front of training storage.
     * Expects stream columns (doc_id, text); static columns (test_doc, h).
     */
-  def decontamStream(docs: DataFrame, testShingles: DataFrame): DataFrame =
+  def decontamStream(docs: DataFrame, testShingles: DataFrame): DataFrame = {
+    graft.functions.WordGramSha.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 3), " +
-          "i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))")).as("h"))
+      .select(col("doc_id"),
+        explode(expr("graft_wordgram_sha(toks, 4)")).as("h"))
       .join(broadcast(testShingles), "h")
       .select(col("doc_id"), col("h"), col("test_doc"))
+  }
 
   /** Static-side builder for [[decontamStream]]: the distinct digested
     * shingles of the held-out split, same digesting as batch x20.
     */
-  def testSetShingles(docs: DataFrame): DataFrame =
+  def testSetShingles(docs: DataFrame): DataFrame = {
+    graft.functions.WordGramSha.register(docs.sparkSession)
     docs
       .filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("test_doc"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)
-      .select(col("test_doc"), explode(expr(
-        "transform(sequence(1, size(toks) - 3), " +
-          "i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))")).as("h"))
+      .select(col("test_doc"),
+        explode(expr("graft_wordgram_sha(toks, 4)")).as("h"))
       .distinct()
+  }
 
   /** Streaming twin of x24 mixture sampling: arriving docs broadcast-join
     * a STATIC per-stratum rate table (built once from the reference corpus
