@@ -631,7 +631,59 @@ object EventAnalytics {
       |       CAST(SUM(lag_us // 1000000) AS BIGINT) AS lag_s_sum
       |FROM lags GROUP BY 1 ORDER BY lag_bucket_h""".stripMargin
 
+  // ---- e11: CEP sequence-pattern matching (MATCH_RECOGNIZE shape) ----
+
+  /** Complex-event-processing pattern counting — the SQL-standard
+    * `MATCH_RECOGNIZE` / Flink-CEP primitive Spark has no native operator
+    * for, expressed Spark-first: per (user, day), the event-type sequence
+    * in total (ts, event_id) order is folded to a character string
+    * (view→v, click→c, purchase→p, else o) and the non-overlapping
+    * greedy-left-to-right count of the contiguous pattern `vcp`
+    * (PATTERN (V C P) with AFTER MATCH SKIP PAST LAST ROW semantics) is
+    * computed by the replace-and-measure identity
+    * `(len(seq) − len(replace(seq, 'vcp', ''))) / 3` — both engines'
+    * `replace` is sequential non-overlapping left-to-right, so the match
+    * count is identical by construction, with no regex-dialect risk.
+    *
+    * Scale design (100 TB): ONE user-keyed shuffle; the per-group collect
+    * is bounded by a user-DAY (not unbounded user history — the same
+    * state-bounding a streaming CEP engine enforces with a window; x57's
+    * sessionization is the gap-based alternative). Cross-midnight matches
+    * are deliberately out of pattern scope, exactly as a windowed CEP
+    * deployment defines them away.
+    */
+  def e11CepPattern(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' " +
+          "WHEN 'purchase' THEN 'p' ELSE 'o' END").as("ch"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("array_join(transform(array_sort(collect_list(struct(us, event_id, ch))), " +
+          "x -> x.ch), '')").as("seq"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        expr("CAST((length(seq) - length(replace(seq, 'vcp', ''))) div 3 AS BIGINT)")
+          .as("n_vcp"))
+      .orderBy(col("user_id"), col("day"))
+
+  val e11Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |              WHEN 'purchase' THEN 'p' ELSE 'o' END AS ch
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, us // 86400000000 AS day, COUNT(*) AS n_events,
+      |         string_agg(ch, '' ORDER BY us, event_id) AS seq
+      |  FROM e GROUP BY 1, 2)
+      |SELECT user_id, CAST(day AS BIGINT) AS day, n_events,
+      |       CAST((len(seq) - len(replace(seq, 'vcp', ''))) // 3 AS BIGINT) AS n_vcp
+      |FROM g ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_cep_pattern"     -> (e11CepPattern _),
     "e10_conversion_lag"  -> (e10ConversionLag _),
     "e9_activity_streaks" -> (e9ActivityStreaks _),
     "e8_rfm_segments"     -> (e8RfmSegments _),
@@ -646,6 +698,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "e10_conversion_lag"  -> e10Sql,
+    "e11_cep_pattern"     -> e11Sql,
     "e9_activity_streaks" -> e9Sql,
     "e8_rfm_segments"     -> e8Sql,
     "e7_attribution"      -> e7Sql,

@@ -4328,6 +4328,89 @@ object PipelineOps {
       |FROM pairs GROUP BY pair
       |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin
 
+  // ===== x70: BPE merge-rule training (3 iterations) =======================
+
+  /** BPE tokenizer training proper — the iterative half x62 stops short
+    * of: starting from the single-character symbolization of the distinct
+    * word table, run 3 merge iterations; each counts adjacent symbol
+    * pairs weighted by word frequency, picks the argmax (total
+    * `n DESC, pair ASC` order — deterministic on both engines), and
+    * rewrites every word's symbol string by greedy left-to-right
+    * non-overlapping replacement (the Sennrich-et-al reference semantics;
+    * space-guarded `replace` gives exactly that on both engines since
+    * symbols never contain spaces). Output: the 3 learned merge rules
+    * with their occurrence counts.
+    *
+    * Scale design (100 TB): the ONLY corpus-sized pass is the initial
+    * word count (one shuffle); every iteration afterwards works on the
+    * DISTINCT word table (Zipf-bounded — grows ~logarithmically while
+    * the corpus grows linearly), exactly how production BPE training is
+    * structured. The per-iteration argmax stays IN-PLAN as a 1-row
+    * TakeOrdered broadcast-crossJoined into the rewrite — the driver
+    * never sees data, so the loop is 3 chained plan stages, not 3
+    * collect-and-resubmit round trips.
+    */
+  def x70BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("array_join(split(w, ''), ' ')").as("sym"), col("freq"))
+      .persist() // root of all 3 iterations' lineage; released after action
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(wf))
+    var cur: DataFrame = wf
+    val merges = (1 to 3).map { it =>
+      val pairs = cur
+        .select(col("freq"), split(col("sym"), " ").as("ss"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), " +
+            "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
+      val top1 = pairs.orderBy(col("n_occ").desc, col("pair")).limit(1)
+      cur = cur.crossJoin(broadcast(top1))
+        .select(expr(
+          "trim(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' ')))").as("sym"),
+          col("freq"))
+      top1.select(lit(it.toLong).as("iter"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("n_occ"))
+    }
+    merges.reduce(_ unionByName _).orderBy(col("iter"))
+  }
+
+  val x70Sql: String = {
+    def pairCte(src: String, t: String): String =
+      s"""$t AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ FROM (
+         |    SELECT freq, ss[CAST(i AS INTEGER)] || ' ' || ss[CAST(i AS INTEGER) + 1] AS pair
+         |    FROM (SELECT freq, string_split(sym, ' ') AS ss FROM $src),
+         |         LATERAL unnest(range(1, len(ss))) t(i))
+         |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1)""".stripMargin
+    def mergeCte(src: String, top: String, w: String): String =
+      s"""$w AS (
+         |  SELECT trim(replace(' ' || sym || ' ',
+         |           ' ' || (SELECT pair FROM $top) || ' ',
+         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ')) AS sym,
+         |         freq
+         |  FROM $src)""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym,
+       |         COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY 1),
+       |${pairCte("wf", "t1")},
+       |${mergeCte("wf", "t1", "w2")},
+       |${pairCte("w2", "t2")},
+       |${mergeCte("w2", "t2", "w3")},
+       |${pairCte("w3", "t3")}
+       |SELECT CAST(1 AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, n_occ FROM t1
+       |UNION ALL
+       |SELECT 2, pair, replace(pair, ' ', ''), n_occ FROM t2
+       |UNION ALL
+       |SELECT 3, pair, replace(pair, ' ', ''), n_occ FROM t3
+       |ORDER BY iter""".stripMargin
+  }
+
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
   /** The dedup twin of x40's ANN-recall audit: MEASURE what the 4×4
@@ -4618,6 +4701,7 @@ object PipelineOps {
     "x38b_top_pieces"    -> (x38bTopPieces _),
     "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x62_bpe_pair_counts" -> (x62BpePairCounts _),
+    "x70_bpe_merges" -> (x70BpeMerges _),
     "x63_dedup_recall"   -> (x63DedupRecall _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
@@ -4700,6 +4784,7 @@ object PipelineOps {
     "x38b_top_pieces"    -> x38bSql,
     "x61_vocab_coverage" -> x61Sql,
     "x62_bpe_pair_counts" -> x62Sql,
+    "x70_bpe_merges" -> x70Sql,
     "x63_dedup_recall"   -> x63Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,
