@@ -4411,6 +4411,81 @@ object PipelineOps {
        |ORDER BY iter""".stripMargin
   }
 
+  // ===== x71: apply the trained BPE merges (train→apply handoff) ==========
+
+  /** The application half of x70: after the 3 learned merges rewrite the
+    * distinct-word symbol table, the corpus tokenizes to the resulting
+    * symbol inventory — this key reports the top-20 symbols by
+    * corpus-weighted occurrence (total `n DESC, symbol ASC` order,
+    * TakeOrderedAndProject). Together x62 → x70 → x71 are the full
+    * tokenizer-training loop: pair statistics → merge rules → applied
+    * vocabulary.
+    *
+    * Scale shape is inherited from x70: the corpus is touched once (the
+    * word count); the merge rewrites and the final symbol count are
+    * distinct-word-table work, with word frequencies carrying the corpus
+    * weights.
+    */
+  def x71BpeApply(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("array_join(split(w, ''), ' ')").as("sym"), col("freq"))
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(wf))
+    var cur: DataFrame = wf
+    (1 to 3).foreach { _ =>
+      val top1 = cur
+        .select(col("freq"), split(col("sym"), " ").as("ss"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), " +
+            "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair")).limit(1)
+      cur = cur.crossJoin(broadcast(top1))
+        .select(expr(
+          "trim(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' ')))").as("sym"),
+          col("freq"))
+    }
+    cur.select(col("freq"), explode(split(col("sym"), " ")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("symbol"))
+      .limit(20)
+  }
+
+  val x71Sql: String = {
+    def pairCte(src: String, t: String): String =
+      s"""$t AS (
+         |  SELECT pair FROM (
+         |    SELECT freq, ss[CAST(i AS INTEGER)] || ' ' || ss[CAST(i AS INTEGER) + 1] AS pair
+         |    FROM (SELECT freq, string_split(sym, ' ') AS ss FROM $src),
+         |         LATERAL unnest(range(1, len(ss))) t(i))
+         |  GROUP BY pair ORDER BY CAST(SUM(freq) AS BIGINT) DESC, pair LIMIT 1)""".stripMargin
+    def mergeCte(src: String, top: String, w: String): String =
+      s"""$w AS (
+         |  SELECT trim(replace(' ' || sym || ' ',
+         |           ' ' || (SELECT pair FROM $top) || ' ',
+         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ')) AS sym,
+         |         freq
+         |  FROM $src)""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym,
+       |         COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY 1),
+       |${pairCte("wf", "t1")},
+       |${mergeCte("wf", "t1", "w2")},
+       |${pairCte("w2", "t2")},
+       |${mergeCte("w2", "t2", "w3")},
+       |${pairCte("w3", "t3")},
+       |${mergeCte("w3", "t3", "w4")}
+       |SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occ FROM (
+       |  SELECT freq, unnest(string_split(sym, ' ')) AS symbol FROM w4)
+       |GROUP BY symbol ORDER BY n_occ DESC, symbol LIMIT 20""".stripMargin
+  }
+
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
   /** The dedup twin of x40's ANN-recall audit: MEASURE what the 4×4
@@ -4702,6 +4777,7 @@ object PipelineOps {
     "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x62_bpe_pair_counts" -> (x62BpePairCounts _),
     "x70_bpe_merges" -> (x70BpeMerges _),
+    "x71_bpe_apply" -> (x71BpeApply _),
     "x63_dedup_recall"   -> (x63DedupRecall _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
@@ -4785,6 +4861,7 @@ object PipelineOps {
     "x61_vocab_coverage" -> x61Sql,
     "x62_bpe_pair_counts" -> x62Sql,
     "x70_bpe_merges" -> x70Sql,
+    "x71_bpe_apply" -> x71Sql,
     "x63_dedup_recall"   -> x63Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,

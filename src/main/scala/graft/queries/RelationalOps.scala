@@ -798,6 +798,58 @@ object RelationalOps {
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- f18: correlation + linear regression from exact moments ----
+
+  /** `corr` / `regr_slope` / `regr_intercept` — the bivariate-statistics
+    * family (Redshift/Impala expose them natively) — computed the f6 way:
+    * Spark's native corr/regr_* fold doubles in partition order
+    * (non-deterministic across engines and runs), so the key aggregates
+    * the EXACT decimal moments (n, Σx, Σy, Σx², Σxy, Σy²) and derives the
+    * statistics from one identical double expression tree on both
+    * engines, rounded at grids far coarser than the 1-ulp decimal→double
+    * conversion noise. One shuffle, partial-aggregated; at 100 TB this is
+    * strictly cheaper than the built-ins (same moments, exact instead of
+    * order-dependent).
+    */
+  def f18Regression(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_quantity"))).cast("double").as("sx"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(money(col("l_quantity")) * money(col("l_quantity")))
+          .cast("double").as("sxx"),
+        sum(money(col("l_quantity")) * money(col("l_extendedprice")))
+          .cast("double").as("sxy"),
+        sum(money(col("l_extendedprice")) * money(col("l_extendedprice")))
+          .cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"))
+      .orderBy(col("l_returnflag"))
+
+  val f18Sql: String =
+    """SELECT l_returnflag, n,
+      |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+      |       ROUND((n * sxy - sx * sy) /
+      |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---- f7: scalar subquery (customers above global average balance) ----
   def f7ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_f7")
@@ -1463,6 +1515,7 @@ object RelationalOps {
     "f11_hof"            -> (f11Hof _),
     "f12_recursive_cte"  -> (f12RecursiveCte _),
     "f6_moments"         -> (f6Moments _),
+    "f18_regression"     -> (f18Regression _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "f8_correlated"      -> (f8Correlated _),
     "f9_map"             -> (f9Map _),
@@ -1511,6 +1564,7 @@ object RelationalOps {
     "f11_hof"        -> f11Sql,
     "f12_recursive_cte" -> f12Sql,
     "f6_moments"     -> f6Sql,
+    "f18_regression" -> f18Sql,
     "f7_scalar_subquery" -> f7Sql,
     "f8_correlated"  -> f8Sql,
     "f9_map"         -> f9Sql,
