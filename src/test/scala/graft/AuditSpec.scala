@@ -78,7 +78,9 @@ class AuditSpec extends SparkSpec {
         "x48_epoch_shuffle", // 3-row epoch table broadcast (ShufEpochs constant)
         "x55_pmi_collocations", // single-row total-token-count broadcast (x19's avgdl shape)
         "x64_triangle_count", // two single-row global aggregates cross-joined (edge count × wedge/triangle counts)
-        "e8_rfm_segments") // single-row corpus-max-day watermark broadcast (x19's avgdl shape)
+        "e8_rfm_segments", // single-row corpus-max-day watermark broadcast (x19's avgdl shape)
+        "x70_bpe_merges", // per-iteration argmax merge rule: 1-row TakeOrdered (LIMIT 1) broadcast, 3 of them
+        "x71_bpe_apply") // same 1-row merge-rule broadcasts as x70 (shared training loop)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet
