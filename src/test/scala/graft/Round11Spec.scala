@@ -54,6 +54,21 @@ class Round11Spec extends SparkSpec {
     }
     assert(df.collect().toSeq == stock.collect().toSeq,
       "CBO-reordered result differs from the stock plan's result")
+
+    // causality: WITHOUT stats the same syntactic order keeps orders in
+    // the innermost join — so the {customer, nation} inner pair above is
+    // the statistics' doing, not a coincidence of Catalyst defaults
+    val stockJoins = stock.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val stockInner = stockJoins.filter(j =>
+      j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
+    val stockLeaves = stockInner.head.collectLeaves().flatMap {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.schema.fieldNames.headOption
+      case _ => None
+    }
+    assert(stockLeaves.exists(_.startsWith("o_")),
+      s"stock (no-stats) plan unexpectedly reordered too — leaves $stockLeaves; " +
+        "the c1 assertion would no longer prove CBO causality")
   }
 
   test("shingle kernel: codegen'd ShingleHashes == interpreted HOF pipeline") {
