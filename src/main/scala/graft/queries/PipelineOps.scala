@@ -4335,11 +4335,19 @@ object PipelineOps {
     * word table, run 3 merge iterations; each counts adjacent symbol
     * pairs weighted by word frequency, picks the argmax (total
     * `n DESC, pair ASC` order — deterministic on both engines), and
-    * rewrites every word's symbol string by greedy left-to-right
-    * non-overlapping replacement (the Sennrich-et-al reference semantics;
-    * space-guarded `replace` gives exactly that on both engines since
-    * symbols never contain spaces). Output: the 3 learned merge rules
-    * with their occurrence counts.
+    * rewrites every word's symbol string by left-to-right non-overlapping
+    * replacement with ZERO-WIDTH boundaries — the Sennrich-et-al
+    * reference semantics (`re.sub` with lookaround guards). A single
+    * space-guarded `replace` under-merges: adjacent occurrences share
+    * the boundary space (`a b a b` → `ab a b`, where the reference gives
+    * `ab ab`), so the rewrite applies the replace TWICE — pass 1 can
+    * skip at most every other occurrence (each skip is caused by the
+    * preceding replacement), the survivors are pairwise non-adjacent, so
+    * pass 2 catches them all; and merging `a b → ab` can never create a
+    * new ` a b ` occurrence (the merged token contains no space), so
+    * pass 2 never over-merges. Both engines' `replace` is sequential
+    * non-overlapping, hence the two-pass result is identical and equal
+    * to the reference. Output: the 3 learned merge rules with counts.
     *
     * Scale design (100 TB): the ONLY corpus-sized pass is the initial
     * word count (one shuffle); every iteration afterwards works on the
@@ -4369,7 +4377,11 @@ object PipelineOps {
       val top1 = pairs.orderBy(col("n_occ").desc, col("pair")).limit(1)
       cur = cur.crossJoin(broadcast(top1))
         .select(expr(
-          "trim(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+          // two-pass replace = zero-width-boundary non-overlapping merge
+          // (see x70 scaladoc): pass 2 catches the alternate occurrences
+          // whose shared boundary space pass 1 consumed
+          "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
             "concat(' ', replace(pair, ' ', ''), ' ')))").as("sym"),
           col("freq"))
       top1.select(lit(it.toLong).as("iter"), col("pair"),
@@ -4388,7 +4400,9 @@ object PipelineOps {
          |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1)""".stripMargin
     def mergeCte(src: String, top: String, w: String): String =
       s"""$w AS (
-         |  SELECT trim(replace(' ' || sym || ' ',
+         |  SELECT trim(replace(replace(' ' || sym || ' ',
+         |           ' ' || (SELECT pair FROM $top) || ' ',
+         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' '),
          |           ' ' || (SELECT pair FROM $top) || ' ',
          |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ')) AS sym,
          |         freq
@@ -4445,7 +4459,11 @@ object PipelineOps {
         .orderBy(col("n_occ").desc, col("pair")).limit(1)
       cur = cur.crossJoin(broadcast(top1))
         .select(expr(
-          "trim(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+          // two-pass replace = zero-width-boundary non-overlapping merge
+          // (see x70 scaladoc): pass 2 catches the alternate occurrences
+          // whose shared boundary space pass 1 consumed
+          "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
             "concat(' ', replace(pair, ' ', ''), ' ')))").as("sym"),
           col("freq"))
     }
@@ -4465,7 +4483,9 @@ object PipelineOps {
          |  GROUP BY pair ORDER BY CAST(SUM(freq) AS BIGINT) DESC, pair LIMIT 1)""".stripMargin
     def mergeCte(src: String, top: String, w: String): String =
       s"""$w AS (
-         |  SELECT trim(replace(' ' || sym || ' ',
+         |  SELECT trim(replace(replace(' ' || sym || ' ',
+         |           ' ' || (SELECT pair FROM $top) || ' ',
+         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' '),
          |           ' ' || (SELECT pair FROM $top) || ' ',
          |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ')) AS sym,
          |         freq

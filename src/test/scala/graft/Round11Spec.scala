@@ -114,6 +114,45 @@ class Round11Spec extends SparkSpec {
     assert(bad == 0L, "shingle kernel diverges on edge-case token arrays")
   }
 
+  test("x70 merge rewrite has zero-width-boundary reference BPE semantics") {
+    // the two-pass replace must behave like Sennrich's lookaround-guarded
+    // re.sub: adjacent occurrences (which share a boundary space under a
+    // single space-guarded replace) BOTH merge; symbol-level self-overlaps
+    // stay left-biased; right boundaries never match a longer symbol's prefix
+    val sess = spark
+    import sess.implicits._
+    val cases = Seq(
+      ("a b a b", "ab ab"),     // adjacent: one-pass replace would give "ab a b"
+      ("a b a b a", "ab ab a"),
+      ("b a b a b", "b ab ab"),
+      ("x a b y", "x ab y"),
+      ("a bc", "a bc"),         // 'b' must not match the prefix of symbol 'bc'
+      ("ab a b", "ab ab"))
+    val df = cases.toDF("sym", "expected")
+      .withColumn("pair", lit("a b"))
+      .withColumn("got", expr(
+        "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' ')))"))
+    val bad = df.filter(col("got") =!= col("expected"))
+      .select(col("sym"), col("got"), col("expected")).collect()
+    assert(bad.isEmpty, s"merge rewrite diverges from reference BPE: ${bad.mkString(", ")}")
+    // self-overlap case where pair = "a a": the second 'a a' shares the
+    // middle SYMBOL, so the reference also skips it — stays "aa a a"? no:
+    // ' a a a a ' pass1 merges positions 1-2 then 3-4 → "aa aa"
+    val df2 = Seq(
+      ("a a a a", "aa aa"),
+      ("a a a", "aa a")) // odd self-overlap run: greedy left-biased, like the reference
+      .toDF("sym", "expected")
+      .withColumn("pair", lit("a a"))
+      .withColumn("got", expr(
+        "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' ')))"))
+    assert(df2.filter(col("got") =!= col("expected")).count() == 0,
+      "even-run self-overlap merge diverged")
+  }
+
   test("AvailableNow file-source stream over real events parquet matches batch") {
     // the deployment-shaped path (readStream over the actual parquet →
     // foreachBatch → scratch sink), not just the MemoryStream-shaped one:
