@@ -850,6 +850,50 @@ object RelationalOps {
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- f19: exact interpolated quantiles (quantile_cont parity) ----
+
+  /** EXACT percentiles — the complement of a5's approximate sketch: Spark's
+    * `percentile` aggregate computes the textbook linear interpolation at
+    * rank p·(n−1) over the sorted group, the same definition as DuckDB's
+    * `quantile_cont` (and ANSI `PERCENTILE_CONT`). Inputs are cast to
+    * DOUBLE on both engines so the interpolation arithmetic sees identical
+    * operands; results are rounded at grids far coarser than any 1-ulp
+    * interpolation noise. l_quantity lands on integers (sanity row);
+    * l_extendedprice carries cents, so its quartiles genuinely
+    * interpolate.
+    *
+    * 100 TB note: exact percentiles require the group's values — Spark's
+    * implementation aggregates a per-group value-count map (partial
+    * aggregation combines duplicates map-side). For high-cardinality
+    * value domains at extreme scale the approximate a5 (KLL-class sketch)
+    * is the swap; this key is the exactness contract for when the answer
+    * must be right, e.g. SLA thresholds.
+    */
+  def f19ExactQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.9D))").as("qq"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25D, 0.5D, 0.9D))").as("qp"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qq"), 1), 6).as("qty_p25"),
+        round(element_at(col("qq"), 2), 6).as("qty_p50"),
+        round(element_at(col("qq"), 3), 6).as("qty_p90"),
+        round(element_at(col("qp"), 1), 4).as("price_p25"),
+        round(element_at(col("qp"), 2), 4).as("price_p50"),
+        round(element_at(col("qp"), 3), 4).as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
+  val f19Sql: String =
+    """SELECT l_returnflag,
+      |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS qty_p25,
+      |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS qty_p50,
+      |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS qty_p90,
+      |       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS price_p25,
+      |       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS price_p50,
+      |       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS price_p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- f7: scalar subquery (customers above global average balance) ----
   def f7ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_f7")
@@ -1516,6 +1560,7 @@ object RelationalOps {
     "f12_recursive_cte"  -> (f12RecursiveCte _),
     "f6_moments"         -> (f6Moments _),
     "f18_regression"     -> (f18Regression _),
+    "f19_exact_quantiles" -> (f19ExactQuantiles _),
     "f7_scalar_subquery" -> (f7ScalarSubquery _),
     "f8_correlated"      -> (f8Correlated _),
     "f9_map"             -> (f9Map _),
@@ -1565,6 +1610,7 @@ object RelationalOps {
     "f12_recursive_cte" -> f12Sql,
     "f6_moments"     -> f6Sql,
     "f18_regression" -> f18Sql,
+    "f19_exact_quantiles" -> f19Sql,
     "f7_scalar_subquery" -> f7Sql,
     "f8_correlated"  -> f8Sql,
     "f9_map"         -> f9Sql,
