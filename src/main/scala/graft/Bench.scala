@@ -104,7 +104,8 @@ object Bench {
     // query's samples, so the per-query median actually rejects it. Sweep 1
     // doubles as steady-state warmup for sweeps 2+.
     val names = selected.keys.toSeq
-    val samples = names.map(n => n -> Array.ofDim[Double](trials)).toMap
+    val samples =
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     for (t <- 0 until trials; name <- names) {
       val fn = selected(name)
       // plan-shape delta measured over the LAST sweep only (steady state:
@@ -115,10 +116,44 @@ object Bench {
       // time-to-failure as a (fast) valid timing
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      samples(name)(t) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      samples(name) += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       if (t == trials - 1) {
         val end = telemetry.settled()
         planInfo(name) = (end._1 - mark._1, end._2 - mark._2)
+      }
+    }
+    // Noise GATE (r11 verdict wrong-#1): the r11 driver record's headline was
+    // 248.5 s while its own per-key mins summed to 124.8 s — a degraded-host
+    // burst poisoned 2 of 3 interleaved samples for 51 keys, so their medians
+    // (and hence the headline sum) reported host state, not the plans. Two
+    // layers fix that:
+    //  1. serial re-time: any key whose max/min spread exceeds the gate gets
+    //     up to 2 extra serial samples appended (bounded by a wall-clock
+    //     budget so a terminally degraded host can't run forever). A burst
+    //     that poisoned 2/3 samples now faces a 5-sample median.
+    //  2. the post-retry trustworthiness test is med/min, NOT max/min: a
+    //     retry can never lower a historical max, and the headline sums
+    //     MEDIANS — what `comparable` must certify is that each median sits
+    //     near the key's best observed cost.
+    val spreadGate = 8.0
+    val medGate = 2.0
+    def validOf(n: String) = samples(n).filter(_ >= 0)
+    def spreadOf(n: String) = {
+      val v = validOf(n)
+      if (v.size < 2 || v.min <= 0) 1.0 else v.max / v.min
+    }
+    val retryDeadline = System.nanoTime() + 240L * 1000000000L
+    var retried = 0
+    for (name <- names if spreadOf(name) > spreadGate) {
+      var extra = 0
+      while (spreadOf(name) > spreadGate && extra < 2 &&
+             System.nanoTime() < retryDeadline) {
+        val t0 = System.nanoTime()
+        val ok = try { selected(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        samples(name) += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        extra += 1
+        retried += 1
       }
     }
     val results = names.map { name =>
@@ -130,12 +165,27 @@ object Bench {
     // degraded host. min = best observed (closest to the plan's true cost);
     // spread = max/min over the valid samples (1.0 = perfectly stable).
     val stats = names.map { name =>
-      val valid = samples(name).filter(_ >= 0)
+      val valid = validOf(name)
       val (mn, spread) =
         if (valid.isEmpty) (-1.0, -1.0)
         else (valid.min, if (valid.min > 0) valid.max / valid.min else -1.0)
       name -> (mn, spread)
     }.toMap
+    // Keys whose median is still > medGate × their own min after retries:
+    // their headline contribution is untrustworthy. >5% of the suite in that
+    // state ⇒ the whole headline is a host artifact ⇒ noisy:true and
+    // comparable:false (r11 verdict's gate).
+    val stillNoisy = names.filter { n =>
+      val v = validOf(n)
+      v.nonEmpty && v.min > 0 && results(n) / v.min > medGate &&
+        spreadOf(n) > spreadGate
+    }
+    val noisy = stillNoisy.size > 0.05 * names.size
+    // sum of per-key best-observed samples: the host-noise-free lower bound
+    // of the suite's true cost, first-class so a reader can compare it to
+    // `value` without re-deriving it from stats.
+    val sumOfMins =
+      names.flatMap(n => { val v = validOf(n); if (v.isEmpty) None else Some(v.min) }).sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val statsJson = names.map { n =>
@@ -182,9 +232,12 @@ object Bench {
     // A run with failures must never print a smaller-is-better headline: the
     // sum over the surviving queries is NOT comparable to a clean round's
     // total (r7 postmortem — 25 failed keys made 118.9s look faster than a
-    // clean 142.4s). `comparable:false` marks it explicitly.
-    val comparable = failed == 0
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
+    // clean 142.4s). Noise gates it too (r11 postmortem — a degraded host
+    // made 248.5s print as comparable while the same code bands at
+    // 102–131s quiet). `comparable:false` marks both explicitly.
+    val comparable = failed == 0 && !noisy
+    val noiseJson = f""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":$sumOfMins%.1f"""
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the
     // driver's artifact keeps only a stdout tail, so per-key timings were
@@ -208,7 +261,7 @@ object Bench {
         val (mn, sp) = stats(k)
         "\"" + k + "\":" + f"""{"med":$v%.3f,"min":$mn%.3f,"spread":$sp%.2f}"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"headline","value":$total,"unit":"sec","comparable":$comparable,"failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
