@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.SortedIntersectCount
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -322,29 +323,46 @@ object GraphOps {
     * Full buyer degrees (the Jaccard denominator) come from an UNCAPPED
     * part-keyed aggregate, and the min-common ≥ 3 filter shrinks the pair
     * table to the signal before the two degree joins.
+    *
+    * This exact form is the ground truth; x68b is the declared minhash
+    * approximate swap for when even the hub-damped pair table is too big,
+    * and x68c holds its recall to a measured floor.
     */
-  def x68AlsoBought(s: SparkSession, d: String): DataFrame = {
-    // cp feeds four plan branches (buyers, the degree cap, both self-join
-    // sides): persist so the join+distinct runs once per action, released
-    // after it (x28/x64's ScopedCache discipline — no eager build action)
+  /** Shared basket machinery for the x68 family: the distinct
+    * (customer, part) purchase table `cp` (persisted — the CALLER must hand
+    * it to ScopedCache), per-part UNCAPPED buyer counts (the Jaccard
+    * denominator), and the hub-damped table `cpd` (customers with > 256
+    * distinct parts excluded as wedge centers — see x68's scaladoc).
+    */
+  private def basketMachinery(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .join(Tables.orders(s, d)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), Seq("ok"))
       .select(col("c"), col("p")).distinct().persist()
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
     val buyers = cp.groupBy(col("p")).agg(count(lit(1)).as("buyers"))
-    val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
     val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+    val cpd = cp.join(deg.filter(col("dg") <= 256).select(col("c")), Seq("c"))
+    (cp, buyers, cpd)
+  }
+
+  /** Full exact scored pair table (pre-top-k): distinct-common-buyer count
+    * per part pair via the hub-damped equi-self-join, Jaccard in integer
+    * ppm. x68 takes its top-20; x68c consumes the whole table as recall
+    * ground truth.
+    */
+  private def exactPairsScored(s: SparkSession, cpd: DataFrame,
+                               buyers: DataFrame): DataFrame = {
+    val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
     // the engine's AQE posture (16m advisory) would coalesce this ~10MB
     // join input to a single task — but the join OUTPUT is 20× larger
     // than its input (13M pairs from 600k rows), the one case where input
     // size is the wrong parallelism signal. Explicit repartition on the
     // join key keeps the pair enumeration wide (AQE never coalesces a
     // user-specified partition count).
-    val cpd = cp.join(deg.filter(col("dg") <= 256).select(col("c")), Seq("c"))
-      .repartition(parts, col("c"))
-    val cn = cpd.as("x").join(cpd.as("y"),
+    val wide = cpd.repartition(parts, col("c"))
+    val cn = wide.as("x").join(wide.as("y"),
         col("x.c") === col("y.c") && col("x.p") < col("y.p"))
       .select((col("x.p") * lit(4294967296L) + col("y.p")).as("vw"))
       .repartition(parts, col("vw"))
@@ -352,10 +370,23 @@ object GraphOps {
       .filter(col("common") >= 3)
       .select(expr("vw div 4294967296L").as("v"),
         expr("vw % 4294967296L").as("w"), col("common"))
+    scorePairs(cn, buyers)
+  }
+
+  /** Jaccard-ppm scoring shared by the exact and minhash pair tables. */
+  private def scorePairs(cn: DataFrame, buyers: DataFrame): DataFrame =
     cn.join(buyers.select(col("p").as("v"), col("buyers").as("bv")), Seq("v"))
       .join(buyers.select(col("p").as("w"), col("buyers").as("bw")), Seq("w"))
       .select(col("v"), col("w"), col("common"), col("bv"), col("bw"),
         expr("common * 1000000L div (bv + bw - common)").as("jac_ppm"))
+
+  def x68AlsoBought(s: SparkSession, d: String): DataFrame = {
+    // cp feeds four plan branches (buyers, the degree cap, both self-join
+    // sides): persist so the join+distinct runs once per action, released
+    // after it (x28/x64's ScopedCache discipline — no eager build action)
+    val (cp, buyers, cpd) = basketMachinery(s, d)
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
+    exactPairsScored(s, cpd, buyers)
       .orderBy(col("jac_ppm").desc, col("v"), col("w"))
       .limit(20)
   }
@@ -378,17 +409,248 @@ object GraphOps {
       |FROM cn JOIN buyers a ON a.p = cn.v JOIN buyers b ON b.p = cn.w
       |ORDER BY jac_ppm DESC, v, w LIMIT 20""".stripMargin
 
+  // ===== x68b: "also bought" via minhash banding (the approximate swap) ====
+
+  private val AbPerms = 16
+  private val AbP31   = 2147483647L // 2^31 - 1
+  private val AbMix   = 2654435761L // Knuth multiplicative scramble
+  private def abA(j: Int): Long = 1L + 7919L * (j + 1)
+  private def abB(j: Int): Long = 3L + 104729L * (j + 1)
+
+  /** x68's declared 100 TB escape hatch AS CODE: candidate part pairs come
+    * from minhash banding over (hub-damped) buyer sets instead of the
+    * exhaustive per-customer pair enumeration; candidates are then verified
+    * with the EXACT common-buyer count, so every emitted row carries the
+    * same exact (common, bv, bw, jac_ppm) values as x68 — the approximation
+    * loses only recall, and x68c measures exactly that loss against x68's
+    * ground truth.
+    *
+    * Banding scheme — two data-driven choices, both load-bearing:
+    *  - custkeys are SCRAMBLED (`(c·2654435761) mod P31`) before the affine
+    *    permutations. Raw custkeys are small enough that `c·a + b` never
+    *    wraps mod 2³¹−1 for any of the 16 affine maps, making every
+    *    "permutation" monotone in c — all 16 minhashes then agree with
+    *    min-custkey and matching is all-or-nothing (measured: per-pair
+    *    match count has the right MEAN, 0.80 vs 0.79 expected, but
+    *    P(≥1 match) collapses to J ≈ 0.05). The multiplicative scramble
+    *    spreads keys across [0, P31) so the affine maps actually permute.
+    *  - 16 bands × 1 row, NOT x3's 4×4: buyer-set Jaccards in this domain
+    *    are low (top-20 sits at J ≈ 0.075–0.15), where the 4×4 s-curve
+    *    1−(1−J⁴)⁴ recalls ~10⁻⁴; 1-row bands give 1−(1−J)¹⁶ ≈ 0.71–0.92.
+    *
+    * Scale design (100 TB): the signature pass is ONE part-keyed aggregate
+    * (16 mins + nothing else) — constant output per part regardless of
+    * buyer count. Band buckets are intrinsically bounded: bucket (j, h)
+    * contains only parts whose minimizing BUYER hashes to h, i.e. it is a
+    * subset of that one customer's basket, so with the ≤256 hub cap no
+    * bucket exceeds 256 rows and per-bucket pair work is ≤ C(256,2)
+    * whatever the corpus size. Exact verification touches candidates only.
+    * Where x68's exact enumeration pays one row per (pair, common buyer),
+    * the banding pays one row per (pair, matching band) ≈ 16·J per pair —
+    * the constant 16 replaces the data-density-driven common-buyer count,
+    * which is the asymptotic win when baskets densify at scale.
+    */
+  private def approxPairsScored(s: SparkSession, cpd: DataFrame,
+                                buyers: DataFrame): DataFrame = {
+    SortedIntersectCount.register(s)
+    val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
+    val hashed = cpd.select(col("p"), col("c"),
+      expr(s"(c * ${AbMix}L) % ${AbP31}L").as("hc"))
+    val minCols = (0 until AbPerms).map(j =>
+      min(expr(s"(hc * ${abA(j)}L + ${abB(j)}L) % ${AbP31}L")).as(s"m$j"))
+    val sig = hashed.groupBy(col("p")).agg(minCols.head, minCols.tail: _*)
+    val bandSig = (0 until AbPerms).map(j => s"$j, m$j").mkString(", ")
+    // band self-join output ≫ its input (same AQE-coalesce trap as the
+    // exact pair enumeration) — keep it wide via explicit repartition on
+    // the join key; the vw repartition below co-locates the dedup the
+    // same way x68's pair count does
+    val bands = sig.select(col("p"),
+        expr(s"stack($AbPerms, $bandSig) as (band, sig)"))
+      .repartition(parts, col("band"), col("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.p") < col("y.p"))
+      .select(col("x.p").as("v"), col("y.p").as("w"))
+    // VERIFY on candidates only — but NOT by re-joining the purchase table:
+    // banding admits ~350× more candidates than qualifying pairs (they
+    // mostly share exactly the one minimizing buyer), and a cand ⋈ cp
+    // count-join explodes each candidate into buyers(v) rows before the
+    // second join can filter (measured 78M intermediate rows / 40+ s at
+    // sf0.1). Instead each part carries its SORTED buyer array once
+    // (part-domain-sized table → broadcast hash joins, zero shuffle of the
+    // candidate stream) and the codegen'd two-pointer merge
+    // (graft_sorted_intersect_count, x9's verify kernel) counts the exact
+    // intersection in-row. Verify runs BEFORE candidate dedup: deduping the
+    // 3.5M-row collision stream is a full shuffle of it, while verifying
+    // first costs only the duplicate merges (a pair colliding in k bands is
+    // merged k times) and shrinks the distinct's input ~700× to the
+    // post-threshold survivors — the whole candidate path is then one
+    // stage pipelined off the band join.
+    val sets = cpd.groupBy(col("p"))
+      .agg(sort_array(collect_list(col("c").cast("long"))).as("cs"),
+           count(lit(1)).as("nb"))
+      // PPJoin-style length bound, the array-side mirror of the customer
+      // hub cap: a part with B buyers has J ≤ |partner|/B against any
+      // partner, so mega-hub parts cannot reach a similarity top-k against
+      // normal-sized ones and would only bloat the broadcast rows. No part
+      // approaches the bound at the test SFs (max ≈ 35 buyers), and x68c
+      // audits any recall this ever costs against the uncapped exact truth.
+      .filter(col("nb") <= 65536)
+      .select(col("p"), col("cs"))
+    val cn = cand
+      .join(broadcast(sets.select(col("p").as("v"), col("cs").as("csv"))), Seq("v"))
+      .join(broadcast(sets.select(col("p").as("w"), col("cs").as("csw"))), Seq("w"))
+      .select(col("v"), col("w"),
+        expr("graft_sorted_intersect_count(csv, csw)").as("common"))
+      .filter(col("common") >= 3)
+      .distinct()
+    scorePairs(cn, buyers)
+  }
+
+  def x68bAlsoBoughtMinhash(s: SparkSession, d: String): DataFrame = {
+    val (cp, buyers, cpd) = basketMachinery(s, d)
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
+    approxPairsScored(s, cpd, buyers)
+      .orderBy(col("jac_ppm").desc, col("v"), col("w"))
+      .limit(20)
+  }
+
+  /** Basket + exact-pair CTEs shared by the x68b/x68c oracles (x68Sql's
+    * own text is kept verbatim — a green oracle is never perturbed).
+    */
+  private val basketSql: String =
+    """cp AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |buyers AS (SELECT p, COUNT(*) AS buyers FROM cp GROUP BY p),
+      |deg AS (SELECT c, COUNT(*) AS dg FROM cp GROUP BY c),
+      |cpd AS (SELECT cp.c, cp.p FROM cp JOIN deg ON cp.c = deg.c
+      |        WHERE deg.dg <= 256),
+      |cne AS (
+      |  SELECT x.p AS v, y.p AS w, COUNT(*) AS common
+      |  FROM cpd x JOIN cpd y ON x.c = y.c AND x.p < y.p
+      |  GROUP BY x.p, y.p HAVING COUNT(*) >= 3),
+      |exact AS (
+      |  SELECT v, w, common, a.buyers AS bv, b.buyers AS bw,
+      |         CAST(common * 1000000 // (a.buyers + b.buyers - common)
+      |           AS BIGINT) AS jac_ppm
+      |  FROM cne JOIN buyers a ON a.p = cne.v
+      |  JOIN buyers b ON b.p = cne.w)""".stripMargin
+
+  /** DuckDB replay of [[approxPairsScored]]: scrambled-affine minhash
+    * signatures, 16×1 banding, candidate dedup, exact verify.
+    */
+  private def abMinhashSql: String = {
+    val mins = (0 until AbPerms)
+      .map(j => s"MIN(((c * $AbMix % $AbP31) * ${abA(j)}::BIGINT + " +
+        s"${abB(j)}) % $AbP31) AS m$j")
+      .mkString(", ")
+    val bandRows = (0 until AbPerms)
+      .map(j => s"SELECT p, $j AS band, m$j AS sig FROM sig")
+      .mkString(" UNION ALL ")
+    s"""sig AS (SELECT p, $mins FROM cpd GROUP BY p),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.p AS v, y.p AS w FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.p < y.p),
+       |psz AS (SELECT p, COUNT(*) AS nb FROM cpd GROUP BY p),
+       |cna AS (
+       |  SELECT cd.v, cd.w, COUNT(*) AS common
+       |  FROM cand cd
+       |  JOIN psz pv ON pv.p = cd.v AND pv.nb <= 65536
+       |  JOIN psz pw ON pw.p = cd.w AND pw.nb <= 65536
+       |  JOIN cpd x ON cd.v = x.p
+       |  JOIN cpd y ON cd.w = y.p AND x.c = y.c
+       |  GROUP BY cd.v, cd.w HAVING COUNT(*) >= 3),
+       |approx AS (
+       |  SELECT v, w, common, a.buyers AS bv, b.buyers AS bw,
+       |         CAST(common * 1000000 // (a.buyers + b.buyers - common)
+       |           AS BIGINT) AS jac_ppm
+       |  FROM cna JOIN buyers a ON a.p = cna.v
+       |  JOIN buyers b ON b.p = cna.w)""".stripMargin
+  }
+
+  val x68bSql: String =
+    s"""WITH $basketSql,
+       |$abMinhashSql
+       |SELECT v, w, common, bv, bw, jac_ppm FROM approx
+       |ORDER BY jac_ppm DESC, v, w LIMIT 20""".stripMargin
+
+  // ===== x68c: banding recall audit vs exact x68 ground truth ==============
+
+  /** The x63 audit pattern applied to x68b: recall of the minhash swap
+    * against the exact pair table, at two scopes —
+    *  - `pairs`: all qualifying pairs (common ≥ 3). Every x68b row is by
+    *    construction also an exact row (candidates are verified with exact
+    *    counts), so found/truth IS recall, no intersection join needed.
+    *  - `top20`: how many of x68's exact top-20 rows the approximate
+    *    top-20 recovers (semi-join on the pair key) — the floor the swap
+    *    is held to (measured ≥ 12/20 at sf0.001/0.01/0.1; Round12Spec
+    *    pins ≥ 50%).
+    * Integer-ppm output, exact on both engines.
+    */
+  def x68cAlsoBoughtRecall(s: SparkSession, d: String): DataFrame = {
+    val (cp, buyers, cpd) = basketMachinery(s, d)
+    // both scored tables feed TWO branches each (top-20 + full count);
+    // persisting them (they are pair-table-after-threshold sized — a few
+    // thousand rows) stops the whole enumeration/banding pipeline from
+    // running twice per side
+    val exact  = exactPairsScored(s, cpd, buyers).persist()
+    val approx = approxPairsScored(s, cpd, buyers).persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp, exact, approx))
+    val exTop = exact.orderBy(col("jac_ppm").desc, col("v"), col("w")).limit(20)
+    val apTop = approx.orderBy(col("jac_ppm").desc, col("v"), col("w")).limit(20)
+    val topTruth  = exTop.agg(count(lit(1)).as("n_truth"))
+    val topFound  = exTop.join(apTop.select(col("v"), col("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val pairTruth = exact.agg(count(lit(1)).as("n_truth"))
+    val pairFound = approx.agg(count(lit(1)).as("n_found"))
+    // single-row aggregate cross joins (x64's shape, AuditSpec-allowlisted)
+    def row(scope: String, t: DataFrame, f: DataFrame): DataFrame =
+      t.crossJoin(f).select(lit(scope).as("scope"), col("n_truth"),
+        col("n_found"),
+        expr("n_found * 1000000L div n_truth").as("recall_ppm"))
+    row("pairs", pairTruth, pairFound)
+      .unionByName(row("top20", topTruth, topFound))
+      .orderBy(col("scope"))
+  }
+
+  val x68cSql: String =
+    s"""WITH $basketSql,
+       |$abMinhashSql,
+       |ext AS (SELECT v, w FROM exact ORDER BY jac_ppm DESC, v, w LIMIT 20),
+       |apt AS (SELECT v, w FROM approx ORDER BY jac_ppm DESC, v, w LIMIT 20)
+       |SELECT 'pairs' AS scope,
+       |       (SELECT COUNT(*) FROM exact) AS n_truth,
+       |       (SELECT COUNT(*) FROM approx) AS n_found,
+       |       CAST((SELECT COUNT(*) FROM approx) * 1000000
+       |         // (SELECT COUNT(*) FROM exact) AS BIGINT) AS recall_ppm
+       |UNION ALL
+       |SELECT 'top20',
+       |       (SELECT COUNT(*) FROM ext),
+       |       (SELECT COUNT(*) FROM ext e JOIN apt a
+       |          ON e.v = a.v AND e.w = a.w),
+       |       CAST((SELECT COUNT(*) FROM ext e JOIN apt a
+       |          ON e.v = a.v AND e.w = a.w) * 1000000
+       |         // (SELECT COUNT(*) FROM ext) AS BIGINT)
+       |ORDER BY scope""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x28_pagerank"        -> (x28Pagerank _),
-    "x64_triangle_count"  -> (x64TriangleCount _),
-    "x67_lpa_communities" -> (x67LpaCommunities _),
-    "x68_also_bought"     -> (x68AlsoBought _)
+    "x28_pagerank"             -> (x28Pagerank _),
+    "x64_triangle_count"       -> (x64TriangleCount _),
+    "x67_lpa_communities"      -> (x67LpaCommunities _),
+    "x68_also_bought"          -> (x68AlsoBought _),
+    "x68b_also_bought_minhash" -> (x68bAlsoBoughtMinhash _),
+    "x68c_also_bought_recall"  -> (x68cAlsoBoughtRecall _)
   )
 
   val oracles: Map[String, String] = Map(
-    "x28_pagerank"        -> x28Sql,
-    "x64_triangle_count"  -> x64Sql,
-    "x67_lpa_communities" -> x67Sql,
-    "x68_also_bought"     -> x68Sql
+    "x28_pagerank"             -> x28Sql,
+    "x64_triangle_count"       -> x64Sql,
+    "x67_lpa_communities"      -> x67Sql,
+    "x68_also_bought"          -> x68Sql,
+    "x68b_also_bought_minhash" -> x68bSql,
+    "x68c_also_bought_recall"  -> x68cSql
   )
 }

@@ -80,7 +80,8 @@ class AuditSpec extends SparkSpec {
         "x64_triangle_count", // two single-row global aggregates cross-joined (edge count × wedge/triangle counts)
         "e8_rfm_segments", // single-row corpus-max-day watermark broadcast (x19's avgdl shape)
         "x70_bpe_merges", // per-iteration argmax merge rule: 1-row TakeOrdered (LIMIT 1) broadcast, 3 of them
-        "x71_bpe_apply") // same 1-row merge-rule broadcasts as x70 (shared training loop)
+        "x71_bpe_apply", // same 1-row merge-rule broadcasts as x70 (shared training loop)
+        "x68c_also_bought_recall") // two single-row count aggregates cross-joined per scope row (x64's shape)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet

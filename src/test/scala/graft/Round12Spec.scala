@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 verdict items: the x68b minhash swap is held to a measured
+  * recall floor against exact x68 ground truth, and its verified rows carry
+  * exactly the exact algorithm's values (the approximation may only LOSE
+  * pairs, never change a score).
+  */
+class Round12Spec extends SparkSpec {
+
+  test("x68c: minhash swap recall meets the declared floors") {
+    val rows = SparkEntry.queries("x68c_also_bought_recall")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (t20, f20, r20) = rows("top20")
+    assert(t20 == 20L, s"exact top-20 truth has $t20 rows")
+    // measured 15/18/12 of 20 at sf0.001/0.01/0.1 — the declared floor is
+    // 50%, the scaladoc's stated bound for the 16×1 banding at J≈0.075+
+    assert(r20 >= 500000L, s"top-20 recall $f20/$t20 ($r20 ppm) under the 50% floor")
+    val (tp, fp, rp) = rows("pairs")
+    assert(tp > 0 && fp <= tp, s"pairs recall shape broken: found=$fp truth=$tp")
+    // all-qualifying-pairs recall measured 55–61% across SFs; floor 30%
+    assert(rp >= 300000L, s"pair recall $fp/$tp ($rp ppm) under the 30% floor")
+  }
+
+  test("x68b rows that overlap exact x68 carry identical exact values") {
+    val exact = SparkEntry.queries("x68_also_bought")(spark, TestSpark.sf0001)
+    val approx = SparkEntry.queries("x68b_also_bought_minhash")(spark, TestSpark.sf0001)
+    val joined = exact.as("e").join(approx.as("a"),
+        col("e.v") === col("a.v") && col("e.w") === col("a.w"))
+      .select(col("e.common") === col("a.common"),
+        col("e.bv") === col("a.bv"), col("e.bw") === col("a.bw"),
+        col("e.jac_ppm") === col("a.jac_ppm"))
+      .collect()
+    assert(joined.nonEmpty, "top-20s share no pair at sf0.001 — recall collapsed")
+    assert(joined.forall(r => (0 until 4).forall(r.getBoolean)),
+      "a verified minhash row disagrees with the exact row for the same pair")
+  }
+}
