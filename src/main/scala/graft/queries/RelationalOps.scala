@@ -367,6 +367,87 @@ object RelationalOps {
       |WHERE p_size <= 5
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---- j14: AQE skew-join — runtime split of a skewed join partition ----
+
+  /** The last claimed-but-unexercised row of SURVEY §4's optimizer table:
+    * `OptimizeSkewedJoin`. The fact side joins on a key with a manufactured
+    * dominant value — the canonical production skew shape, where a fact
+    * FK's default/surrogate value ("unknown user", "anonymous session")
+    * owns a large fraction of all rows: here ~95% of lineitem lands on
+    * supplier 1. Under a plain sort-merge join that key's shuffle
+    * partition is one straggler task that runs as long as the whole rest
+    * of the stage; AQE's skew optimizer detects it from runtime map sizes
+    * and splits it into advisory-sized sub-partitions, replicating the
+    * matching build rows.
+    *
+    * Like j12's bloom threshold, the skew detector only fires in the
+    * big-data regime (256 MB partition threshold) — so the key runs in a
+    * memoized conf-island `newSession()` with the thresholds floored to
+    * test-SF sizes and broadcast off (a broadcast join has no skew
+    * problem; at 100 TB a 10⁸-row build side forces the shuffle join this
+    * key reproduces). One more big-data precondition had to be
+    * manufactured, not just conf-floored: AQE splits a skewed REDUCE
+    * partition along MAP-output boundaries, so a fact side whose scan is a
+    * single map task (one small parquet file at test SF) is unsplittable
+    * no matter the thresholds — the explicit round-robin repartition below
+    * reproduces the many-mappers shape every 100 TB scan has natively
+    * (one map task per file split), and also BOUNDS the split fan-out:
+    * the skewed partition can split into at most that many sub-reads, so
+    * the floored 1k advisory size cannot explode task counts at larger
+    * SFs. Round12Spec asserts the AQE final plan carries the skew=true
+    * sort-merge join AND that the parent session's confs stay stock; the
+    * oracle checks values, which skew splitting must not change.
+    */
+  private val j14Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  def j14SkewJoin(s: SparkSession, d: String): DataFrame = {
+    val iso = j14Memo.computeIfAbsent(s, parent => {
+      val s2 = parent.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        parent.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.session.timeZone",
+        parent.conf.get("spark.sql.session.timeZone"))
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // floor the big-data thresholds to fixture scale: a partition is
+      // skewed if > max(threshold, factor × median) and splits into
+      // advisory-sized chunks
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // pre-mark Tables.tune's guard: its engine-default 16m advisory would
+      // silently overwrite the floored advisory above on the first
+      // Tables.load in this island, making skew splits target 16m and
+      // never fire at test SF (carry its other knob for posture parity)
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      s2.conf.set("spark.graft.tuned", "true")
+      s2
+    })
+    val mappers = 2 * iso.conf.get("spark.sql.shuffle.partitions").toInt
+    val fact = Tables.lineitem(iso, d).select(
+      expr("CASE WHEN l_orderkey % 20 < 19 THEN 1L ELSE l_suppkey END").as("hk"),
+      col("l_quantity"))
+      .repartition(mappers) // the many-map-tasks shape — see scaladoc
+    val supp = Tables.supplier(iso, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    fact.join(supp, col("hk") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val j14Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM (SELECT CASE WHEN l_orderkey % 20 < 19 THEN 1 ELSE l_suppkey END AS hk,
+      |             l_quantity FROM lineitem) f
+      |JOIN supplier ON s_suppkey = hk
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // ---- c1: CBO join reorder over ANALYZE'd catalog statistics ----
 
   /** Cost-based join reordering — the last unexercised row of SURVEY §4's
@@ -431,14 +512,18 @@ object RelationalOps {
     val done = c1Analyzed.computeIfAbsent(iso,
       _ => java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
     if (done.add(d)) {
-      c1Tables.foreach { case (t, cols) =>
+      // mark-before-run would make a mid-ceremony failure (one ANALYZE
+      // throwing) permanently skip setup for this (session, sfDir) while
+      // the key kept "passing" without stats; un-mark on failure so the
+      // next call retries the whole DROP+CREATE+ANALYZE
+      try c1Tables.foreach { case (t, cols) =>
         // DROP+CREATE rather than IF NOT EXISTS: the in-memory catalog is
         // shared per-context, so a fresh island in the same JVM must not
         // trust (or double-create) tables a previous session registered
         iso.sql(s"DROP TABLE IF EXISTS c1_${t}_$tag")
         iso.sql(s"CREATE TABLE c1_${t}_$tag USING parquet LOCATION '$d/$t.parquet'")
         iso.sql(s"ANALYZE TABLE c1_${t}_$tag COMPUTE STATISTICS FOR COLUMNS $cols")
-      }
+      } catch { case e: Throwable => done.remove(d); throw e }
     }
     iso.sql(
       s"""SELECT n_name, COUNT(*) AS n_orders,
@@ -1543,6 +1628,7 @@ object RelationalOps {
     "j8_bucketed_join"   -> (j8BucketedJoin _),
     "j11_dpp_join"       -> (j11DppJoin _),
     "j12_runtime_bloom"  -> (j12RuntimeBloom _),
+    "j14_skew_join"      -> (j14SkewJoin _),
     "c1_cbo_reorder"     -> (c1CboReorder _),
     "l1_zorder_cluster"  -> (l1ZorderCluster _),
     "a1_distinct"        -> (a1Distinct _),
@@ -1592,6 +1678,7 @@ object RelationalOps {
     "j8_bucketed_join" -> j8Sql,
     "j11_dpp_join" -> j11Sql,
     "j12_runtime_bloom" -> j12Sql,
+    "j14_skew_join"     -> j14Sql,
     "c1_cbo_reorder" -> c1Sql,
     "j9_full_outer" -> j9Sql,
     "l1_zorder_cluster" -> l1Sql,

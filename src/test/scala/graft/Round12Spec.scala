@@ -24,6 +24,27 @@ class Round12Spec extends SparkSpec {
     assert(rp >= 300000L, s"pair recall $fp/$tp ($rp ppm) under the 30% floor")
   }
 
+  test("j14: AQE splits the skewed join partition; parent confs untouched") {
+    val skewBefore = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = graft.queries.RelationalOps.j14SkewJoin(spark, TestSpark.sf0001)
+    df.collect()
+    // the AQE FINAL plan (post-execution) must carry the skew-handled
+    // sort-merge join: SortMergeJoinExec(isSkewJoin=true) prints as
+    // "SortMergeJoin ... (skew=true)" and its shuffle reads as
+    // "AQEShuffleRead skewed"
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"),
+      s"j14 did not execute under AQE:\n$plan")
+    assert(plan.contains("skew=true") || plan.toLowerCase.contains("skewed"),
+      s"OptimizeSkewedJoin did not fire — no skew marker in the final plan:\n$plan")
+    // conf-island: skew knobs must not leak into the parent session
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == skewBefore,
+      "j14 leaked skewJoin.enabled into the parent session")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == bcBefore,
+      "j14 leaked autoBroadcastJoinThreshold into the parent session")
+  }
+
   test("x68b rows that overlap exact x68 carry identical exact values") {
     val exact = SparkEntry.queries("x68_also_bought")(spark, TestSpark.sf0001)
     val approx = SparkEntry.queries("x68b_also_bought_minhash")(spark, TestSpark.sf0001)
