@@ -4337,17 +4337,20 @@ object PipelineOps {
     * `n DESC, pair ASC` order — deterministic on both engines), and
     * rewrites every word's symbol string by left-to-right non-overlapping
     * replacement with ZERO-WIDTH boundaries — the Sennrich-et-al
-    * reference semantics (`re.sub` with lookaround guards). A single
-    * space-guarded `replace` under-merges: adjacent occurrences share
-    * the boundary space (`a b a b` → `ab a b`, where the reference gives
-    * `ab ab`), so the rewrite applies the replace TWICE — pass 1 can
-    * skip at most every other occurrence (each skip is caused by the
-    * preceding replacement), the survivors are pairwise non-adjacent, so
-    * pass 2 catches them all; and merging `a b → ab` can never create a
-    * new ` a b ` occurrence (the merged token contains no space), so
-    * pass 2 never over-merges. Both engines' `replace` is sequential
-    * non-overlapping, hence the two-pass result is identical and equal
-    * to the reference. Output: the 3 learned merge rules with counts.
+    * reference semantics (`re.sub` with lookaround guards). The rewrite
+    * is the literal left-to-right token scan (emit or merge-with-previous,
+    * never reconsider a just-merged token) as an in-row fold —
+    * [[BpeMergeExpr]] / its DuckDB `list_reduce` twin. Earlier rounds
+    * used a two-pass space-guarded `replace`, which is reference-equal on
+    * everything EXCEPT self-overlapping pairs in odd runs ≥ 5 (`a a` on
+    * `a a a a a`: replace consumes the shared boundary space, so pass 1
+    * resumes one token late and merges `{1,2}{4,5}` where the reference's
+    * zero-width scan merges `{1,2}{3,4}` — same merge count, different
+    * positions, hence different iteration-2 pair contexts; r11 ADVICE,
+    * verified by simulation). The fold has no boundary to consume, so it
+    * is positionally exact; Round11Spec pins both engines against
+    * `re.sub` ground truth including the odd-run corner. Output: the 3
+    * learned merge rules with counts.
     *
     * Scale design (100 TB): the ONLY corpus-sized pass is the initial
     * word count (one shuffle); every iteration afterwards works on the
@@ -4358,6 +4361,42 @@ object PipelineOps {
     * never sees data, so the loop is 3 chained plan stages, not 3
     * collect-and-resubmit round trips.
     */
+  /** The exact reference merge rewrite as an in-row fold over the symbol
+    * tokens of column `sym`, with the merge rule in column `pair`
+    * ("x y"): scan left to right; when the last emitted token is x and
+    * the current token is y, replace the last token with xy (a merged
+    * token can never re-merge in the same pass — xy ≠ x since y is
+    * nonempty), otherwise emit. Equivalent to Sennrich's
+    * `re.sub((?<!\S)x y(?!\S))` because the fold consumes no boundary
+    * characters; see x70's scaladoc for the two-pass-replace corner this
+    * retires. `private[graft]` so Round11Spec pins it against re.sub
+    * ground-truth cases directly.
+    */
+  private[graft] val BpeMergeExpr: String =
+    "aggregate(slice(split(sym, ' '), 2, greatest(size(split(sym, ' ')) - 1, 0)), " +
+      "element_at(split(sym, ' '), 1), (acc, t) -> CASE " +
+      "WHEN regexp_extract(acc, '[^ ]+$', 0) = element_at(split(pair, ' '), 1) " +
+      "AND t = element_at(split(pair, ' '), 2) " +
+      "THEN concat(substring(acc, 1, length(acc) - " +
+      "length(regexp_extract(acc, '[^ ]+$', 0))), replace(pair, ' ', '')) " +
+      "ELSE concat(acc, ' ', t) END)"
+
+  /** DuckDB replay of [[BpeMergeExpr]] (`list_reduce` folds exactly like
+    * `aggregate`: first element as init, left to right). The merge rule
+    * must be in scope as a plain column `pair` — DuckDB rejects scalar
+    * subqueries inside lambdas, so the caller cross-joins the 1-row top
+    * CTE into the FROM instead.
+    */
+  private val bpeMergeSqlExpr: String =
+    """list_reduce(string_split(sym, ' '), (acc, t) ->
+      |    CASE WHEN regexp_extract(acc, '[^ ]+$') =
+      |              split_part(pair, ' ', 1)
+      |          AND t = split_part(pair, ' ', 2)
+      |         THEN substring(acc, 1, length(acc) -
+      |                length(regexp_extract(acc, '[^ ]+$'))) ||
+      |              replace(pair, ' ', '')
+      |         ELSE acc || ' ' || t END)""".stripMargin
+
   def x70BpeMerges(s: SparkSession, d: String): DataFrame = {
     val wf = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -4376,14 +4415,8 @@ object PipelineOps {
         .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
       val top1 = pairs.orderBy(col("n_occ").desc, col("pair")).limit(1)
       cur = cur.crossJoin(broadcast(top1))
-        .select(expr(
-          // two-pass replace = zero-width-boundary non-overlapping merge
-          // (see x70 scaladoc): pass 2 catches the alternate occurrences
-          // whose shared boundary space pass 1 consumed
-          "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
-            "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
-            "concat(' ', replace(pair, ' ', ''), ' ')))").as("sym"),
-          col("freq"))
+        // exact zero-width-boundary reference merge (see BpeMergeExpr)
+        .select(expr(BpeMergeExpr).as("sym"), col("freq"))
       top1.select(lit(it.toLong).as("iter"), col("pair"),
         expr("replace(pair, ' ', '')").as("merged"), col("n_occ"))
     }
@@ -4400,13 +4433,9 @@ object PipelineOps {
          |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1)""".stripMargin
     def mergeCte(src: String, top: String, w: String): String =
       s"""$w AS (
-         |  SELECT trim(replace(replace(' ' || sym || ' ',
-         |           ' ' || (SELECT pair FROM $top) || ' ',
-         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' '),
-         |           ' ' || (SELECT pair FROM $top) || ' ',
-         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ')) AS sym,
+         |  SELECT $bpeMergeSqlExpr AS sym,
          |         freq
-         |  FROM $src)""".stripMargin
+         |  FROM $src, $top)""".stripMargin
     s"""WITH wf AS (
        |  SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym,
        |         COUNT(*) AS freq
@@ -4458,14 +4487,8 @@ object PipelineOps {
         .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair")).limit(1)
       cur = cur.crossJoin(broadcast(top1))
-        .select(expr(
-          // two-pass replace = zero-width-boundary non-overlapping merge
-          // (see x70 scaladoc): pass 2 catches the alternate occurrences
-          // whose shared boundary space pass 1 consumed
-          "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
-            "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
-            "concat(' ', replace(pair, ' ', ''), ' ')))").as("sym"),
-          col("freq"))
+        // exact zero-width-boundary reference merge (see BpeMergeExpr)
+        .select(expr(BpeMergeExpr).as("sym"), col("freq"))
     }
     cur.select(col("freq"), explode(split(col("sym"), " ")).as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occ"))
@@ -4483,13 +4506,9 @@ object PipelineOps {
          |  GROUP BY pair ORDER BY CAST(SUM(freq) AS BIGINT) DESC, pair LIMIT 1)""".stripMargin
     def mergeCte(src: String, top: String, w: String): String =
       s"""$w AS (
-         |  SELECT trim(replace(replace(' ' || sym || ' ',
-         |           ' ' || (SELECT pair FROM $top) || ' ',
-         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' '),
-         |           ' ' || (SELECT pair FROM $top) || ' ',
-         |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ')) AS sym,
+         |  SELECT $bpeMergeSqlExpr AS sym,
          |         freq
-         |  FROM $src)""".stripMargin
+         |  FROM $src, $top)""".stripMargin
     s"""WITH wf AS (
        |  SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym,
        |         COUNT(*) AS freq

@@ -104,7 +104,11 @@ class Round11Spec extends SparkSpec {
       "a b c",
       "a b c a b c a b c",
       "x  y  z",
-      "one two three four five").toDF("text")
+      "one two three four five",
+      // multi-byte UTF-8 (negative JVM bytes through the & 0xff path) —
+      // the classic fused-kernel divergence corner (r11 ADVICE)
+      "café naïve über résumé",
+      "日本 語の 文書 です ね").toDF("text")
       .select(split(col("text"), " ").as("toks"))
     val bad = edge.select(
         expr(hofSet).as("o1"), expr("graft_shingle_hashes(toks)").as("n1"),
@@ -115,10 +119,12 @@ class Round11Spec extends SparkSpec {
   }
 
   test("x70 merge rewrite has zero-width-boundary reference BPE semantics") {
-    // the two-pass replace must behave like Sennrich's lookaround-guarded
-    // re.sub: adjacent occurrences (which share a boundary space under a
-    // single space-guarded replace) BOTH merge; symbol-level self-overlaps
-    // stay left-biased; right boundaries never match a longer symbol's prefix
+    // the in-row fold must behave like Sennrich's lookaround-guarded
+    // re.sub: adjacent occurrences both merge, symbol-level self-overlaps
+    // stay left-biased (INCLUDING odd runs ≥ 5, where the retired two-pass
+    // replace diverged — r11 ADVICE), and right boundaries never match a
+    // longer symbol's prefix. Every `expected` below is literal re.sub
+    // output.
     val sess = spark
     import sess.implicits._
     val cases = Seq(
@@ -127,30 +133,37 @@ class Round11Spec extends SparkSpec {
       ("b a b a b", "b ab ab"),
       ("x a b y", "x ab y"),
       ("a bc", "a bc"),         // 'b' must not match the prefix of symbol 'bc'
-      ("ab a b", "ab ab"))
+      ("ab a b", "ab ab"),
+      ("ab", "ab"))             // single-symbol word: fold over empty tail
     val df = cases.toDF("sym", "expected")
       .withColumn("pair", lit("a b"))
-      .withColumn("got", expr(
-        "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
-          "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
-          "concat(' ', replace(pair, ' ', ''), ' ')))"))
+      .withColumn("got", expr(graft.queries.PipelineOps.BpeMergeExpr))
     val bad = df.filter(col("got") =!= col("expected"))
       .select(col("sym"), col("got"), col("expected")).collect()
     assert(bad.isEmpty, s"merge rewrite diverges from reference BPE: ${bad.mkString(", ")}")
-    // self-overlap case where pair = "a a": the second 'a a' shares the
-    // middle SYMBOL, so the reference also skips it — stays "aa a a"? no:
-    // ' a a a a ' pass1 merges positions 1-2 then 3-4 → "aa aa"
+    // self-overlapping pair "a a": the reference scan merges greedily left
+    // to right and never reconsiders a just-merged token, so a run of k
+    // a's becomes floor(k/2) leftmost 'aa's (+ trailing 'a' if odd). The
+    // odd-run-≥5 rows are exactly where the two-pass replace used to give
+    // "aa a aa" instead of re.sub's "aa aa a".
     val df2 = Seq(
       ("a a a a", "aa aa"),
-      ("a a a", "aa a")) // odd self-overlap run: greedy left-biased, like the reference
+      ("a a a", "aa a"),
+      ("a a a a a", "aa aa a"),
+      ("a a a a a a a", "aa aa aa a"))
       .toDF("sym", "expected")
       .withColumn("pair", lit("a a"))
-      .withColumn("got", expr(
-        "trim(replace(replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
-          "concat(' ', replace(pair, ' ', ''), ' ')), concat(' ', pair, ' '), " +
-          "concat(' ', replace(pair, ' ', ''), ' ')))"))
-    assert(df2.filter(col("got") =!= col("expected")).count() == 0,
-      "even-run self-overlap merge diverged")
+      .withColumn("got", expr(graft.queries.PipelineOps.BpeMergeExpr))
+    val bad2 = df2.filter(col("got") =!= col("expected"))
+      .select(col("sym"), col("got"), col("expected")).collect()
+    assert(bad2.isEmpty, s"self-overlap merge diverged: ${bad2.mkString(", ")}")
+    // a merged-token pair ("a aa"): merging must compare whole tokens, and
+    // the merged "aaa" must not re-match as 'a' for the following 'aa'
+    val df3 = Seq(("a aa a aa", "aaa aaa")).toDF("sym", "expected")
+      .withColumn("pair", lit("a aa"))
+      .withColumn("got", expr(graft.queries.PipelineOps.BpeMergeExpr))
+    assert(df3.filter(col("got") =!= col("expected")).count() == 0,
+      "merged-token pair rewrite diverged")
   }
 
   test("AvailableNow file-source stream over real events parquet matches batch") {
