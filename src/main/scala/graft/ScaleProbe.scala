@@ -126,6 +126,51 @@ object ScaleProbe {
     // plan carries only surviving shingles. Measured at sf0.1: 16.4 MB →
     // 0.6 MB shuffle write (27×), 8.7 s → 3.5 s, fingerprints equal.
     // Lands in docs/bloom_probe.json.
+    // BPE depth probe (`bpedepth` arg, r11 verdict item 4): x70/x71 run 3
+    // merge iterations — enough to pin semantics, but a real tokenizer is
+    // 10³-10⁴ merges. The un-checkpointed loop embeds the previous symbol
+    // table TWICE per iteration (pair-count branch + rewrite input), so
+    // the logical tree DOUBLES per merge — analysis/optimization cost is
+    // exponential in depth, not linear (a first probe run confirmed:
+    // depth 16 un-checkpointed did not finish planning in 12 minutes).
+    // So the probe (a) measures the doubling directly at shallow depths
+    // 3→6 with a wall-clock guard, and (b) shows the escape hatch: x15's
+    // checkpoint discipline every 3 iterations (spill the vocabulary
+    // table to scratch parquet, re-read) bounds the lineage to a
+    // constant, making 16 and 32 merges tractable with per-iteration cost
+    // flat. sf0.01: the subject is PLAN growth, not data volume.
+    if (args.contains("bpedepth")) {
+      val bsrc = "/root/testdata/sf0.01"
+      val budget = 180e9 // skip deeper un-checkpointed configs past this
+      var lastUnchecked = 0.0
+      val configs = Seq((3, 0), (4, 0), (5, 0), (6, 0), (16, 3), (32, 3))
+      val entries = configs.flatMap { case (depth, ck) =>
+        if (ck == 0 && lastUnchecked * 4 > budget / 1e9) {
+          println(s"depth=$depth ckpt=0 SKIPPED (projected > budget)")
+          None
+        } else {
+          val t0 = System.nanoTime()
+          val df = graft.queries.PipelineOps.bpeSymbolTable(spark, bsrc, depth, ck)
+          val planNodes = df.queryExecution.optimizedPlan
+            .collect { case p => p }.size
+          val tPlan = (System.nanoTime() - t0) / 1e9
+          val rows = df.count()
+          val total = (System.nanoTime() - t0) / 1e9
+          if (ck == 0) lastUnchecked = total
+          println(f"depth=$depth%2d ckpt=$ck plan_nodes=$planNodes%6d " +
+            f"plan_secs=$tPlan%6.1f total_secs=$total%6.1f rows=$rows")
+          Some(f"""{"depth":$depth,"checkpoint_every":$ck,"plan_nodes":$planNodes,"plan_secs":$tPlan%.1f,"total_secs":$total%.1f,"rows":$rows}""")
+        }
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/bpe_depth_probe.json"),
+        (s"""{"sf_dir":"$bsrc","note":"unchecked tree doubles per merge iteration; checkpoint_every=3 bounds lineage (x15 discipline)","configs":[""" +
+          entries.mkString(",") + "]}\n").getBytes)
+      println("wrote docs/bpe_depth_probe.json")
+      spark.stop()
+      return
+    }
+
     if (args.contains("bloom")) {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
       val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
@@ -720,18 +765,27 @@ object ScaleProbe {
       }
       def docsCorpus(nRep: Int): String = {
         require(nRep <= 26, s"Caesar corpus supports n <= 26; got $nRep")
-        val dir = s"$scratch/graft_scale_docs_$nRep"
+        // v2: digits rotate too (r11 ADVICE — letter-only rotation left
+        // digit-bearing tokens byte-identical across replicas, creating
+        // genuine cross-replica match candidates whose count grows
+        // superlinearly in replica count and inflates the fitted "engine"
+        // exponent for x3/x9). Residual overlap: tokens made ENTIRELY of
+        // punctuation/whitespace still collide across replicas — noted in
+        // the probe JSON as corpus:"caesar_v2_punct_residual".
+        val dir = s"$scratch/graft_scale_docs_v2_$nRep"
         val done2 = new java.io.File(s"$dir/_GRAFT_DONE")
         if (!done2.exists()) {
           val docs = spark.read.parquet(s"$src/documents.parquet")
           val lower = "abcdefghijklmnopqrstuvwxyz"
           val upper = lower.toUpperCase
+          val digits = "0123456789"
           def rot(str: String, k: Int) = str.drop(k) + str.take(k)
           (0 until nRep).map { i =>
             val k = i % 26
             docs.withColumn("doc_id", col("doc_id") + i * 100000000L)
               .withColumn("text",
-                translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k)))
+                translate(col("text"), lower + upper + digits,
+                  rot(lower, k) + rot(upper, k) + rot(digits, k % 10)))
           }.reduce(_ unionByName _)
             .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
           done2.createNewFile()
@@ -798,7 +852,7 @@ object ScaleProbe {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/scaling_probe.json"),
         entries.mkString(
-          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar-rotation replicas","rel":"key-offset disjoint replicas"},"keys":{""",
+          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"keys":{""",
           ",", "}}").getBytes)
       println("wrote docs/scaling_probe.json")
       spark.stop()

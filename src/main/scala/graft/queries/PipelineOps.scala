@@ -4410,8 +4410,14 @@ object PipelineOps {
       val pairs = cur
         .select(col("freq"), split(col("sym"), " ").as("ss"))
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(ss) - 1), " +
-            "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("pair"))
+          // guarded: a fully-merged single-symbol word has NO pairs, and
+          // Spark's sequence(1, 0) is DESCENDING [1, 0] — element_at(ss, 2)
+          // then throws under ANSI where DuckDB's range(1, 1) is empty
+          // (latent at depth 3, real from the first 2-char word a deeper
+          // training run fully merges)
+          "CASE WHEN size(ss) < 2 THEN array() ELSE " +
+            "transform(sequence(1, size(ss) - 1), " +
+            "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1))) END")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
       val top1 = pairs.orderBy(col("n_occ").desc, col("pair")).limit(1)
       cur = cur.crossJoin(broadcast(top1))
@@ -4469,7 +4475,19 @@ object PipelineOps {
     * distinct-word-table work, with word frequencies carrying the corpus
     * weights.
     */
-  def x71BpeApply(s: SparkSession, d: String): DataFrame = {
+  /** The trained symbol table (`sym`, `freq`) after `iters` BPE merge
+    * iterations — x71's training loop, parameterized so the depth probe
+    * can run it at real tokenizer depths. `checkpointEvery > 0` spills the
+    * symbol table to scratch parquet every k iterations and re-reads it
+    * (x15's checkpoint discipline, PipelineOps.connectedComponents):
+    * the unrolled lineage — and with it analysis/codegen cost — is then
+    * bounded by k iterations regardless of total depth, at the price of
+    * one parquet round-trip per k. Declared keys use checkpointEvery = 0
+    * (3 iterations need no spill, and builders must stay action-free);
+    * the probe measures where the crossover sits.
+    */
+  private[graft] def bpeSymbolTable(s: SparkSession, d: String, iters: Int,
+      checkpointEvery: Int = 0): DataFrame = {
     val wf = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -4478,18 +4496,34 @@ object PipelineOps {
       .persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(wf))
     var cur: DataFrame = wf
-    (1 to 3).foreach { _ =>
+    (1 to iters).foreach { it =>
       val top1 = cur
         .select(col("freq"), split(col("sym"), " ").as("ss"))
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(ss) - 1), " +
-            "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("pair"))
+          // guarded: a fully-merged single-symbol word has NO pairs, and
+          // Spark's sequence(1, 0) is DESCENDING [1, 0] — element_at(ss, 2)
+          // then throws under ANSI where DuckDB's range(1, 1) is empty
+          // (latent at depth 3, real from the first 2-char word a deeper
+          // training run fully merges)
+          "CASE WHEN size(ss) < 2 THEN array() ELSE " +
+            "transform(sequence(1, size(ss) - 1), " +
+            "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1))) END")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair")).limit(1)
       cur = cur.crossJoin(broadcast(top1))
         // exact zero-width-boundary reference merge (see BpeMergeExpr)
         .select(expr(BpeMergeExpr).as("sym"), col("freq"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters) {
+        val path = s"${graft.Scratch.checkpointDir(s)}/graft_bpe_ckpt_$it"
+        cur.write.mode("overwrite").parquet(path)
+        cur = s.read.parquet(path)
+      }
     }
+    cur
+  }
+
+  def x71BpeApply(s: SparkSession, d: String): DataFrame = {
+    val cur = bpeSymbolTable(s, d, iters = 3)
     cur.select(col("freq"), explode(split(col("sym"), " ")).as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occ"))
       .orderBy(col("n_occ").desc, col("symbol"))
