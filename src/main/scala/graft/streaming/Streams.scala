@@ -447,6 +447,85 @@ object Streams {
         implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
   }
 
+  /** Streaming CEP pattern machine — e11's streaming twin: per (user, day),
+    * count non-overlapping greedy-left-to-right occurrences of the
+    * contiguous event-type pattern view→click→purchase, finalized when the
+    * watermark passes end-of-day (MATCH_RECOGNIZE with AFTER MATCH SKIP
+    * PAST LAST ROW, windowed per user-day exactly as the batch key
+    * defines it).
+    *
+    * Out-of-order events inside the watermark envelope make an online
+    * automaton unsound (a late 'v' can create a match the automaton
+    * already declined), so like FunnelProcessor this buffers the day's
+    * (us, event_id, type) triples in ListState and folds the pattern scan
+    * once, on the end-of-day timer, over the totally-ordered buffer.
+    * State per key is ONE USER-DAY of events — the same bound the batch
+    * key's collect has and the window bound a streaming CEP deployment
+    * enforces; the timer at day-end + 1 ms fires only when the runtime
+    * has already dropped every possible same-day straggler, so the
+    * emitted count is provably final.
+    */
+  class CepPatternProcessor
+      extends StatefulProcessor[(Long, Long), Event, (Long, Long, Long, Long)] {
+    @transient private var buf: ListState[(Long, Long, Int)] = _ // (us, event_id, code)
+    @transient private var armed: ValueState[Long] = _
+    private val DayUs = 86400000000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, Int)]("buf",
+        Encoders.product[(Long, Long, Int)], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    private def code(typ: String): Int = typ match {
+      case "view" => 1; case "click" => 2; case "purchase" => 3; case _ => 0
+    }
+    override def handleInputRows(key: (Long, Long), rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      rows.foreach(e => buf.appendValue((us(e.ts), e.event_id, code(e.event_type))))
+      if (!armed.exists()) {
+        // +1 ms past day end: a same-day event has µs-time < dayEnd, so a
+        // watermark at or past this timer has already dropped it as late
+        getHandle.registerTimer((key._2 + 1) * DayUs / 1000L + 1L)
+        armed.update(1L)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
+      buf.clear(); armed.clear()
+      // greedy non-overlapping contiguous scan — the same count the batch
+      // key's replace-and-measure identity computes ('v','c','p' distinct,
+      // so the pattern has no self-overlap and a simple skip-past scan
+      // equals sequential non-overlapping replace)
+      var j = 0; var n = 0L
+      while (j + 2 < evs.length) {
+        if (evs(j)._3 == 1 && evs(j + 1)._3 == 2 && evs(j + 2)._3 == 3) {
+          n += 1; j += 3
+        } else j += 1
+      }
+      Iterator((key._1, key._2, evs.length.toLong, n))
+    }
+  }
+
+  /** e11's streaming twin entry point: (user_id, day, n_events, n_vcp)
+    * rows, one per user-day, append-mode-final at watermark-past-day-end.
+    */
+  def cepPatternStream(events: Dataset[Event],
+                       lateness: String = "0 seconds")
+      : Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(e => (e.user_id,
+        (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000) / 86400000000L))
+      .transformWithState(new CepPatternProcessor, TimeMode.EventTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]])
+  }
+
   /** flatMapGroupsWithState: emit an alert row exactly once, when a user's
     * cumulative purchase value first crosses `threshold` (0..N output rows
     * per input group — the flatMap-shaped arbitrary-state API).
