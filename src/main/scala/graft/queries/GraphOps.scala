@@ -294,6 +294,93 @@ object GraphOps {
        |GROUP BY label ORDER BY n_members DESC, label""".stripMargin
   }
 
+  // ===== x73: k-core peel (bounded rounds) =================================
+
+  /** k-core decomposition by iterative peeling — the graph-density
+    * primitive between x64's triangle count (local density) and x67's
+    * communities (partition): repeatedly drop nodes of degree < k until
+    * only the k-core remains. Curation use: the k-core of a link/domain
+    * graph is the "well-embedded" region (spam farms and orphan pages
+    * peel away in the first rounds), the standard cheap prior before
+    * running anything quadratic. Round count is FIXED at 4 (the x28/x67
+    * bounded-unroll discipline — each extra round doubles the unrolled
+    * plan since the edge set feeds both the degree count and the filter;
+    * a production run at full depth checkpoints per round exactly as the
+    * BPE depth probe demonstrates for x70's loop) and the declared output
+    * is the per-round (n_nodes, n_edges) peel trajectory — the curve an
+    * operator actually reads to pick k.
+    *
+    * Scale design (100 TB): each round is one node-keyed degree count
+    * with map-side partials plus two semi-join-shaped filters on the
+    * edge list — all equi-keyed, no adjacency lists, the standard
+    * distributed peel step. Work per round is O(|edges|), monotonically
+    * shrinking.
+    */
+  private val KcoreK = 3
+  private val KcoreRounds = 4
+
+  def x73KcorePeel(s: SparkSession, d: String): DataFrame = {
+    var edges = coPurchaseEdges(s, d).select(col("a"), col("b"))
+    // each round's edge set feeds FIVE consumers (next round's degree
+    // union twice + two filter joins, this round's two stat branches);
+    // without a persist every branch re-derives the whole peel chain from
+    // the leaf and the 8 output branches explode into ~90 tiny stages
+    // (measured 37 s at sf0.1 — pure stage overhead). One lazy persist
+    // per round computes each peel exactly once: 37 s → ~4 s.
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val rounds = (1 to KcoreRounds).map { r =>
+      val deg = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= KcoreK).select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("a")), Seq("a"))
+        .join(keep.select(col("node").as("b")), Seq("b"))
+        .select(col("a"), col("b"))
+        .persist()
+      cached += edges
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val nNodes = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .agg(count_distinct(col("node")).as("n_nodes"))
+      // single-row aggregate cross join (x64's shape, AuditSpec-allowlisted)
+      nNodes.crossJoin(nEdges)
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    graft.ScopedCache.releaseAfterNextAction(s, cached.toSeq)
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val x73Sql: String = {
+    // AS MATERIALIZED is load-bearing: each e_r is referenced 5× (degree
+    // union twice, filter join, two output scalar subqueries) — DuckDB's
+    // default CTE inlining then expands the 4-round chain exponentially
+    // and the oracle never finishes; materialization pins one evaluation
+    // per round, which is also exactly what the Spark plan computes
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT a AS node FROM e${r - 1}
+         |    UNION ALL SELECT b FROM e${r - 1}) GROUP BY node),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KcoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN k$r x ON e.a = x.node
+         |  JOIN k$r y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to KcoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+         |     SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r)) AS n_nodes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseEdgesSql,
+       |e0 AS (SELECT a, b FROM edges),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   // ===== x68: "also bought" common-buyer similarity ========================
 
   /** Item-item collaborative similarity — the "customers who bought X also
@@ -642,7 +729,8 @@ object GraphOps {
     "x67_lpa_communities"      -> (x67LpaCommunities _),
     "x68_also_bought"          -> (x68AlsoBought _),
     "x68b_also_bought_minhash" -> (x68bAlsoBoughtMinhash _),
-    "x68c_also_bought_recall"  -> (x68cAlsoBoughtRecall _)
+    "x68c_also_bought_recall"  -> (x68cAlsoBoughtRecall _),
+    "x73_kcore_peel"           -> (x73KcorePeel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,6 +739,7 @@ object GraphOps {
     "x67_lpa_communities"      -> x67Sql,
     "x68_also_bought"          -> x68Sql,
     "x68b_also_bought_minhash" -> x68bSql,
-    "x68c_also_bought_recall"  -> x68cSql
+    "x68c_also_bought_recall"  -> x68cSql,
+    "x73_kcore_peel"           -> x73Sql
   )
 }

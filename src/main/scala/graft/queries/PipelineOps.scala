@@ -4559,6 +4559,100 @@ object PipelineOps {
        |GROUP BY symbol ORDER BY n_occ DESC, symbol LIMIT 20""".stripMargin
   }
 
+  // ===== x72: sorted-neighborhood near-dup (merge/purge blocking) =========
+
+  /** Sorted-neighborhood dedup — the SORT-based blocking alternative to
+    * x3's hash banding (the Hernández–Stolfo merge/purge discipline):
+    * documents sort by a normalized key (lowercased alphanumerics, first
+    * 24 chars), each document compares against only the next w−1 = 7 in
+    * sort order within its key-prefix block, and candidates verify with
+    * the exact 3-gram Jaccard at x3's threshold and shingle definition —
+    * so the two keys are directly comparable blocking strategies over the
+    * same ground truth (x63 audits banding's recall; SNM's known
+    * blind spot is instead edits in the sort-key prefix).
+    *
+    * Scale design (100 TB): NO global sort and NO hash-bucket fanout —
+    * the ordering is computed per key-prefix block (row_number window
+    * PARTITIONED by `blk`, so every block sorts independently; block key
+    * granularity is the skew lever — lengthen the prefix if a block runs
+    * hot), and the candidate count is HARD-bounded by w·n whatever the
+    * duplicate distribution — banding's hot-bucket worst case cannot
+    * occur, which is why production merge/purge pipelines run SNM when
+    * duplicate clusters are huge. Verification touches candidate pairs
+    * only, through the same persisted shingle table x3's verify uses.
+    */
+  private val SnmWindow = 8
+
+  def x72SortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    ShingleHashes.register(s)
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24)")
+          .as("skey"))
+      .withColumn("blk", expr("substring(skey, 1, 2)"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("blk"), col("rn"))
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.blk") === col("b.blk") && col("b.rn") > col("a.rn") &&
+          col("b.rn") <= col("a.rn") + (SnmWindow - 1))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
+    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(hashed.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hashed.as("hb"),
+        col("doc_b") === col("hb.doc_id") && col("ha.h") === col("hb.h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("n_common")))
+      .filter(col("jaccard") >= JaccThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val x72Sql: String =
+    s"""WITH $minhashCtesSql,
+       |keyed AS (
+       |  SELECT doc_id,
+       |         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |                   1, 24) AS skey
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, skey, substring(skey, 1, 2) AS blk,
+       |         ROW_NUMBER() OVER (PARTITION BY substring(skey, 1, 2)
+       |                            ORDER BY skey, doc_id) AS rn
+       |  FROM keyed),
+       |cand2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ranked a JOIN ranked b
+       |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + ${SnmWindow - 1}),
+       |inter2 AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand2 c
+       |  JOIN sh ha ON ha.doc_id = c.doc_a
+       |  JOIN sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY 1, 2),
+       |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+       |FROM inter2 i
+       |JOIN sizes2 sa ON sa.doc_id = i.doc_a
+       |JOIN sizes2 sb ON sb.doc_id = i.doc_b
+       |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |        >= $JaccThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
   /** The dedup twin of x40's ANN-recall audit: MEASURE what the 4×4
@@ -4852,6 +4946,7 @@ object PipelineOps {
     "x70_bpe_merges" -> (x70BpeMerges _),
     "x71_bpe_apply" -> (x71BpeApply _),
     "x63_dedup_recall"   -> (x63DedupRecall _),
+    "x72_sorted_neighborhood" -> (x72SortedNeighborhood _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
@@ -4936,6 +5031,7 @@ object PipelineOps {
     "x70_bpe_merges" -> x70Sql,
     "x71_bpe_apply" -> x71Sql,
     "x63_dedup_recall"   -> x63Sql,
+    "x72_sorted_neighborhood" -> x72Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,
     "x35b_chunk_subword" -> x35bSql,
