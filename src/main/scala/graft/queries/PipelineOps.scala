@@ -4621,9 +4621,11 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val x72Sql: String =
-    s"""WITH $minhashCtesSql,
-       |keyed AS (
+  /** The SNM candidate + verify CTE chain (x72's WITH-body), shared with
+    * x72b's recall audit.
+    */
+  private def snmCtesSql: String =
+    s"""keyed AS (
        |  SELECT doc_id,
        |         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
        |                   1, 24) AS skey
@@ -4643,7 +4645,11 @@ object PipelineOps {
        |  JOIN sh ha ON ha.doc_id = c.doc_a
        |  JOIN sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
        |  GROUP BY 1, 2),
-       |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val x72Sql: String =
+    s"""WITH $minhashCtesSql,
+       |$snmCtesSql
        |SELECT i.doc_a, i.doc_b, i.n_common,
        |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
        |FROM inter2 i
@@ -4652,6 +4658,65 @@ object PipelineOps {
        |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
        |        >= $JaccThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ===== x72b: SNM recall audit vs the same exact block truth as x63 ======
+
+  /** x63's recall audit run against x72's SNM blocking instead of x3's
+    * banding: same pinned block, same exact all-pairs ground truth, same
+    * per-decile integer-ppm output — so a pipeline owner can read the two
+    * tables side by side and choose a blocking strategy on MEASURED
+    * recall curves (banding's s-curve under-recalls near the threshold;
+    * SNM's blind spot is edits in the sort-key prefix, flat across J).
+    * The found side is full-corpus x72 restricted to the block: unlike
+    * banding, SNM's window can cross block-external docs, so restricting
+    * the OUTPUT (not the input) is what measures the real system.
+    */
+  def x72bSnmRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = blockTruth(s, d)
+    val found = x72SortedNeighborhood(s, d)
+      .filter(col("doc_a") < X63Block && col("doc_b") < X63Block)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_ppm", expr("n_found * 1000000L div n_truth"))
+      .orderBy(col("bucket"))
+  }
+
+  // lazy: X63Block is declared later in the file and would interpolate as
+  // 0 under strict val-initialization order
+  lazy val x72bSql: String =
+    s"""WITH $minhashCtesSql,
+       |$snmCtesSql,
+       |found AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter2 i
+       |  JOIN sizes2 sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes2 sb ON sb.doc_id = i.doc_b
+       |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |          >= $JaccThreshold
+       |    AND i.doc_a < $X63Block AND i.doc_b < $X63Block),
+       |bsh AS (SELECT * FROM sh WHERE doc_id < $X63Block),
+       |bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+       |tinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM bsh a JOIN bsh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b, n_common,
+       |         sa.n + sb.n - n_common AS un
+       |  FROM tinter
+       |  JOIN bsizes sa ON sa.doc_id = tinter.doc_a
+       |  JOIN bsizes sb ON sb.doc_id = tinter.doc_b
+       |  WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 2)
+       |SELECT LEAST((n_common * 10) // un, 9) AS bucket,
+       |       COUNT(*) AS n_truth,
+       |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_found,
+       |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |         * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
@@ -4674,7 +4739,13 @@ object PipelineOps {
     */
   private val X63Block = 1000L
 
-  def x63DedupRecall(s: SparkSession, d: String): DataFrame = {
+  /** Block-bounded exact all-pairs ground truth (doc_id < X63Block,
+    * J ≥ threshold, integer decile bucket) — shared by the x63 (banding)
+    * and x72b (SNM) recall audits so both strategies are measured against
+    * the SAME truth. Persists its shingle table and hands it to
+    * ScopedCache.
+    */
+  private def blockTruth(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
     val hashed = Tables.documents(s, d)
@@ -4685,7 +4756,7 @@ object PipelineOps {
       .persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
     val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = hashed.as("ta").join(hashed.as("tb"),
+    hashed.as("ta").join(hashed.as("tb"),
         col("ta.h") === col("tb.h") && col("ta.doc_id") < col("tb.doc_id"))
       .select(col("ta.doc_id").as("doc_a"), col("tb.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -4698,6 +4769,10 @@ object PipelineOps {
       .filter(col("n_common") * 5 >= col("un") * 2)
       .withColumn("bucket",
         least(expr("(n_common * 10) div un"), lit(9L)))
+  }
+
+  def x63DedupRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = blockTruth(s, d)
     val found = x3MinhashNeardup(s, d)
       .filter(col("doc_a") < X63Block && col("doc_b") < X63Block)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
@@ -4947,6 +5022,7 @@ object PipelineOps {
     "x71_bpe_apply" -> (x71BpeApply _),
     "x63_dedup_recall"   -> (x63DedupRecall _),
     "x72_sorted_neighborhood" -> (x72SortedNeighborhood _),
+    "x72b_snm_recall"    -> (x72bSnmRecall _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
@@ -5032,6 +5108,7 @@ object PipelineOps {
     "x71_bpe_apply" -> x71Sql,
     "x63_dedup_recall"   -> x63Sql,
     "x72_sorted_neighborhood" -> x72Sql,
+    "x72b_snm_recall"    -> x72bSql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,
     "x35b_chunk_subword" -> x35bSql,
