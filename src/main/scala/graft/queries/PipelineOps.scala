@@ -2045,6 +2045,69 @@ object PipelineOps {
        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  // ===== x74: per-document tf-idf keyword extraction ======================
+
+  /** Top-5 tf-idf terms per document — the keyword-extraction /
+    * sparse-feature primitive (x19 scores docs against a FIXED query term
+    * set; this ranks every document's own vocabulary, the form that feeds
+    * tag generation, sparse retrieval indexes, and topic heuristics).
+    * The idf is x19's RATIONAL form (N − df + ½)/(df + ½), not its log:
+    * every operation is IEEE-exact arithmetic on identical integer
+    * inputs, so scores are bit-identical across engines (ln is only
+    * 1-ulp-bounded and differs between libm and the JVM) — and for
+    * RANKING the log is irrelevant anyway (x ↦ ln x is monotone).
+    *
+    * Scale design (100 TB): two wordcount-shaped shuffles — (doc, term)
+    * counts with map-side partials, then a term-keyed df aggregate whose
+    * output is vocabulary-domain-sized (Zipf-bounded) and therefore
+    * BROADCASTs back into the scoring join; N is a 1-row broadcast
+    * (x19's stats shape). Per-doc top-5 is a row_number window
+    * PARTITIONED by doc — no global sort anywhere.
+    */
+  def x74TfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", expr(
+        "CAST(tf AS DOUBLE) * ((n_docs - CAST(df AS DOUBLE) + 0.5) " +
+          "/ (CAST(df AS DOUBLE) + 0.5))"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val x74Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |  WHERE len(term) > 0 GROUP BY doc_id, term),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+      |         CAST(tf.tf AS DOUBLE) * ((n.n_docs - CAST(dft.df AS DOUBLE)
+      |           + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5)) AS tfidf
+      |  FROM tf JOIN dft ON tf.term = dft.term, n)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, tfidf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |            ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
+
   // ===== x20: test-set decontamination (n-gram overlap) ===================
 
   private val DecontamW = 4
@@ -5023,6 +5086,7 @@ object PipelineOps {
     "x63_dedup_recall"   -> (x63DedupRecall _),
     "x72_sorted_neighborhood" -> (x72SortedNeighborhood _),
     "x72b_snm_recall"    -> (x72bSnmRecall _),
+    "x74_tfidf_topk"     -> (x74TfidfTopk _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
     "x35b_chunk_subword" -> (x35bChunkSubword _),
@@ -5109,6 +5173,7 @@ object PipelineOps {
     "x63_dedup_recall"   -> x63Sql,
     "x72_sorted_neighborhood" -> x72Sql,
     "x72b_snm_recall"    -> x72bSql,
+    "x74_tfidf_topk"     -> x74Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,
     "x35b_chunk_subword" -> x35bSql,
