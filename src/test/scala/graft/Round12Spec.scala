@@ -24,6 +24,33 @@ class Round12Spec extends SparkSpec {
     assert(rp >= 300000L, s"pair recall $fp/$tp ($rp ppm) under the 30% floor")
   }
 
+  test("bench noise gate: retry/noisy semantics on canonical sample shapes") {
+    import BenchGate._
+    // clean key: tight spread, no retry, not noisy
+    assert(!needsRetry(Seq(2.0, 2.1, 2.0)) && !stillNoisy(Seq(2.0, 2.1, 2.0)))
+    // one poisoned sample of 3: retries, and after 2 clean retries the
+    // 5-sample median sits at the true cost → NOT noisy (the r11 failure
+    // mode, fixed)
+    val onePoisoned = Seq(2.0, 50.0, 2.1)
+    assert(needsRetry(onePoisoned))
+    val afterRetry = onePoisoned ++ Seq(2.0, 2.05)
+    assert(math.abs(median(afterRetry) - 2.05) < 1e-9 && !stillNoisy(afterRetry))
+    // two poisoned of 3 (the median itself was lying): retries rescue it
+    val twoPoisoned = Seq(50.0, 52.0, 2.0)
+    assert(needsRetry(twoPoisoned) && stillNoisy(twoPoisoned))
+    assert(!stillNoisy(twoPoisoned ++ Seq(2.0, 2.1)))
+    // burst that persists through retries: med/min stays high → still noisy
+    assert(stillNoisy(Seq(2.0, 50.0, 51.0, 50.0, 50.0)))
+    // consistent slowness is a REGRESSION, not noise: tight spread at a
+    // high level must reach the headline un-flagged
+    assert(!needsRetry(Seq(50.0, 52.0, 49.0)) && !stillNoisy(Seq(50.0, 52.0, 49.0)))
+    // failure sentinels are excluded from ratios (the failed count gates them)
+    assert(!needsRetry(Seq(-1.0, -1.0, -1.0)) && !stillNoisy(Seq(-1.0, -1.0, -1.0)))
+    assert(needsRetry(Seq(-1.0, 2.0, 50.0)))
+    // suite gate: strictly more than 5% of keys still noisy
+    assert(!suiteNoisy(12, 240) && suiteNoisy(13, 240))
+  }
+
   test("j14: AQE splits the skewed join partition; parent confs untouched") {
     val skewBefore = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
