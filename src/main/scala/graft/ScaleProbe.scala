@@ -801,7 +801,11 @@ object ScaleProbe {
         "x9_ngram_jaccard"   -> "docs",
         "x3_minhash_neardup" -> "docs",
         "x64_triangle_count" -> "rel",
-        "x68_also_bought"    -> "rel")
+        "x68_also_bought"    -> "rel",
+        // the minhash swap must scale at least as well as the exact form
+        // it is meant to replace at 100 TB — measure, don't assert (r12)
+        "x68b_also_bought_minhash" -> "rel",
+        "x72_sorted_neighborhood"  -> "docs")
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
