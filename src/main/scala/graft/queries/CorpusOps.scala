@@ -252,6 +252,53 @@ object CorpusOps {
        |FROM r JOIN h USING (lang)
        |GROUP BY r.lang, r.n_docs, r.rate_pm ORDER BY r.lang""".stripMargin
 
+  // ===== x75: exact stratified sample (n per stratum, hash-ordered) =======
+
+  /** Exact-count stratified sampling — the deterministic complement to
+    * x24's rate-based mixture: take EXACTLY min(n, |stratum|) documents
+    * per language, selected by scrambled-hash order with doc_id
+    * tie-break. Hash order makes the sample REPRODUCIBLE (identical
+    * selection across runs, engines, and partitionings — the property an
+    * ablation needs so two pipelines compare the same subset) while being
+    * uncorrelated with any data attribute, which a doc_id-prefix "sample"
+    * is not.
+    *
+    * Scale design (100 TB): the row_number window is PARTITIONED by
+    * stratum — strata rank in parallel, and k is a constant, so the
+    * output is strata-domain × k. The honest caveat: a single hot
+    * stratum's rank is one task's sort; the production refinement at that
+    * scale is a distributed-quantile prefilter on h (keep h below the
+    * ~k-th percentile estimate, then exact top-off) — rate-BASED
+    * selection at that limit is exactly x24, which is why both forms are
+    * declared keys.
+    */
+  private val StratN = 50
+
+  def x75StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        expr("graft_polyhash(cast(doc_id as string))").as("h"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= StratN)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val x75Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |         ${polyhashSqlOf("doc_id")} AS h
+       |  FROM documents)
+       |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY h, doc_id) AS rn
+       |  FROM h)
+       |WHERE rn <= $StratN ORDER BY lang, rn""".stripMargin
+
   // ===== x25: PII scan + redaction ========================================
 
   // Regex subset valid and identical in Java regex (Spark) and RE2 (DuckDB):
@@ -716,6 +763,7 @@ object CorpusOps {
     "p4_curriculum_pack" -> (p4CurriculumPack _),
     "x23b_pack_subword"  -> (x23bPackSubword _),
     "x24_mixture_sample" -> (x24MixtureSample _),
+    "x75_stratified_sample" -> (x75StratifiedSample _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
   )
@@ -732,6 +780,7 @@ object CorpusOps {
     "p4_curriculum_pack" -> p4Sql,
     "x23b_pack_subword"  -> x23bSql,
     "x24_mixture_sample" -> x24Sql,
+    "x75_stratified_sample" -> x75Sql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql
   )
