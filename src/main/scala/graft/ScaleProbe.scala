@@ -764,7 +764,13 @@ object ScaleProbe {
         dir
       }
       def docsCorpus(nRep: Int): String = {
-        require(nRep <= 26, s"Caesar corpus supports n <= 26; got $nRep")
+        // capped at 10, NOT 26: digit rotation is k % 10, so replicas i and
+        // i+10 would share the digit mapping and digit-only tokens (e.g.
+        // '2024') would be byte-identical across them — contradicting the
+        // recorded punct-only-residual claim (r12 ADVICE). Below 10 both
+        // the letter (k % 26 = k) and digit (k % 10 = k) rotations are
+        // injective per replica.
+        require(nRep <= 10, s"Caesar corpus supports n <= 10; got $nRep")
         // v2: digits rotate too (r11 ADVICE — letter-only rotation left
         // digit-bearing tokens byte-identical across replicas, creating
         // genuine cross-replica match candidates whose count grows

@@ -541,8 +541,14 @@ object GraphOps {
                                 buyers: DataFrame): DataFrame = {
     SortedIntersectCount.register(s)
     val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
+    // c is masked to 31 bits BEFORE the multiply: (2³¹−1)·2654435761 ≈
+    // 5.7·10¹⁸ < Long.Max, whereas a raw custkey above ~3.47·10⁹ would
+    // overflow c·AbMix — Spark wraps silently (negative hc degrades all 16
+    // signatures) while DuckDB raises, so the two engines would diverge
+    // exactly at the 100 TB key domains this escape hatch targets (r12
+    // ADVICE). At the test SFs custkeys are < 2³¹ and the mask is identity.
     val hashed = cpd.select(col("p"), col("c"),
-      expr(s"(c * ${AbMix}L) % ${AbP31}L").as("hc"))
+      expr(s"((c & 2147483647L) * ${AbMix}L) % ${AbP31}L").as("hc"))
     val minCols = (0 until AbPerms).map(j =>
       min(expr(s"(hc * ${abA(j)}L + ${abB(j)}L) % ${AbP31}L")).as(s"m$j"))
     val sig = hashed.groupBy(col("p")).agg(minCols.head, minCols.tail: _*)
@@ -629,7 +635,7 @@ object GraphOps {
     */
   private def abMinhashSql: String = {
     val mins = (0 until AbPerms)
-      .map(j => s"MIN(((c * $AbMix % $AbP31) * ${abA(j)}::BIGINT + " +
+      .map(j => s"MIN((((c & 2147483647) * $AbMix % $AbP31) * ${abA(j)}::BIGINT + " +
         s"${abB(j)}) % $AbP31) AS m$j")
       .mkString(", ")
     val bandRows = (0 until AbPerms)

@@ -2052,10 +2052,16 @@ object PipelineOps {
     * set; this ranks every document's own vocabulary, the form that feeds
     * tag generation, sparse retrieval indexes, and topic heuristics).
     * The idf is x19's RATIONAL form (N − df + ½)/(df + ½), not its log:
-    * every operation is IEEE-exact arithmetic on identical integer
-    * inputs, so scores are bit-identical across engines (ln is only
-    * 1-ulp-bounded and differs between libm and the JVM) — and for
-    * RANKING the log is irrelevant anyway (x ↦ ln x is monotone).
+    * every operation is exact arithmetic on identical integer inputs, so
+    * scores are bit-identical across engines (ln is only 1-ulp-bounded and
+    * differs between libm and the JVM) — and for RANKING the log is
+    * irrelevant anyway (x ↦ ln x is monotone). The score is published in
+    * INTEGER MICRO-UNITS (the engine's §5.2 rule — this was the last
+    * hash-matched raw-DOUBLE column, r12 verdict #5): clearing the halves,
+    * tfidf = tf·(2N−2df+1)·10⁶ div (2df+1), all-BIGINT on both engines.
+    * Domain bound: the pre-division product is tf·2N·10⁶, in-range while
+    * tf·N < 4.6·10¹² (tf ~10³ ⇒ N up to ~4.6·10⁹ docs; past that, drop
+    * the scale to 10³ — ranking only needs the rational's order).
     *
     * Scale design (100 TB): two wordcount-shaped shuffles — (doc, term)
     * counts with map-side partials, then a term-keyed df aggregate whose
@@ -2072,15 +2078,14 @@ object PipelineOps {
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d)
-      .agg(count(lit(1)).cast("double").as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", expr(
-        "CAST(tf AS DOUBLE) * ((n_docs - CAST(df AS DOUBLE) + 0.5) " +
-          "/ (CAST(df AS DOUBLE) + 0.5))"))
+        "tf * (2L * n_docs - 2L * df + 1L) * 1000000L div (2L * df + 1L)"))
       .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
@@ -2096,11 +2101,11 @@ object PipelineOps {
       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
       |  WHERE len(term) > 0 GROUP BY doc_id, term),
       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
-      |         CAST(tf.tf AS DOUBLE) * ((n.n_docs - CAST(dft.df AS DOUBLE)
-      |           + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5)) AS tfidf
+      |         CAST(tf.tf * (2 * n.n_docs - 2 * dft.df + 1) * 1000000
+      |           // (2 * dft.df + 1) AS BIGINT) AS tfidf
       |  FROM tf JOIN dft ON tf.term = dft.term, n)
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, tfidf FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
