@@ -803,15 +803,27 @@ object ScaleProbe {
         f.delete(): Unit
       }
       val scales = Seq(1, 4, 8)
-      val keys = Seq(
-        "x9_ngram_jaccard"   -> "docs",
-        "x3_minhash_neardup" -> "docs",
-        "x64_triangle_count" -> "rel",
-        "x68_also_bought"    -> "rel",
+      // (key, family, plan): x68-family rows probe the PIPELINES directly —
+      // the shared data-stamped artifact (GraphOps.scoredShared) would
+      // otherwise make warm runs measure a parquet read, and the declared
+      // x68b keys always build under whatever verify strategy the gate
+      // picked; the two x68b rows pin broadcast vs shuffle-hash verify so
+      // the fallback's exponent is MEASURED against the path it replaces
+      // (r12 verdict #1 done-criterion).
+      val keys: Seq[(String, String,
+          (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+        ("x9_ngram_jaccard",   "docs", SparkEntry.queries("x9_ngram_jaccard")),
+        ("x3_minhash_neardup", "docs", SparkEntry.queries("x3_minhash_neardup")),
+        ("x64_triangle_count", "rel",  SparkEntry.queries("x64_triangle_count")),
+        ("x68_exact_pipeline", "rel",  graft.queries.GraphOps.x68ExactProbe _),
         // the minhash swap must scale at least as well as the exact form
         // it is meant to replace at 100 TB — measure, don't assert (r12)
-        "x68b_also_bought_minhash" -> "rel",
-        "x72_sorted_neighborhood"  -> "docs")
+        ("x68b_bcast_verify",   "rel",
+          graft.queries.GraphOps.x68bPipelineProbe("400000000") _),
+        ("x68b_shuffle_verify", "rel",
+          graft.queries.GraphOps.x68bPipelineProbe("0") _),
+        ("x72_sorted_neighborhood", "docs",
+          SparkEntry.queries("x72_sorted_neighborhood")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
@@ -828,18 +840,19 @@ object ScaleProbe {
       // one untimed 1× pass per key first: C2 + parquet-footer caches would
       // otherwise land entirely in the first key's 1× cold sample and skew
       // its fitted exponent downward
-      keys.foreach { case (key, fam) =>
-        try SparkEntry.queries(key)(spark, dirs((fam, 1))).count()
+      keys.foreach { case (key, fam, fn) =>
+        try fn(spark, dirs((fam, 1))).count()
         catch { case _: Throwable => () }
       }
-      val entries = keys.map { case (key, fam) =>
-        val fn = SparkEntry.queries(key)
+      val entries = keys.map { case (key, fam, fn) =>
         val rows = scales.map { sc =>
           val d = dirs((fam, sc))
           // cold = full per-snapshot cost: drop any published layout the
-          // key caches per corpus (x64/x67's co-purchase graph)
+          // key caches per corpus (x64/x67's co-purchase graph, the x68
+          // family's shared scored-pair tables)
           val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
           rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_copurchase_$tag"))
+          rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_x68_shared_$tag"))
           val t0 = System.nanoTime()
           val n0 = fn(spark, d).count()
           val cold = (System.nanoTime() - t0) / 1e9
@@ -865,6 +878,56 @@ object ScaleProbe {
           s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"keys":{""",
           ",", "}}").getBytes)
       println("wrote docs/scaling_probe.json")
+      spark.stop()
+      return
+    }
+
+    // Hot-block probe (`hotblock` arg, r12 verdict #6): x72's scaladoc
+    // names "lengthen the prefix if a block runs hot" as the SNM skew
+    // lever; this manufactures the hot prefix — every document gains a
+    // short boilerplate lead ('zz '), collapsing the ENTIRE corpus into
+    // one 2-char block (the straggler case: one window partition sorts
+    // everything) — and measures the conf lever as code
+    // (spark.graft.x72.blockPrefixLen=4 re-splits by the first 2
+    // original chars). Evidence: docs/hotblock_probe.json — max block
+    // rows MUST drop by orders of magnitude at len 4 (bounded per-block
+    // work), with end-to-end wall time alongside.
+    if (args.contains("hotblock")) {
+      val dir = s"$scratch/graft_hotblock_v1"
+      val done = new java.io.File(s"$dir/_GRAFT_DONE")
+      if (!done.exists()) {
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("text", concat(lit("zz "), col("text")))
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        done.createNewFile()
+      }
+      val fn = SparkEntry.queries("x72_sorted_neighborhood")
+      val entries = Seq(2, 4).map { len =>
+        spark.conf.set("spark.graft.x72.blockPrefixLen", len.toString)
+        // the operator's declared key derivation: the hottest block's row
+        // count is the per-partition window-sort work
+        val blocks = spark.read.parquet(s"$dir/documents.parquet")
+          .select(expr("substring(regexp_replace(lower(text), " +
+            s"'[^a-z0-9]', ''), 1, $len)").as("blk"))
+          .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+        val maxBlk = blocks.agg(max(col("n"))).first().getLong(0)
+        val nBlocks = blocks.count()
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val pairs = fn(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"blockPrefixLen=$len n_blocks=$nBlocks max_block=$maxBlk " +
+          f"pairs=$pairs secs=$secs%.2f")
+        f""""len$len":{"n_blocks":$nBlocks,"max_block_rows":$maxBlk,"pairs":$pairs,"secs":$secs%.2f}"""
+      }
+      spark.conf.unset("spark.graft.x72.blockPrefixLen")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/hotblock_probe.json"),
+        entries.mkString(
+          s"""{"sf_base":"$src","corpus":"documents with 'zz ' boilerplate prepended to every text","levers":{""",
+          ",", "}}").getBytes)
+      println("wrote docs/hotblock_probe.json")
       spark.stop()
       return
     }

@@ -421,7 +421,7 @@ object GraphOps {
     * denominator), and the hub-damped table `cpd` (customers with > 256
     * distinct parts excluded as wedge centers — see x68's scaladoc).
     */
-  private def basketMachinery(s: SparkSession, d: String)
+  private[graft] def basketMachinery(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val cp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -439,8 +439,8 @@ object GraphOps {
     * ppm. x68 takes its top-20; x68c consumes the whole table as recall
     * ground truth.
     */
-  private def exactPairsScored(s: SparkSession, cpd: DataFrame,
-                               buyers: DataFrame): DataFrame = {
+  private[graft] def exactPairsScored(s: SparkSession, cpd: DataFrame,
+                                      buyers: DataFrame): DataFrame = {
     val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
     // the engine's AQE posture (16m advisory) would coalesce this ~10MB
     // join input to a single task — but the join OUTPUT is 20× larger
@@ -467,16 +467,43 @@ object GraphOps {
       .select(col("v"), col("w"), col("common"), col("bv"), col("bw"),
         expr("common * 1000000L div (bv + bw - common)").as("jac_ppm"))
 
-  def x68AlsoBought(s: SparkSession, d: String): DataFrame = {
-    // cp feeds four plan branches (buyers, the degree cap, both self-join
-    // sides): persist so the join+distinct runs once per action, released
-    // after it (x28/x64's ScopedCache discipline — no eager build action)
-    val (cp, buyers, cpd) = basketMachinery(s, d)
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
-    exactPairsScored(s, cpd, buyers)
+  /** Compute-once/consume-many x68-family artifact (r12 verdict #2, the
+    * trainedAssignShared pattern): BOTH scored pair tables — exact and
+    * minhash-approximate — materialized under one data stamp over the sf
+    * dir, built from a single basket-machinery pass (cp persisted across
+    * all plan branches of both pipelines, released when the build ends).
+    * The three family keys then read the published parquet: x68 and x68b
+    * take top-20s of pair-table-sized inputs, and x68c stops re-running
+    * both full pipelines per audit — exactly how a production recommender
+    * works (the co-occurrence tables are built once per corpus snapshot;
+    * every query and audit reads them). All arithmetic is integer, so the
+    * materialized tables are bit-identical to the in-plan subtrees they
+    * replace; the oracles still replay the full CTE chains and keep
+    * hash-matching. The stamp covers the whole sf dir (mtime+length),
+    * invalidating on any testdata regeneration; ScaleProbe's cold runs
+    * rmrf the layout so exponents still measure the real pipelines.
+    */
+  private def scoredShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${graft.Scratch.checkpointDir(s)}/graft_x68_shared_$tag"
+    graft.sources.MultiFormat.ensureLayout(new java.io.File(d), base) {
+      val (cp, buyers, cpd) = basketMachinery(s, d)
+      try {
+        exactPairsScored(s, cpd, buyers).coalesce(8)
+          .write.mode("overwrite").parquet(s"$base/exact")
+        approxPairsScored(s, cpd, buyers).coalesce(8)
+          .write.mode("overwrite").parquet(s"$base/approx")
+      } finally { cp.unpersist(): Unit }
+    }
+    (graft.Tables.cachedParquet(s, s"$base/exact"),
+     graft.Tables.cachedParquet(s, s"$base/approx"))
+  }
+
+  def x68AlsoBought(s: SparkSession, d: String): DataFrame =
+    scoredShared(s, d)._1
       .orderBy(col("jac_ppm").desc, col("v"), col("w"))
       .limit(20)
-  }
 
   val x68Sql: String =
     """WITH cp AS (
@@ -537,8 +564,8 @@ object GraphOps {
     * the constant 16 replaces the data-density-driven common-buyer count,
     * which is the asymptotic win when baskets densify at scale.
     */
-  private def approxPairsScored(s: SparkSession, cpd: DataFrame,
-                                buyers: DataFrame): DataFrame = {
+  private[graft] def approxPairsScored(s: SparkSession, cpd: DataFrame,
+                                       buyers: DataFrame): DataFrame = {
     SortedIntersectCount.register(s)
     val parts = 2 * s.conf.get("spark.sql.shuffle.partitions").toInt
     // c is masked to 31 bits BEFORE the multiply: (2³¹−1)·2654435761 ≈
@@ -590,9 +617,33 @@ object GraphOps {
       // audits any recall this ever costs against the uncapped exact truth.
       .filter(col("nb") <= 65536)
       .select(col("p"), col("cs"))
-    val cn = cand
-      .join(broadcast(sets.select(col("p").as("v"), col("cs").as("csv"))), Seq("v"))
-      .join(broadcast(sets.select(col("p").as("w"), col("cs").as("csw"))), Seq("w"))
+    // SIZE-GATE the verify broadcast (r12 verdict #1 — the last surviving
+    // scale-killer): sets is part-domain-sized, and at 100 TB a billions-
+    // of-parts × sorted-buyer-array table cannot ship to every executor.
+    // Below the gate (counted against the persisted cp — one cheap
+    // aggregate) the two joins broadcast, zero shuffle of the candidate
+    // stream. Above it — or when the conf is set ≤ 0, which skips even the
+    // sizing count — the verify becomes two SHUFFLE-HASH joins of the
+    // candidate stream against sets partitioned by part (the hint pins the
+    // strategy so AQE cannot promote the big side back to a broadcast).
+    // Default 4M parts: ~4·10⁶ rows × (avg ~40 buyers × 8 B) ≈ 1.3 GB of
+    // array payload, comfortably under Spark's 8 GB broadcast hard cap
+    // while keeping every test SF (≤ 2·10⁵ parts) on the broadcast path.
+    // Same rows either way — only recall-free plan shape changes — and the
+    // fallback's scaling exponent is measured against the broadcast path's
+    // in docs/scaling_probe.json (x68b_shuffle_verify vs x68b_bcast_verify).
+    val maxParts = s.conf.getOption("spark.graft.x68b.verifyBroadcastMaxParts")
+      .getOrElse("4000000").toLong
+    val setsV = sets.select(col("p").as("v"), col("cs").as("csv"))
+    val setsW = sets.select(col("p").as("w"), col("cs").as("csw"))
+    val joined =
+      if (maxParts > 0 && buyers.count() <= maxParts)
+        cand.join(broadcast(setsV), Seq("v"))
+          .join(broadcast(setsW), Seq("w"))
+      else
+        cand.join(setsV.hint("shuffle_hash"), Seq("v"))
+          .join(setsW.hint("shuffle_hash"), Seq("w"))
+    val cn = joined
       .select(col("v"), col("w"),
         expr("graft_sorted_intersect_count(csv, csw)").as("common"))
       .filter(col("common") >= 3)
@@ -600,12 +651,41 @@ object GraphOps {
     scorePairs(cn, buyers)
   }
 
-  def x68bAlsoBoughtMinhash(s: SparkSession, d: String): DataFrame = {
-    val (cp, buyers, cpd) = basketMachinery(s, d)
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
-    approxPairsScored(s, cpd, buyers)
+  def x68bAlsoBoughtMinhash(s: SparkSession, d: String): DataFrame =
+    scoredShared(s, d)._2
       .orderBy(col("jac_ppm").desc, col("v"), col("w"))
       .limit(20)
+
+  /** Direct (artifact-free) pipeline run for ScaleProbe and Round13Spec —
+    * the shared layout would otherwise hide the pipeline's real cost and
+    * pin the verify-join strategy to whatever conf built it. `maxParts`
+    * overrides the broadcast gate for THIS plan build only ("0" forces
+    * the shuffle-hash fallback without paying the sizing count).
+    */
+  private[graft] def x68bPipelineProbe(maxParts: String)
+      (s: SparkSession, d: String): DataFrame = {
+    val key = "spark.graft.x68b.verifyBroadcastMaxParts"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, maxParts)
+    try {
+      val (cp, buyers, cpd) = basketMachinery(s, d)
+      // the gate's sizing count (broadcast path) runs inside
+      // approxPairsScored — register the release AFTER it so that action
+      // doesn't evict cp before the main query runs
+      val scored = approxPairsScored(s, cpd, buyers)
+      graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
+      scored
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Direct exact-pipeline run (same role as [[x68bPipelineProbe]]). */
+  private[graft] def x68ExactProbe(s: SparkSession, d: String): DataFrame = {
+    val (cp, buyers, cpd) = basketMachinery(s, d)
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
+    exactPairsScored(s, cpd, buyers)
   }
 
   /** Basket + exact-pair CTEs shared by the x68b/x68c oracles (x68Sql's
@@ -683,14 +763,10 @@ object GraphOps {
     * Integer-ppm output, exact on both engines.
     */
   def x68cAlsoBoughtRecall(s: SparkSession, d: String): DataFrame = {
-    val (cp, buyers, cpd) = basketMachinery(s, d)
-    // both scored tables feed TWO branches each (top-20 + full count);
-    // persisting them (they are pair-table-after-threshold sized — a few
-    // thousand rows) stops the whole enumeration/banding pipeline from
-    // running twice per side
-    val exact  = exactPairsScored(s, cpd, buyers).persist()
-    val approx = approxPairsScored(s, cpd, buyers).persist()
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(cp, exact, approx))
+    // both scored tables feed TWO branches each (top-20 + full count) and
+    // are read from the shared data-stamped parquet — no pipeline re-run,
+    // no persist needed (pair-table-after-threshold sized parquet scans)
+    val (exact, approx) = scoredShared(s, d)
     val exTop = exact.orderBy(col("jac_ppm").desc, col("v"), col("w")).limit(20)
     val apTop = approx.orderBy(col("jac_ppm").desc, col("v"), col("w")).limit(20)
     val topTruth  = exTop.agg(count(lit(1)).as("n_truth"))

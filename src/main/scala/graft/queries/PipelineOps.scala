@@ -260,18 +260,26 @@ object PipelineOps {
       val Seq(a0, a1, a2, a3) = (0 until 4).map(r => s"m${4 * b + r}")
       s"SELECT doc_id, $b AS band, ((($a0 * 31 + $a1) * 31 + $a2) * 31 + $a3) AS sig FROM m"
     }.mkString(" UNION ALL ")
-    s"""toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    s"""${shingleCtesOver("documents", "toks", "sh")},
+       |m AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
+  /** The distinct 3-gram polyhash shingle CTE pair (the literal DuckDB
+    * replay of [[ShingleHashExpr]]) over an arbitrary (doc_id, text)
+    * source CTE — shared by [[minhashCtesSql]] (over `documents`) and
+    * x72b's perturbed audit corpus.
+    */
+  private def shingleCtesOver(src: String, toks: String, sh: String): String =
+    s"""$toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (
+       |$sh AS (
        |  SELECT DISTINCT doc_id,
        |    list_reduce(list_transform(regexp_split_to_array(
        |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
        |      (a, b) -> (a * 31 + b) % 1000003) AS h
-       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-       |m AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows)""".stripMargin
-  }
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM $toks))""".stripMargin
 
   val x3Sql: String = {
     s"""WITH $minhashCtesSql,
@@ -4642,23 +4650,39 @@ object PipelineOps {
     * Scale design (100 TB): NO global sort and NO hash-bucket fanout —
     * the ordering is computed per key-prefix block (row_number window
     * PARTITIONED by `blk`, so every block sorts independently; block key
-    * granularity is the skew lever — lengthen the prefix if a block runs
-    * hot), and the candidate count is HARD-bounded by w·n whatever the
-    * duplicate distribution — banding's hot-bucket worst case cannot
-    * occur, which is why production merge/purge pipelines run SNM when
-    * duplicate clusters are huge. Verification touches candidate pairs
-    * only, through the same persisted shingle table x3's verify uses.
+    * granularity is the skew lever — `spark.graft.x72.blockPrefixLen`
+    * lengthens the prefix if a block runs hot, e.g. boilerplate-leading
+    * docs all sharing one 2-char prefix would otherwise make that window
+    * partition a straggler; the hotblock ScaleProbe measures the lever,
+    * and the default 2 is what the oracle replays), and the candidate
+    * count is HARD-bounded by w·n whatever the duplicate distribution —
+    * banding's hot-bucket worst case cannot occur, which is why production
+    * merge/purge pipelines run SNM when duplicate clusters are huge.
+    * Verification touches candidate pairs only, through the same persisted
+    * shingle table x3's verify uses. Output pairs are CANONICAL
+    * (doc_a < doc_b): SNM enumerates by rank order within the block, and
+    * sort-key order can disagree with id order — publishing rank-oriented
+    * pairs made x72b's equi-join against the canonical truth count
+    * genuinely-found duplicates as missed (r12 ADVICE).
     */
   private val SnmWindow = 8
 
-  def x72SortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+  /** The SNM pipeline over an arbitrary (doc_id, text) corpus — x72 runs it
+    * on the real documents table; x72b on the prefix-perturbed audit
+    * corpus (the twins MUST flow through ranking itself: SNM's blind spot
+    * is precisely that a prefix edit relocates a doc in sort order, which
+    * only manifests when the perturbed doc competes for window slots).
+    */
+  private def snmPairs(s: SparkSession, corpus: DataFrame): DataFrame = {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
-    val ranked = Tables.documents(s, d)
+    val blkLen = s.conf.getOption("spark.graft.x72.blockPrefixLen")
+      .getOrElse("2").toInt
+    val ranked = corpus
       .select(col("doc_id"),
         expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24)")
           .as("skey"))
-      .withColumn("blk", expr("substring(skey, 1, 2)"))
+      .withColumn("blk", expr(s"substring(skey, 1, $blkLen)"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
           .orderBy(col("skey"), col("doc_id"))))
@@ -4667,7 +4691,7 @@ object PipelineOps {
         col("a.blk") === col("b.blk") && col("b.rn") > col("a.rn") &&
           col("b.rn") <= col("a.rn") + (SnmWindow - 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val hashed = Tables.documents(s, d)
+    val hashed = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))
@@ -4685,19 +4709,27 @@ object PipelineOps {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("sa.n") + col("sb.n") - col("n_common")))
       .filter(col("jaccard") >= JaccThreshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      // canonical orientation: a pair appears exactly once in cand (one
+      // relative rank order), so least/greatest is a pure relabel, no dedup
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The SNM candidate + verify CTE chain (x72's WITH-body), shared with
-    * x72b's recall audit.
+  def x72SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    snmPairs(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The SNM candidate + verify CTE chain (x72's WITH-body) over a given
+    * corpus CTE and shingle table — shared by x72 (`documents`/`sh`) and
+    * x72b's perturbed-corpus recall audit.
     */
-  private def snmCtesSql: String =
+  private def snmCtesOver(src: String, sh: String): String =
     s"""keyed AS (
        |  SELECT doc_id,
        |         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
        |                   1, 24) AS skey
-       |  FROM documents),
+       |  FROM $src),
        |ranked AS (
        |  SELECT doc_id, skey, substring(skey, 1, 2) AS blk,
        |         ROW_NUMBER() OVER (PARTITION BY substring(skey, 1, 2)
@@ -4710,15 +4742,18 @@ object PipelineOps {
        |inter2 AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
        |  FROM cand2 c
-       |  JOIN sh ha ON ha.doc_id = c.doc_a
-       |  JOIN sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  JOIN $sh ha ON ha.doc_id = c.doc_a
+       |  JOIN $sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
        |  GROUP BY 1, 2),
-       |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+       |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM $sh GROUP BY doc_id)""".stripMargin
+
+  private def snmCtesSql: String = snmCtesOver("documents", "sh")
 
   val x72Sql: String =
     s"""WITH $minhashCtesSql,
        |$snmCtesSql
-       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |SELECT LEAST(i.doc_a, i.doc_b) AS doc_a,
+       |       GREATEST(i.doc_a, i.doc_b) AS doc_b, i.n_common,
        |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
        |FROM inter2 i
        |JOIN sizes2 sa ON sa.doc_id = i.doc_a
@@ -4730,41 +4765,77 @@ object PipelineOps {
   // ===== x72b: SNM recall audit vs the same exact block truth as x63 ======
 
   /** x63's recall audit run against x72's SNM blocking instead of x3's
-    * banding: same pinned block, same exact all-pairs ground truth, same
-    * per-decile integer-ppm output — so a pipeline owner can read the two
-    * tables side by side and choose a blocking strategy on MEASURED
-    * recall curves (banding's s-curve under-recalls near the threshold;
-    * SNM's blind spot is edits in the sort-key prefix, flat across J).
-    * The found side is full-corpus x72 restricted to the block: unlike
-    * banding, SNM's window can cross block-external docs, so restricting
-    * the OUTPUT (not the input) is what measures the real system.
+    * banding: same pinned block, same exact all-pairs ground truth shape,
+    * same integer-ppm output — so a pipeline owner can read the two tables
+    * side by side and choose a blocking strategy on MEASURED recall curves
+    * (banding's s-curve under-recalls near the threshold; SNM's blind spot
+    * is edits in the sort-key prefix, flat across J).
+    *
+    * The audit corpus is AUGMENTED with a deterministic prefix-perturbed
+    * twin class (x25/x27's in-plan twin discipline, replayed literally by
+    * the oracle): every block doc with doc_id % 10 == 7 gets a copy at
+    * doc_id + 3·10⁷ with one token ('zqx') PREPENDED. The twin is a true
+    * near-dup of its source (all original shingles survive; J = n/(n+1))
+    * but its normalized sort key now starts 'zqx…', relocating it to a
+    * different block — exactly the SNM blind spot, which the fixture's
+    * natural near-dups never exercised because they share sort-key
+    * prefixes (r12: every decile read 100%, a vacuous audit). Output rows
+    * carry a `slice` column — 'base' (both ids in the original block:
+    * x63-comparable) vs 'perturbed' (a twin involved: the blind-spot
+    * measurement, expected well under 10⁶ ppm). The twins flow through the
+    * FULL corpus ranking (not just the block): SNM's window can cross
+    * block-external docs, so ranking against the whole corpus and
+    * restricting the OUTPUT to audited ids is what measures the real
+    * system.
     */
+  private val X72PerturbOffset = 30000000L
+
   def x72bSnmRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = blockTruth(s, d)
-    val found = x72SortedNeighborhood(s, d)
-      .filter(col("doc_a") < X63Block && col("doc_b") < X63Block)
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val twins = base
+      .filter(col("doc_id") < X63Block && col("doc_id") % 10 === 7)
+      .select((col("doc_id") + X72PerturbOffset).as("doc_id"),
+        concat(lit("zqx "), col("text")).as("text"))
+    val corpus = base.unionByName(twins)
+    def audited(c: org.apache.spark.sql.Column) =
+      c < X63Block || c >= X72PerturbOffset
+    val truth = blockTruthOver(s, corpus.filter(audited(col("doc_id"))))
+      .withColumn("slice",
+        when(col("doc_a") >= X72PerturbOffset ||
+          col("doc_b") >= X72PerturbOffset, "perturbed").otherwise("base"))
+    val found = snmPairs(s, corpus)
+      .filter(audited(col("doc_a")) && audited(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
-      .groupBy(col("bucket"))
+      .groupBy(col("slice"), col("bucket"))
       .agg(count(lit(1)).as("n_truth"),
            sum(coalesce(col("hit"), lit(0L))).as("n_found"))
       .withColumn("recall_ppm", expr("n_found * 1000000L div n_truth"))
-      .orderBy(col("bucket"))
+      .orderBy(col("slice"), col("bucket"))
   }
 
   // lazy: X63Block is declared later in the file and would interpolate as
   // 0 under strict val-initialization order
   lazy val x72bSql: String =
-    s"""WITH $minhashCtesSql,
-       |$snmCtesSql,
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $X72PerturbOffset, 'zqx ' || text FROM documents
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 7),
+       |${shingleCtesOver("corpus", "toks", "sh")},
+       |${snmCtesOver("corpus", "sh")},
        |found AS (
-       |  SELECT i.doc_a, i.doc_b FROM inter2 i
+       |  SELECT LEAST(i.doc_a, i.doc_b) AS doc_a,
+       |         GREATEST(i.doc_a, i.doc_b) AS doc_b
+       |  FROM inter2 i
        |  JOIN sizes2 sa ON sa.doc_id = i.doc_a
        |  JOIN sizes2 sb ON sb.doc_id = i.doc_b
        |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
        |          >= $JaccThreshold
-       |    AND i.doc_a < $X63Block AND i.doc_b < $X63Block),
-       |bsh AS (SELECT * FROM sh WHERE doc_id < $X63Block),
+       |    AND (i.doc_a < $X63Block OR i.doc_a >= $X72PerturbOffset)
+       |    AND (i.doc_b < $X63Block OR i.doc_b >= $X72PerturbOffset)),
+       |bsh AS (SELECT * FROM sh
+       |        WHERE doc_id < $X63Block OR doc_id >= $X72PerturbOffset),
        |bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
        |tinter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -4777,14 +4848,17 @@ object PipelineOps {
        |  JOIN bsizes sa ON sa.doc_id = tinter.doc_a
        |  JOIN bsizes sb ON sb.doc_id = tinter.doc_b
        |  WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 2)
-       |SELECT LEAST((n_common * 10) // un, 9) AS bucket,
+       |SELECT CASE WHEN t.doc_a >= $X72PerturbOffset
+       |              OR t.doc_b >= $X72PerturbOffset
+       |            THEN 'perturbed' ELSE 'base' END AS slice,
+       |       LEAST((n_common * 10) // un, 9) AS bucket,
        |       COUNT(*) AS n_truth,
        |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_found,
        |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
        |         * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
        |FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
-       |GROUP BY 1 ORDER BY bucket""".stripMargin
+       |GROUP BY 1, 2 ORDER BY slice, bucket""".stripMargin
 
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
@@ -4813,11 +4887,18 @@ object PipelineOps {
     * the SAME truth. Persists its shingle table and hands it to
     * ScopedCache.
     */
-  private def blockTruth(s: SparkSession, d: String): DataFrame = {
+  private def blockTruth(s: SparkSession, d: String): DataFrame =
+    blockTruthOver(s,
+      Tables.documents(s, d).filter(col("doc_id") < X63Block))
+
+  /** [[blockTruth]] over an arbitrary pre-bounded corpus (x72b audits an
+    * augmented block; the CALLER bounds it — all-pairs truth is quadratic,
+    * so the input must be an absolute-constant-size slice).
+    */
+  private def blockTruthOver(s: SparkSession, corpus: DataFrame): DataFrame = {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
-    val hashed = Tables.documents(s, d)
-      .filter(col("doc_id") < X63Block)
+    val hashed = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))

@@ -19,6 +19,57 @@ class Round13Spec extends SparkSpec {
     assert(HostCal.NominalSec > 0)
   }
 
+  test("x68b shuffle-verify fallback: no broadcast of sets, identical rows") {
+    val d = TestSpark.sf0001
+    val fb = graft.queries.GraphOps.x68bPipelineProbe("0")(spark, d)
+    val fbRows = fb.collect().map(_.toString).sorted
+    // final (post-AQE) plan: both verify joins pinned shuffle-hash — the
+    // sets table (the sort_array/collect_list aggregate) must NOT ship as
+    // a broadcast anywhere in the fallback path
+    val plan = fb.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2,
+      s"fallback verify joins not shuffle-hash:\n$plan")
+    assert(!planBroadcastsSets(plan),
+      s"sets table broadcast on the fallback path:\n$plan")
+    val bc = graft.queries.GraphOps.x68bPipelineProbe("400000000")(spark, d)
+    val bcRows = bc.collect().map(_.toString).sorted
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    // plan shape is the ONLY difference — rows are bit-identical
+    assert(fbRows.sameElements(bcRows),
+      s"fallback rows diverge: ${fbRows.length} vs ${bcRows.length}")
+  }
+
+  /** True iff a BroadcastExchange subtree in `plan` contains the sets
+    * aggregate (sort_array over collect_list) — string-level but
+    * sufficient: the only broadcast the fallback plan may contain is the
+    * scorePairs buyers join, which has no sort_array.
+    */
+  private def planBroadcastsSets(plan: String): Boolean =
+    plan.split("BroadcastExchange").drop(1).exists { sub =>
+      val nextJoin = sub.indexOf("Join")
+      sub.substring(0, if (nextJoin >= 0) nextJoin else sub.length)
+        .contains("sort_array")
+    }
+
+  test("x72b: perturbed-prefix slice shows REAL recall loss; base intact") {
+    val rows = SparkEntry.queries("x72b_snm_recall")(spark, TestSpark.sf0001)
+      .collect()
+    val base = rows.filter(_.getString(0) == "base")
+    val pert = rows.filter(_.getString(0) == "perturbed")
+    assert(base.nonEmpty && pert.nonEmpty, "audit lost a slice")
+    // base slice: the x63-comparable measurement — fully recalled at
+    // sf0.001 (natural near-dups share sort-key prefixes)
+    assert(base.forall(_.getLong(4) >= 900000L),
+      base.map(_.toString).mkString(", "))
+    // perturbed slice: one prepended token relocates the twin's block —
+    // the SNM blind spot must now be a measured number, not 100%
+    val pTruth = pert.map(_.getLong(2)).sum
+    val pFound = pert.map(_.getLong(3)).sum
+    assert(pTruth >= 50L, s"perturbed truth too thin to audit: $pTruth")
+    assert(pFound * 1000000L / pTruth <= 500000L,
+      s"perturbed slice recalled $pFound/$pTruth — the audit is vacuous again")
+  }
+
   test("bench median excludes failure sentinels (r12 ADVICE escape case)") {
     import BenchGate._
     // 2 sentinels of 5: the raw-sorted median sat at the fastest valid
