@@ -63,11 +63,14 @@ object BenchGate {
     val v = valid(xs)
     if (v.size < 2 || v.min <= 0) 1.0 else v.max / v.min
   }
+  /** The spread gate alone — a wide max/min says a burst hit SOME sample.
+    * Production retries gate on [[stillNoisy]] (spread AND a poisoned
+    * median); this predicate is its spread conjunct.
+    */
   def needsRetry(xs: Seq[Double]): Boolean = spread(xs) > SpreadGate
   def stillNoisy(xs: Seq[Double]): Boolean = {
     val v = valid(xs)
-    v.nonEmpty && v.min > 0 && median(xs) / v.min > MedGate &&
-      spread(xs) > SpreadGate
+    v.nonEmpty && v.min > 0 && median(xs) / v.min > MedGate && needsRetry(xs)
   }
   /** >5% of keys still noisy after retries ⇒ the whole headline is a host
     * artifact.
@@ -122,12 +125,18 @@ object HostCal {
       finally os.close()
       val is = new java.io.FileInputStream(f)
       try {
+        // sample at ABSOLUTE file offsets (every 4096th byte): hashing at
+        // chunk-relative offsets would make the checksum depend on
+        // InputStream.read's chunk boundaries, which may legally be short
+        // on some filesystems — the checksum must be input-determined
         val rb = new Array[Byte](1 << 16)
         var h2 = 1469598103934665603L
+        var abs = 0L
         var n = is.read(rb)
         while (n > 0) {
-          var j = 0
+          var j = (((abs + 4095) / 4096) * 4096 - abs).toInt // next multiple
           while (j < n) { h2 = (h2 ^ rb(j)) * 1099511628211L; j += 4096 }
+          abs += n
           n = is.read(rb)
         }
         acc ^= h2
@@ -309,9 +318,11 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // a key counts as failed if ANY of its trials crashed — medians are now
     // computed over valid samples only, so a majority-failed key no longer
-    // surfaces through a negative median and must be counted explicitly
-    // (an intermittently crashing query is a defect, not a timing)
-    val failed = names.count(n => samples(n).exists(_ < 0))
+    // surfaces through a negative median and must be NAMED explicitly (an
+    // intermittently crashing query is a defect, not a timing, and the
+    // artifact must say WHICH key failed, not just how many)
+    val failedKeys = names.filter(n => samples(n).exists(_ < 0))
+    val failed = failedKeys.size
 
     // Shark-`_cached` parity numbers in every run: re-time a representative
     // subset with the fact tables persisted columnar (memory, then disk) —
@@ -353,7 +364,12 @@ object Bench {
     // it) and before the record is printed, so every BENCH artifact carries
     // its own host-speed context
     val hostFactor = HostCal.factor()
-    val noiseJson = f""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":$sumOfMins%.1f,"host_factor":$hostFactor%.2f"""
+    // failed KEYS by name (capped — failures should be rare): without this,
+    // the valid-sample median hides which query crashed and the artifact
+    // only carries a count
+    val failedJson = failedKeys.take(20).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val noiseJson = f""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":$sumOfMins%.1f,"host_factor":$hostFactor%.2f,"failed_keys":$failedJson"""
     val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the

@@ -852,7 +852,13 @@ object ScaleProbe {
           // family's shared scored-pair tables)
           val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
           rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_copurchase_$tag"))
-          rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_x68_shared_$tag"))
+          // the x68 layout name carries an algorithm fingerprint — match by
+          // prefix+suffix so stale fingerprints are swept too
+          Option(new java.io.File(Scratch.checkpointDir(spark)).listFiles())
+            .toSeq.flatten
+            .filter(f => f.getName.startsWith("graft_x68_shared_") &&
+              f.getName.endsWith(tag))
+            .foreach(rmrf)
           val t0 = System.nanoTime()
           val n0 = fn(spark, d).count()
           val cold = (System.nanoTime() - t0) / 1e9
@@ -893,7 +899,11 @@ object ScaleProbe {
     // rows MUST drop by orders of magnitude at len 4 (bounded per-block
     // work), with end-to-end wall time alongside.
     if (args.contains("hotblock")) {
-      val dir = s"$scratch/graft_hotblock_v1"
+      // corpus dir carries the source sf tag — a later run at a different
+      // SPARK_GRAFT_SF_DIR must not silently reuse this one's corpus while
+      // recording the new sf_base in the evidence JSON
+      val srcTag = src.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$scratch/graft_hotblock_v1_$srcTag"
       val done = new java.io.File(s"$dir/_GRAFT_DONE")
       if (!done.exists()) {
         spark.read.parquet(s"$src/documents.parquet")
@@ -903,8 +913,10 @@ object ScaleProbe {
         done.createNewFile()
       }
       val fn = SparkEntry.queries("x72_sorted_neighborhood")
-      val entries = Seq(2, 4).map { len =>
-        spark.conf.set("spark.graft.x72.blockPrefixLen", len.toString)
+      val confKey = "spark.graft.x72.blockPrefixLen"
+      val prevLen = spark.conf.getOption(confKey)
+      val entries = try Seq(2, 4).map { len =>
+        spark.conf.set(confKey, len.toString)
         // the operator's declared key derivation: the hottest block's row
         // count is the per-partition window-sort work
         val blocks = spark.read.parquet(s"$dir/documents.parquet")
@@ -920,8 +932,10 @@ object ScaleProbe {
         println(f"blockPrefixLen=$len n_blocks=$nBlocks max_block=$maxBlk " +
           f"pairs=$pairs secs=$secs%.2f")
         f""""len$len":{"n_blocks":$nBlocks,"max_block_rows":$maxBlk,"pairs":$pairs,"secs":$secs%.2f}"""
+      } finally prevLen match { // restore, don't clobber (and survive throws)
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
       }
-      spark.conf.unset("spark.graft.x72.blockPrefixLen")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/hotblock_probe.json"),
         entries.mkString(

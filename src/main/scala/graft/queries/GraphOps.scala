@@ -486,7 +486,18 @@ object GraphOps {
   private def scoredShared(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"${graft.Scratch.checkpointDir(s)}/graft_x68_shared_$tag"
+    // the layout bakes in ALGORITHM logic, not just a format round-trip, so
+    // the path carries a fingerprint of the two oracle strings (the literal
+    // replays of both pipelines): any pipeline change must change its
+    // oracle in lockstep (the parity discipline), which rotates the path
+    // and forces a rebuild — a warm scratch dir can never serve rows built
+    // by previous-round code (r13 review). ScaleProbe's cold rmrf matches
+    // the graft_x68_shared_ prefix, so stale fingerprints get swept there.
+    val algo = java.security.MessageDigest.getInstance("MD5")
+      .digest((x68Sql + x68bSql).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val base =
+      s"${graft.Scratch.checkpointDir(s)}/graft_x68_shared_${algo}_$tag"
     graft.sources.MultiFormat.ensureLayout(new java.io.File(d), base) {
       val (cp, buyers, cpd) = basketMachinery(s, d)
       try {
@@ -671,8 +682,11 @@ object GraphOps {
       val (cp, buyers, cpd) = basketMachinery(s, d)
       // the gate's sizing count (broadcast path) runs inside
       // approxPairsScored — register the release AFTER it so that action
-      // doesn't evict cp before the main query runs
-      val scored = approxPairsScored(s, cpd, buyers)
+      // doesn't evict cp before the main query runs; if the sizing action
+      // itself throws, unpersist eagerly or cp leaks into every later run
+      val scored =
+        try approxPairsScored(s, cpd, buyers)
+        catch { case t: Throwable => cp.unpersist(); throw t }
       graft.ScopedCache.releaseAfterNextAction(s, Seq(cp))
       scored
     } finally prev match {

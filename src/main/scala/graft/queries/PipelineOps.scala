@@ -4791,6 +4791,12 @@ object PipelineOps {
   private val X72PerturbOffset = 30000000L
 
   def x72bSnmRecall(s: SparkSession, d: String): DataFrame = {
+    // Declared key domain: base doc_ids < X72PerturbOffset (3·10⁷), the
+    // same class of bound as x68's partkey < 2³¹ — twin ids must not
+    // collide with real ones. The truth input is CONSTRUCTED as
+    // block ∪ twins (never an id-range filter over the big corpus), so the
+    // quadratic all-pairs side stays an absolute-constant-size slice even
+    // on an out-of-domain corpus; the found-side id filter is linear.
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val twins = base
       .filter(col("doc_id") < X63Block && col("doc_id") % 10 === 7)
@@ -4799,7 +4805,8 @@ object PipelineOps {
     val corpus = base.unionByName(twins)
     def audited(c: org.apache.spark.sql.Column) =
       c < X63Block || c >= X72PerturbOffset
-    val truth = blockTruthOver(s, corpus.filter(audited(col("doc_id"))))
+    val truth = blockTruthOver(s,
+        base.filter(col("doc_id") < X63Block).unionByName(twins))
       .withColumn("slice",
         when(col("doc_a") >= X72PerturbOffset ||
           col("doc_b") >= X72PerturbOffset, "perturbed").otherwise("base"))
