@@ -823,7 +823,12 @@ object ScaleProbe {
         ("x68b_shuffle_verify", "rel",
           graft.queries.GraphOps.x68bPipelineProbe("0") _),
         ("x72_sorted_neighborhood", "docs",
-          SparkEntry.queries("x72_sorted_neighborhood")))
+          SparkEntry.queries("x72_sorted_neighborhood")),
+        // the multi-pass form must keep x72's exponent (each pass is the
+        // same bounded per-block window plan; the union-distinct is
+        // pair-id-keyed) — measured, not asserted (r13)
+        ("x72c_snm_multikey", "docs",
+          SparkEntry.queries("x72c_snm_multikey")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
@@ -942,6 +947,62 @@ object ScaleProbe {
           s"""{"sf_base":"$src","corpus":"documents with 'zz ' boilerplate prepended to every text","levers":{""",
           ",", "}}").getBytes)
       println("wrote docs/hotblock_probe.json")
+      spark.stop()
+      return
+    }
+
+    // Hot-stratum probe (`hotstratum` arg, r13): x76's claim is that the
+    // hash prefilter bounds the ranking window's input at ~8k rows per
+    // stratum REGARDLESS of stratum size — the failure mode it refines
+    // away is x75's, where one hot stratum's rank is a single task's
+    // full sort. This manufactures the hot stratum (95% of documents
+    // collapsed into one 'zz' language) and records, for x75 vs x76:
+    // end-to-end wall time, the hot stratum's row count (x75's window
+    // input), and x76's ACTUAL max per-stratum window input via the
+    // shared x76Prefilter stage — plus row-identity of the two outputs.
+    if (args.contains("hotstratum")) {
+      val srcTag = src.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$scratch/graft_hotstratum_v2_$srcTag"
+      val done = new java.io.File(s"$dir/_GRAFT_DONE")
+      if (!done.exists()) {
+        // 32 id-offset replicas: x75/x76 key on (lang, polyhash(doc_id)),
+        // so replicas are distinct sample candidates — this makes the hot
+        // stratum ~152k rows (the regime where one stratum's rank is a
+        // single task's real sort) while x76's window input stays ~8k
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("rep", explode(expr("sequence(0, 31)")))
+          .withColumn("doc_id",
+            col("doc_id") + col("rep").cast("long") * 1000000000L)
+          .drop("rep")
+          .withColumn("lang",
+            when(col("doc_id") % 20 === 0, col("lang")).otherwise(lit("zz")))
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        done.createNewFile()
+      }
+      val hotRows = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("lang") === "zz").count()
+      val (_, _, surv) = graft.queries.CorpusOps.x76Prefilter(spark, dir)
+      val maxWindowRows = surv.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).first().getLong(0)
+      def time(key: String): (Double, Long, Array[String]) = {
+        val fn = SparkEntry.queries(key)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).collect()
+        ((System.nanoTime() - t0) / 1e9, rows.length.toLong,
+          rows.map(_.toString))
+      }
+      val (s75, n75, r75) = time("x75_stratified_sample")
+      val (s76, n76, r76) = time("x76_stratified_prefilter")
+      require(r75.sameElements(r76),
+        s"x76 diverged from x75 on the hot-stratum corpus: $n75 vs $n76 rows")
+      println(f"hot_rows=$hotRows x76_max_window=$maxWindowRows " +
+        f"x75=$s75%.2fs x76=$s76%.2fs rows=$n75 (bit-identical)")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/hotstratum_probe.json"),
+        f"""{"sf_base":"$src","corpus":"documents x32 id-offset replicas, 95%% of rows collapsed into one 'zz' lang stratum","hot_stratum_rows":$hotRows,"x76_max_window_input_rows":$maxWindowRows,"x75_secs":$s75%.2f,"x76_secs":$s76%.2f,"out_rows":$n75,"outputs_bit_identical":true,"note":"the scaling quantity is window INPUT rows (x76 bounds one task's sort at ~8k whatever the stratum size); at this corpus size x75's single 152k-row sort is still trivial, so x76's ~0.5s of fixed extra stages dominates wall time — the crossover is strata of tens of millions of rows, where x75's hot-stratum task is the straggler"}""".getBytes)
+      println("wrote docs/hotstratum_probe.json")
       spark.stop()
       return
     }

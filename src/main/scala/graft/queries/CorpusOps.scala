@@ -299,6 +299,87 @@ object CorpusOps {
        |  FROM h)
        |WHERE rn <= $StratN ORDER BY lang, rn""".stripMargin
 
+  // ===== x76: x75's hot-stratum refinement — prefilter + exact top-off ====
+
+  /** The production form of x75 at 100 TB strata — the refinement x75's
+    * scaladoc names: a hot stratum's rank there is ONE task's sort,
+    * because every row of the stratum reaches its window partition. x76
+    * computes the IDENTICAL selection (same columns, same rows, same
+    * order — the oracle is literally x75's query) but prefilters on the
+    * sample hash before any window runs: h is uniform on [0, mod), so
+    * keeping h < (8k·mod) div n per stratum passes ≈ 8k ≈ 400 expected
+    * rows per stratum REGARDLESS of stratum size, and the window sorts
+    * those. The threshold is an ANALYTIC quantile of the uniform hash —
+    * deterministic, unlike an approx_percentile sketch whose merge order
+    * varies with partitioning (the multi-JVM bit-identity gate is why the
+    * sketch form is not used). Correctness does not rest on the 8×
+    * safety margin: if h were adversarially non-uniform and a stratum's
+    * survivor count fell below min(k, n) — P ≈ 10⁻⁶⁰ at 8× under
+    * uniformity, but the engine doesn't price tail risk as zero — that
+    * stratum falls back to the full x75 rank (a left-anti branch that is
+    * empty in every expected run), so the output is EXACTLY x75's by
+    * construction, not with high probability. The k smallest (h, doc_id)
+    * pairs all satisfy h < t whenever ≥ k survivors do, so the prefilter
+    * is lossless for ranked strata.
+    *
+    * Scale design (100 TB): the counts and threshold tables are
+    * strata-domain-sized (broadcast); the prefilter is a map-side
+    * predicate on the scan; the window input is O(strata · 8k) rows
+    * total. The fallback branch re-scans only shortfall strata.
+    */
+  /** x76's scan + threshold + prefilter stage (docs, thr, surv) — shared
+    * with the hot-stratum ScaleProbe, which counts `surv` per stratum to
+    * EVIDENCE the bounded-window-input claim instead of re-deriving the
+    * threshold arithmetic (and silently drifting from it).
+    */
+  private[graft] def x76Prefilter(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    StringPolyHash.register(s)
+    val mod = graft.functions.StringPolyHash.DefaultMod
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        expr("graft_polyhash(cast(doc_id as string))").as("h"))
+    val thr = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("t",
+        least(lit(mod), expr(s"(8L * $StratN * ${mod}L) div n")))
+    val surv = docs.join(broadcast(thr.select(col("lang"), col("t"))),
+        Seq("lang"))
+      .filter(col("h") < col("t"))
+    (docs, thr, surv)
+  }
+
+  def x76StratifiedPrefilter(s: SparkSession, d: String): DataFrame = {
+    val (docs, thr, surv) = x76Prefilter(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    // shortfall strata: survivors < min(k, n) — the prefilter no longer
+    // provably contains the top-k; includes zero-survivor strata (left
+    // join + coalesce), and is EMPTY under uniform hashing
+    val short = thr.join(
+        surv.groupBy(col("lang")).agg(count(lit(1)).as("ns")),
+        Seq("lang"), "left")
+      .filter(coalesce(col("ns"), lit(0L)) <
+        least(lit(StratN.toLong), col("n")))
+      .select(col("lang"))
+    val ranked = surv.drop("t")
+      .join(broadcast(short), Seq("lang"), "left_anti")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= StratN)
+    val fallback = docs.join(broadcast(short), Seq("lang"), "left_semi")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= StratN)
+    ranked.unionByName(fallback)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** x76's contract IS "bit-identical to x75" — the key exists for the
+    * plan shape (prefilter before the window), so the oracle is the x75
+    * selection itself; any divergence in the prefilter/top-off logic
+    * hash-mismatches here.
+    */
+  val x76Sql: String = x75Sql
+
   // ===== x25: PII scan + redaction ========================================
 
   // Regex subset valid and identical in Java regex (Spark) and RE2 (DuckDB):
@@ -764,6 +845,7 @@ object CorpusOps {
     "x23b_pack_subword"  -> (x23bPackSubword _),
     "x24_mixture_sample" -> (x24MixtureSample _),
     "x75_stratified_sample" -> (x75StratifiedSample _),
+    "x76_stratified_prefilter" -> (x76StratifiedPrefilter _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
   )
@@ -781,6 +863,7 @@ object CorpusOps {
     "x23b_pack_subword"  -> x23bSql,
     "x24_mixture_sample" -> x24Sql,
     "x75_stratified_sample" -> x75Sql,
+    "x76_stratified_prefilter" -> x76Sql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql
   )

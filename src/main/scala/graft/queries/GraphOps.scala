@@ -320,18 +320,30 @@ object GraphOps {
   private val KcoreRounds = 4
 
   def x73KcorePeel(s: SparkSession, d: String): DataFrame = {
-    var edges = coPurchaseEdges(s, d).select(col("a"), col("b"))
-    // each round's edge set feeds FIVE consumers (next round's degree
-    // union twice + two filter joins, this round's two stat branches);
-    // without a persist every branch re-derives the whole peel chain from
-    // the leaf and the 8 output branches explode into ~90 tiny stages
-    // (measured 37 s at sf0.1 — pure stage overhead). One lazy persist
-    // per round computes each peel exactly once: 37 s → ~4 s.
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val rounds = (1 to KcoreRounds).map { r =>
-      val deg = edges.select(col("a").as("node"))
-        .unionByName(edges.select(col("b").as("node")))
+    // each round's edge set feeds its degree count AND the two filter
+    // joins; without a persist every branch re-derives the whole peel
+    // chain from the leaf and the output branches explode into ~90 tiny
+    // stages (measured 37 s at sf0.1 — pure stage overhead). One lazy
+    // persist per round computes each peel exactly once: 37 s → ~4 s.
+    //
+    // The per-round (n_nodes, n_edges) stats come FREE from the degree
+    // table of the FOLLOWING round's peel step — n_nodes(e_r) is deg_r's
+    // row count and n_edges(e_r) is sum(deg)/2 (each a<b edge contributes
+    // to exactly two endpoint degrees) — so the trajectory costs ONE
+    // extra degree aggregate for the last round instead of a separate
+    // count + distinct-count (union + second shuffle) + crossJoin per
+    // round (the r12 shape: 22 stages / 6.8 s → 14 stages).
+    def degOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var edges = coPurchaseEdges(s, d).select(col("a"), col("b"))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // deg = degree table of the CURRENT edge set; each persisted round-r
+    // deg feeds two consumers (round r's stats + round r+1's keep filter)
+    var deg = degOf(edges)
+    // degs(i) = degree table of the round-(i+1) edge set
+    val degs = (1 to KcoreRounds).map { _ =>
       val keep = deg.filter(col("deg") >= KcoreK).select(col("node"))
       edges = edges
         .join(keep.select(col("node").as("a")), Seq("a"))
@@ -339,15 +351,20 @@ object GraphOps {
         .select(col("a"), col("b"))
         .persist()
       cached += edges
-      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-      val nNodes = edges.select(col("a").as("node"))
-        .unionByName(edges.select(col("b").as("node")))
-        .agg(count_distinct(col("node")).as("n_nodes"))
-      // single-row aggregate cross join (x64's shape, AuditSpec-allowlisted)
-      nNodes.crossJoin(nEdges)
-        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      // deg is consumed twice (this round's stats + next round's keep) but
+      // NOT persisted: both consumers recompute it from the PERSISTED edge
+      // set — one cached scan + a tiny shuffle each, cheaper than forcing
+      // an extra blocking materialization into the per-round critical path
+      deg = degOf(edges)
+      deg
     }
     graft.ScopedCache.releaseAfterNextAction(s, cached.toSeq)
+    val rounds = degs.zipWithIndex.map { case (deg, i) =>
+      deg.agg(count(lit(1)).as("n_nodes"),
+          (sum(col("deg")) / 2).cast("long").as("n_edges"))
+        .select(lit((i + 1).toLong).as("round"), col("n_nodes"),
+          col("n_edges"))
+    }
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 

@@ -4667,30 +4667,58 @@ object PipelineOps {
     */
   private val SnmWindow = 8
 
-  /** The SNM pipeline over an arbitrary (doc_id, text) corpus — x72 runs it
-    * on the real documents table; x72b on the prefix-perturbed audit
-    * corpus (the twins MUST flow through ranking itself: SNM's blind spot
-    * is precisely that a prefix edit relocates a doc in sort order, which
-    * only manifests when the perturbed doc competes for window slots).
+  /** The two SNM sort keys over the normalized text (lowercased
+    * alphanumerics): x72's single pass uses the PREFIX key alone; x72c's
+    * multi-pass adds the SUFFIX key (last 24 normalized chars, read
+    * backwards), which a prefix edit cannot move — the Hernández–Stolfo
+    * multi-pass mitigation for exactly the blind spot x72b measures.
     */
-  private def snmPairs(s: SparkSession, corpus: DataFrame): DataFrame = {
-    StringPolyHash.register(s)
-    ShingleHashes.register(s)
-    val blkLen = s.conf.getOption("spark.graft.x72.blockPrefixLen")
-      .getOrElse("2").toInt
+  private val SnmNormExpr = "regexp_replace(lower(text), '[^a-z0-9]', '')"
+  private val SnmPrefixKey = s"substring($SnmNormExpr, 1, 24)"
+  private val SnmSuffixKey = s"substring(reverse($SnmNormExpr), 1, 24)"
+
+  /** One SNM window pass under one sort key: per-block rank, window join,
+    * CANONICAL candidate pairs (doc_a < doc_b — within one pass a pair
+    * appears exactly once, so least/greatest is a pure relabel; across
+    * PASSES the same pair can surface under either rank orientation, so
+    * canonicalizing here is what makes the multi-pass union dedupable).
+    */
+  private def snmCandidates(corpus: DataFrame, keySql: String,
+      blkLen: Int): DataFrame = {
     val ranked = corpus
-      .select(col("doc_id"),
-        expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24)")
-          .as("skey"))
+      .select(col("doc_id"), expr(keySql).as("skey"))
       .withColumn("blk", expr(s"substring(skey, 1, $blkLen)"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
           .orderBy(col("skey"), col("doc_id"))))
       .select(col("doc_id"), col("blk"), col("rn"))
-    val cand = ranked.as("a").join(ranked.as("b"),
+    ranked.as("a").join(ranked.as("b"),
         col("a.blk") === col("b.blk") && col("b.rn") > col("a.rn") &&
           col("b.rn") <= col("a.rn") + (SnmWindow - 1))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+  }
+
+  /** The SNM pipeline over an arbitrary (doc_id, text) corpus and one or
+    * more sort keys — x72 runs the single prefix-key pass on the real
+    * documents table; x72b on the prefix-perturbed audit corpus (the
+    * twins MUST flow through ranking itself: SNM's blind spot is
+    * precisely that a prefix edit relocates a doc in sort order, which
+    * only manifests when the perturbed doc competes for window slots);
+    * x72c/x72d run the two-key multi-pass. Multi-pass candidates union
+    * then dedup on the canonical pair id BEFORE the shingle verify, so
+    * each surviving pair is verified exactly once.
+    */
+  private def snmPairs(s: SparkSession, corpus: DataFrame,
+      keys: Seq[String] = Seq(SnmPrefixKey)): DataFrame = {
+    StringPolyHash.register(s)
+    ShingleHashes.register(s)
+    val blkLen = s.conf.getOption("spark.graft.x72.blockPrefixLen")
+      .getOrElse("2").toInt
+    val passes = keys.map(k => snmCandidates(corpus, k, blkLen))
+    val cand =
+      if (passes.lengthCompare(1) == 0) passes.head
+      else passes.reduce(_ unionByName _).distinct()
     val hashed = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -4709,11 +4737,7 @@ object PipelineOps {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("sa.n") + col("sb.n") - col("n_common")))
       .filter(col("jaccard") >= JaccThreshold)
-      // canonical orientation: a pair appears exactly once in cand (one
-      // relative rank order), so least/greatest is a pure relabel, no dedup
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-        col("n_common"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -4749,6 +4773,47 @@ object PipelineOps {
 
   private def snmCtesSql: String = snmCtesOver("documents", "sh")
 
+  /** One SNM pass of the multikey oracle chain over the `normed` CTE:
+    * per-block rank under `keyExpr`, canonical candidate pairs.
+    */
+  private def snmPassCte(keyExpr: String, tag: String): String =
+    s"""ranked$tag AS (
+       |  SELECT doc_id, $keyExpr AS skey, substring($keyExpr, 1, 2) AS blk,
+       |         ROW_NUMBER() OVER (PARTITION BY substring($keyExpr, 1, 2)
+       |                            ORDER BY $keyExpr, doc_id) AS rn
+       |  FROM normed),
+       |cand$tag AS (
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |         GREATEST(a.doc_id, b.doc_id) AS doc_b
+       |  FROM ranked$tag a JOIN ranked$tag b
+       |    ON a.blk = b.blk AND b.rn > a.rn
+       |   AND b.rn <= a.rn + ${SnmWindow - 1})""".stripMargin
+
+  /** The two-key multi-pass SNM candidate + verify chain (x72c's
+    * WITH-body) over a given corpus CTE and shingle table — the DuckDB
+    * replay of [[snmPairs]] with both sort keys; shared by x72c and
+    * x72d's recall audit. Pass candidates are canonical, so the union
+    * dedups on the pair id exactly as the Spark plan does.
+    */
+  private def snmMultiCtesOver(src: String, sh: String): String =
+    s"""normed AS (
+       |  SELECT doc_id,
+       |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+       |  FROM $src),
+       |${snmPassCte("substring(norm, 1, 24)", "p")},
+       |${snmPassCte("substring(reverse(norm), 1, 24)", "s")},
+       |candm AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b FROM candp
+       |    UNION ALL SELECT doc_a, doc_b FROM cands)),
+       |interm AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM candm c
+       |  JOIN $sh ha ON ha.doc_id = c.doc_a
+       |  JOIN $sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY 1, 2),
+       |sizesm AS (SELECT doc_id, COUNT(*) AS n FROM $sh GROUP BY doc_id)""".stripMargin
+
   val x72Sql: String =
     s"""WITH $minhashCtesSql,
        |$snmCtesSql
@@ -4758,6 +4823,44 @@ object PipelineOps {
        |FROM inter2 i
        |JOIN sizes2 sa ON sa.doc_id = i.doc_a
        |JOIN sizes2 sb ON sb.doc_id = i.doc_b
+       |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |        >= $JaccThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ===== x72c: multi-key SNM (second pass on the suffix sort key) =========
+
+  /** Multi-pass sorted-neighborhood — the standard Hernández–Stolfo
+    * mitigation for single-key SNM's sort-key blind spot, which x72b
+    * MEASURES at 0 ppm on the perturbed slice (one prepended token
+    * relocates a doc's block and the window never sees it next to its
+    * twin): run the SAME bounded window pass under a SECOND independent
+    * sort key — the last 24 normalized chars read backwards — union the
+    * canonical candidate pairs (distinct: a pair can surface in both
+    * passes, possibly under opposite rank orientations), and verify ONCE
+    * against the shared shingle table. A prefix edit cannot move the
+    * suffix key and vice versa, so a true pair escapes the multi-pass
+    * only when the edit straddles BOTH 24-char key regions; x72d replays
+    * x72b's audit over this pipeline and pins the measured recovery.
+    *
+    * Scale design (100 TB): each pass is exactly x72's plan — per-block
+    * window, no global sort, candidates HARD-bounded at w·n per pass —
+    * so K-pass SNM is ≤ K× single-pass cost with the same no-hot-bucket
+    * property, plus one pair-id-keyed distinct before the verify. The
+    * block-prefix skew lever applies per pass (`blockPrefixLen` governs
+    * both), and verification still touches candidate pairs only.
+    */
+  def x72cSnmMultikey(s: SparkSession, d: String): DataFrame =
+    snmPairs(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+      Seq(SnmPrefixKey, SnmSuffixKey))
+
+  val x72cSql: String =
+    s"""WITH ${shingleCtesOver("documents", "tokm", "shm")},
+       |${snmMultiCtesOver("documents", "shm")}
+       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+       |FROM interm i
+       |JOIN sizesm sa ON sa.doc_id = i.doc_a
+       |JOIN sizesm sb ON sb.doc_id = i.doc_b
        |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
        |        >= $JaccThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -4790,7 +4893,14 @@ object PipelineOps {
     */
   private val X72PerturbOffset = 30000000L
 
-  def x72bSnmRecall(s: SparkSession, d: String): DataFrame = {
+  def x72bSnmRecall(s: SparkSession, d: String): DataFrame =
+    snmRecallOver(s, d, Seq(SnmPrefixKey))
+
+  /** x72b's audit body, parameterized by the SNM sort-key passes — x72b
+    * audits the single prefix-key pipeline, x72d the x72c multi-pass.
+    */
+  private def snmRecallOver(s: SparkSession, d: String,
+      keys: Seq[String]): DataFrame = {
     // Declared key domain: base doc_ids < X72PerturbOffset (3·10⁷), the
     // same class of bound as x68's partkey < 2³¹ — twin ids must not
     // collide with real ones. The truth input is CONSTRUCTED as
@@ -4810,7 +4920,7 @@ object PipelineOps {
       .withColumn("slice",
         when(col("doc_a") >= X72PerturbOffset ||
           col("doc_b") >= X72PerturbOffset, "perturbed").otherwise("base"))
-    val found = snmPairs(s, corpus)
+    val found = snmPairs(s, corpus, keys)
       .filter(audited(col("doc_a")) && audited(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
@@ -4821,22 +4931,48 @@ object PipelineOps {
       .orderBy(col("slice"), col("bucket"))
   }
 
+  /** x72d: x72b's recall audit replayed over the x72c multi-pass SNM —
+    * the MEASURED recovery of the sort-key blind spot. The same exact
+    * block truth, the same perturbed-twin augmentation, the same slices:
+    * a pipeline owner reads x72b and x72d side by side to see what the
+    * second pass buys (the perturbed slice's prepended token leaves the
+    * suffix key byte-identical to its source's whenever the normalized
+    * text is ≥ 24 chars, so the pass-2 window ranks twin and source
+    * adjacently and recall recovers; residual misses are twin-vs-OTHER
+    * pairs whose suffixes genuinely differ — a real measurement, not a
+    * fixture artifact in either direction).
+    */
+  def x72dMultikeyRecall(s: SparkSession, d: String): DataFrame =
+    snmRecallOver(s, d, Seq(SnmPrefixKey, SnmSuffixKey))
+
   // lazy: X63Block is declared later in the file and would interpolate as
   // 0 under strict val-initialization order
   lazy val x72bSql: String =
+    snmRecallSqlOver(snmCtesOver("corpus", "sh"), "inter2", "sizes2")
+
+  lazy val x72dSql: String =
+    snmRecallSqlOver(snmMultiCtesOver("corpus", "sh"), "interm", "sizesm")
+
+  /** The recall-audit oracle body shared by x72b (single-key chain) and
+    * x72d (multi-key chain): augmented corpus, shingles, the given SNM
+    * candidate+verify chain, then recall per (slice, decile) against the
+    * same exact block truth.
+    */
+  private def snmRecallSqlOver(snmChain: String, inter: String,
+      sizes: String): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $X72PerturbOffset, 'zqx ' || text FROM documents
        |  WHERE doc_id < $X63Block AND doc_id % 10 = 7),
        |${shingleCtesOver("corpus", "toks", "sh")},
-       |${snmCtesOver("corpus", "sh")},
+       |$snmChain,
        |found AS (
        |  SELECT LEAST(i.doc_a, i.doc_b) AS doc_a,
        |         GREATEST(i.doc_a, i.doc_b) AS doc_b
-       |  FROM inter2 i
-       |  JOIN sizes2 sa ON sa.doc_id = i.doc_a
-       |  JOIN sizes2 sb ON sb.doc_id = i.doc_b
+       |  FROM $inter i
+       |  JOIN $sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN $sizes sb ON sb.doc_id = i.doc_b
        |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
        |          >= $JaccThreshold
        |    AND (i.doc_a < $X63Block OR i.doc_a >= $X72PerturbOffset)
@@ -5179,6 +5315,8 @@ object PipelineOps {
     "x63_dedup_recall"   -> (x63DedupRecall _),
     "x72_sorted_neighborhood" -> (x72SortedNeighborhood _),
     "x72b_snm_recall"    -> (x72bSnmRecall _),
+    "x72c_snm_multikey"  -> (x72cSnmMultikey _),
+    "x72d_multikey_recall" -> (x72dMultikeyRecall _),
     "x74_tfidf_topk"     -> (x74TfidfTopk _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
@@ -5266,6 +5404,8 @@ object PipelineOps {
     "x63_dedup_recall"   -> x63Sql,
     "x72_sorted_neighborhood" -> x72Sql,
     "x72b_snm_recall"    -> x72bSql,
+    "x72c_snm_multikey"  -> x72cSql,
+    "x72d_multikey_recall" -> x72dSql,
     "x74_tfidf_topk"     -> x74Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,

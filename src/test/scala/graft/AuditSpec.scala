@@ -82,7 +82,8 @@ class AuditSpec extends SparkSpec {
         "x70_bpe_merges", // per-iteration argmax merge rule: 1-row TakeOrdered (LIMIT 1) broadcast, 3 of them
         "x71_bpe_apply", // same 1-row merge-rule broadcasts as x70 (shared training loop)
         "x68c_also_bought_recall", // two single-row count aggregates cross-joined per scope row (x64's shape)
-        "x73_kcore_peel", // per-round single-row (n_nodes × n_edges) aggregate cross joins (x64's shape)
+        // x73_kcore_peel left this set in r13: per-round stats now read ONE
+        // aggregate over the next round's degree table (no crossJoin)
         "x74_tfidf_topk") // single-row doc-count broadcast into the scoring join (x19's stats shape)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
