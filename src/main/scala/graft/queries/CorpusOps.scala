@@ -325,7 +325,13 @@ object CorpusOps {
     * Scale design (100 TB): the counts and threshold tables are
     * strata-domain-sized (broadcast); the prefilter is a map-side
     * predicate on the scan; the window input is O(strata · 8k) rows
-    * total. The fallback branch re-scans only shortfall strata.
+    * total. The honest cost ledger: the plan scans the 3-column docs
+    * projection up to four times (threshold agg, shortfall count,
+    * ranking input, fallback) vs x75's one — the trade the bounded
+    * window buys; the fallback scan KEEPS only shortfall strata (its
+    * output is empty in every expected run) but is only PRUNED to them
+    * when the corpus layout partitions by the stratum column, which is
+    * how a production corpus at this scale would be laid out.
     */
   /** x76's scan + threshold + prefilter stage (docs, thr, surv) — shared
     * with the hot-stratum ScaleProbe, which counts `surv` per stratum to

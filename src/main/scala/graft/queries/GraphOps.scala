@@ -361,7 +361,13 @@ object GraphOps {
     graft.ScopedCache.releaseAfterNextAction(s, cached.toSeq)
     val rounds = degs.zipWithIndex.map { case (deg, i) =>
       deg.agg(count(lit(1)).as("n_nodes"),
-          (sum(col("deg")) / 2).cast("long").as("n_edges"))
+          // integer div, not `/` (double round-trip): sum(deg) is even by
+          // construction (each a<b edge feeds exactly two endpoint rows).
+          // coalesce is load-bearing: a fully-peeled round has an EMPTY
+          // degree table, where sum is NULL but the trajectory row must
+          // read 0 (sf0.1's 3-core empties at round 4 — the sf0.001/0.01
+          // fixtures never exercise this)
+          expr("coalesce(sum(deg) div 2, 0L)").as("n_edges"))
         .select(lit((i + 1).toLong).as("round"), col("n_nodes"),
           col("n_edges"))
     }
