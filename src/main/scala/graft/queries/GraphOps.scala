@@ -319,7 +319,16 @@ object GraphOps {
   private val KcoreK = 3
   private val KcoreRounds = 4
 
-  def x73KcorePeel(s: SparkSession, d: String): DataFrame = {
+  def x73KcorePeel(s: SparkSession, d: String): DataFrame =
+    kcorePeelOver(s, coPurchaseEdges(s, d).select(col("a"), col("b")))
+
+  /** The peel loop over an arbitrary a<b edge list — split from the
+    * declared key so the empty-core edge (a graph that fully peels
+    * mid-trajectory) has a FAST spec fixture: only sf0.1 exercises it
+    * through the real corpus, and that gate runs once a round.
+    */
+  private[graft] def kcorePeelOver(s: SparkSession,
+      edges0: DataFrame): DataFrame = {
     // each round's edge set feeds its degree count AND the two filter
     // joins; without a persist every branch re-derives the whole peel
     // chain from the leaf and the output branches explode into ~90 tiny
@@ -337,7 +346,7 @@ object GraphOps {
       e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var edges = coPurchaseEdges(s, d).select(col("a"), col("b"))
+    var edges = edges0
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // deg = degree table of the CURRENT edge set; each persisted round-r
     // deg feeds two consumers (round r's stats + round r+1's keep filter)

@@ -110,6 +110,20 @@ class Round13Spec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("x73: a fully-peeled round reports (0, 0), not NULL") {
+    // the sf0.1-only edge the multi-SF gate caught: a path graph has no
+    // 3-core, so round 1 already peels to empty — every trajectory row
+    // must read 0 nodes / 0 edges (Spark's sum over the empty degree
+    // table is NULL; the oracle's COUNT is 0; the coalesce is the bridge)
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rows = graft.queries.GraphOps.kcorePeelOver(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4, rows.mkString(", "))
+    assert(rows.forall { case (_, n, e) => n == 0L && e == 0L },
+      s"empty core must report zeros: ${rows.mkString(", ")}")
+  }
+
   test("bench median excludes failure sentinels (r12 ADVICE escape case)") {
     import BenchGate._
     // 2 sentinels of 5: the raw-sorted median sat at the fastest valid
