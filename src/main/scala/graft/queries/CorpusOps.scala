@@ -386,6 +386,63 @@ object CorpusOps {
     */
   val x76Sql: String = x75Sql
 
+  // ===== x77: weighted priority sample (sequential Poisson) ===============
+
+  /** WEIGHTED exact-count sampling — the third leg of the sampling
+    * family: x24 selects at a RATE per source, x75/x76 select an exact
+    * COUNT uniformly, x77 selects an exact count with probability ∝ a
+    * per-document weight (here token count — "prefer substantive
+    * documents, k per language, reproducibly"). The method is Ohlsson's
+    * sequential Poisson sampling: priority = u/w for uniform u, take the
+    * k smallest — the standard fixed-size approximation to
+    * probability-proportional-to-size sampling.
+    *
+    * Determinism discipline (§5.2): u is the scrambled doc hash and the
+    * priority is the INTEGER rational (h·10⁹) div w — no pow(), no
+    * doubles (the textbook u^(1/w) form needs a transcendental whose
+    * last-ulp behavior differs across libm implementations, which would
+    * flip near-tied selections between engines). 10⁹ preserves full
+    * resolution (h < 1000003 ⇒ h·10⁹ < 2⁶⁰; distinct h/w ratios with
+    * w ≤ 10⁶ stay distinct after scaling); ties break on doc_id.
+    *
+    * Scale design (100 TB): identical shape to x75 — per-stratum
+    * row_number window over (priority, doc_id); the x76 prefilter
+    * refinement applies verbatim at the hot-stratum limit (threshold on
+    * the priority instead of the raw hash; the priority is NOT uniform,
+    * so the analytic threshold becomes a per-stratum weighted quantile —
+    * the documented production path, not built twice).
+    */
+  def x77WeightedSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        expr("graft_polyhash(cast(doc_id as string))").as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("pri", expr("(h * 1000000000L) div n_tok"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= StratN)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"),
+        col("n_tok"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val x77Sql: String =
+    s"""WITH p AS (
+       |  SELECT lang, doc_id,
+       |         len(string_split(text, ' ')) AS n_tok,
+       |         (CAST(${polyhashSqlOf("doc_id")} AS BIGINT) * 1000000000)
+       |           // len(string_split(text, ' ')) AS pri
+       |  FROM documents)
+       |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id,
+       |       CAST(n_tok AS BIGINT) AS n_tok FROM (
+       |  SELECT lang, doc_id, n_tok,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY pri, doc_id) AS rn
+       |  FROM p)
+       |WHERE rn <= $StratN ORDER BY lang, rn""".stripMargin
+
   // ===== x25: PII scan + redaction ========================================
 
   // Regex subset valid and identical in Java regex (Spark) and RE2 (DuckDB):
@@ -852,6 +909,7 @@ object CorpusOps {
     "x24_mixture_sample" -> (x24MixtureSample _),
     "x75_stratified_sample" -> (x75StratifiedSample _),
     "x76_stratified_prefilter" -> (x76StratifiedPrefilter _),
+    "x77_weighted_sample" -> (x77WeightedSample _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
   )
@@ -870,6 +928,7 @@ object CorpusOps {
     "x24_mixture_sample" -> x24Sql,
     "x75_stratified_sample" -> x75Sql,
     "x76_stratified_prefilter" -> x76Sql,
+    "x77_weighted_sample" -> x77Sql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql
   )

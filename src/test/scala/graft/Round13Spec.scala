@@ -110,6 +110,21 @@ class Round13Spec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("x77: selection is genuinely size-biased vs the uniform x75") {
+    val d = TestSpark.sf0001
+    val sel = SparkEntry.queries("x77_weighted_sample")(spark, d).collect()
+    assert(sel.nonEmpty)
+    val selMean = sel.map(_.getLong(3)).sum.toDouble / sel.length
+    val corpusMean = Tables.documents(spark, d)
+      .select(avg(size(split(col("text"), " ")))).first().getDouble(0)
+    // P(select) ∝ token count ⇒ the selection's mean token count must sit
+    // ABOVE the corpus mean (the size-biased mean E[w²]/E[w] > E[w] for
+    // any non-degenerate weight distribution); measured ~64 vs ~54 at
+    // sf0.01 — a weighting bug that silently degrades to uniform fails here
+    assert(selMean > corpusMean * 1.05,
+      s"selection mean $selMean not size-biased over corpus mean $corpusMean")
+  }
+
   test("x73: a fully-peeled round reports (0, 0), not NULL") {
     // the sf0.1-only edge the multi-SF gate caught: a path graph has no
     // 3-core, so round 1 already peels to empty — every trajectory row
