@@ -401,9 +401,11 @@ object CorpusOps {
     * priority is the INTEGER rational (h·10⁹) div w — no pow(), no
     * doubles (the textbook u^(1/w) form needs a transcendental whose
     * last-ulp behavior differs across libm implementations, which would
-    * flip near-tied selections between engines). 10⁹ preserves full
-    * resolution (h < 1000003 ⇒ h·10⁹ < 2⁶⁰; distinct h/w ratios with
-    * w ≤ 10⁶ stay distinct after scaling); ties break on doc_id.
+    * flip near-tied selections between engines). Quantization at 10⁻⁹
+    * granularity is order-PRESERVING (floor is monotone: a smaller exact
+    * ratio can tie with, never overtake, a larger one — ties then break
+    * on doc_id, deterministically in both engines), and h·10⁹ < 2⁶⁰
+    * stays in range.
     *
     * Scale design (100 TB): identical shape to x75 — per-stratum
     * row_number window over (priority, doc_id); the x76 prefilter
