@@ -338,40 +338,54 @@ object CorpusOps {
     * EVIDENCE the bounded-window-input claim instead of re-deriving the
     * threshold arithmetic (and silently drifting from it).
     */
+  /** Internal stratum JOIN key: equi-joins are null-unsafe, so a
+    * NULL-lang stratum would silently vanish from both the prefilter and
+    * the fallback (x75's window, like the oracle's PARTITION BY, groups
+    * NULLs into one stratum and samples it) — joining on a coalesced
+    * surrogate keeps the bit-identical contract on NULL-bearing corpora.
+    * The output still carries the ORIGINAL lang. The sentinel is the
+    * non-printable chr(1), which no real language tag contains (the
+    * surrogate never leaves the plan — the oracle is x75's query,
+    * whose PARTITION BY handles NULL natively).
+    */
+  private val LangKey = "coalesce(lang, chr(1))"
+
   private[graft] def x76Prefilter(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     StringPolyHash.register(s)
     val mod = graft.functions.StringPolyHash.DefaultMod
     val docs = Tables.documents(s, d)
-      .select(col("lang"), col("doc_id"),
+      .select(col("lang"), expr(LangKey).as("lk"), col("doc_id"),
         expr("graft_polyhash(cast(doc_id as string))").as("h"))
-    val thr = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val thr = docs.groupBy(col("lk")).agg(count(lit(1)).as("n"))
       .withColumn("t",
         least(lit(mod), expr(s"(8L * $StratN * ${mod}L) div n")))
-    val surv = docs.join(broadcast(thr.select(col("lang"), col("t"))),
-        Seq("lang"))
+    val surv = docs.join(broadcast(thr.select(col("lk"), col("t"))),
+        Seq("lk"))
       .filter(col("h") < col("t"))
-    (docs, thr, surv)
-  }
-
-  def x76StratifiedPrefilter(s: SparkSession, d: String): DataFrame = {
-    val (docs, thr, surv) = x76Prefilter(s, d)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     // shortfall strata: survivors < min(k, n) — the prefilter no longer
     // provably contains the top-k; includes zero-survivor strata (left
     // join + coalesce), and is EMPTY under uniform hashing
     val short = thr.join(
-        surv.groupBy(col("lang")).agg(count(lit(1)).as("ns")),
-        Seq("lang"), "left")
+        surv.groupBy(col("lk")).agg(count(lit(1)).as("ns")),
+        Seq("lk"), "left")
       .filter(coalesce(col("ns"), lit(0L)) <
         least(lit(StratN.toLong), col("n")))
-      .select(col("lang"))
+      .select(col("lk"))
+    (docs, thr, surv, short)
+  }
+
+  def x76StratifiedPrefilter(s: SparkSession, d: String): DataFrame = {
+    val (docs, _, surv, short) = x76Prefilter(s, d)
+    // windows partition on the null-safe surrogate key (identical grouping
+    // to x75's PARTITION BY lang, which puts NULLs in one stratum)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lk")).orderBy(col("h"), col("doc_id"))
     val ranked = surv.drop("t")
-      .join(broadcast(short), Seq("lang"), "left_anti")
+      .join(broadcast(short), Seq("lk"), "left_anti")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= StratN)
-    val fallback = docs.join(broadcast(short), Seq("lang"), "left_semi")
+    val fallback = docs.join(broadcast(short), Seq("lk"), "left_semi")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= StratN)
     ranked.unionByName(fallback)
@@ -421,7 +435,12 @@ object CorpusOps {
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         expr("graft_polyhash(cast(doc_id as string))").as("h"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        // coalesce BEFORE split: Spark's size(split(NULL)) is -1 (a
+        // negative priority that would win every stratum) while DuckDB's
+        // len is NULL (sorts last) — coalescing to '' gives weight 1 in
+        // BOTH engines (split('') = [''])
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n_tok"))
       .withColumn("pri", expr("(h * 1000000000L) div n_tok"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= StratN)
@@ -433,9 +452,9 @@ object CorpusOps {
   val x77Sql: String =
     s"""WITH p AS (
        |  SELECT lang, doc_id,
-       |         len(string_split(text, ' ')) AS n_tok,
+       |         len(string_split(coalesce(text, ''), ' ')) AS n_tok,
        |         (CAST(${polyhashSqlOf("doc_id")} AS BIGINT) * 1000000000)
-       |           // len(string_split(text, ' ')) AS pri
+       |           // len(string_split(coalesce(text, ''), ' ')) AS pri
        |  FROM documents)
        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id,
        |       CAST(n_tok AS BIGINT) AS n_tok FROM (

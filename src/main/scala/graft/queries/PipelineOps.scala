@@ -4748,33 +4748,21 @@ object PipelineOps {
     * corpus CTE and shingle table — shared by x72 (`documents`/`sh`) and
     * x72b's perturbed-corpus recall audit.
     */
-  private def snmCtesOver(src: String, sh: String): String =
-    s"""keyed AS (
+  /** The normalized-text CTE both oracle chains key on — ONE definition
+    * of the normalization, mirrored by the Scala [[SnmNormExpr]].
+    */
+  private def snmNormCte(src: String): String =
+    s"""normed AS (
        |  SELECT doc_id,
-       |         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
-       |                   1, 24) AS skey
-       |  FROM $src),
-       |ranked AS (
-       |  SELECT doc_id, skey, substring(skey, 1, 2) AS blk,
-       |         ROW_NUMBER() OVER (PARTITION BY substring(skey, 1, 2)
-       |                            ORDER BY skey, doc_id) AS rn
-       |  FROM keyed),
-       |cand2 AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM ranked a JOIN ranked b
-       |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + ${SnmWindow - 1}),
-       |inter2 AS (
-       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-       |  FROM cand2 c
-       |  JOIN $sh ha ON ha.doc_id = c.doc_a
-       |  JOIN $sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-       |  GROUP BY 1, 2),
-       |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM $sh GROUP BY doc_id)""".stripMargin
+       |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+       |  FROM $src)""".stripMargin
 
-  private def snmCtesSql: String = snmCtesOver("documents", "sh")
-
-  /** One SNM pass of the multikey oracle chain over the `normed` CTE:
-    * per-block rank under `keyExpr`, canonical candidate pairs.
+  /** One SNM pass over the `normed` CTE: per-block rank under `keyExpr`,
+    * canonical (doc_a < doc_b) candidate pairs. The single definition of
+    * the pass shape (block prefix, window bound, tie-break) on the oracle
+    * side — x72/x72b's chain is this with the prefix key, x72c/x72d's is
+    * two of these unioned; editing the geometry edits ONE site per
+    * dialect (the Scala side is [[snmCandidates]]).
     */
   private def snmPassCte(keyExpr: String, tag: String): String =
     s"""ranked$tag AS (
@@ -4789,6 +4777,27 @@ object PipelineOps {
        |    ON a.blk = b.blk AND b.rn > a.rn
        |   AND b.rn <= a.rn + ${SnmWindow - 1})""".stripMargin
 
+  /** The shingle-verify CTE pair over a candidate set — shared by the
+    * single-key (inter2/sizes2) and multi-key (interm/sizesm) chains.
+    */
+  private def snmVerifyCtes(cand: String, sh: String, inter: String,
+      sizes: String): String =
+    s"""$inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM $cand c
+       |  JOIN $sh ha ON ha.doc_id = c.doc_a
+       |  JOIN $sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY 1, 2),
+       |$sizes AS (SELECT doc_id, COUNT(*) AS n FROM $sh GROUP BY doc_id)""".stripMargin
+
+  /** Single-pass (prefix-key) SNM candidate + verify chain — x72/x72b. */
+  private def snmCtesOver(src: String, sh: String): String =
+    s"""${snmNormCte(src)},
+       |${snmPassCte("substring(norm, 1, 24)", "2")},
+       |${snmVerifyCtes("cand2", sh, "inter2", "sizes2")}""".stripMargin
+
+  private def snmCtesSql: String = snmCtesOver("documents", "sh")
+
   /** The two-key multi-pass SNM candidate + verify chain (x72c's
     * WITH-body) over a given corpus CTE and shingle table — the DuckDB
     * replay of [[snmPairs]] with both sort keys; shared by x72c and
@@ -4796,23 +4805,14 @@ object PipelineOps {
     * dedups on the pair id exactly as the Spark plan does.
     */
   private def snmMultiCtesOver(src: String, sh: String): String =
-    s"""normed AS (
-       |  SELECT doc_id,
-       |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
-       |  FROM $src),
+    s"""${snmNormCte(src)},
        |${snmPassCte("substring(norm, 1, 24)", "p")},
        |${snmPassCte("substring(reverse(norm), 1, 24)", "s")},
        |candm AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT doc_a, doc_b FROM candp
        |    UNION ALL SELECT doc_a, doc_b FROM cands)),
-       |interm AS (
-       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-       |  FROM candm c
-       |  JOIN $sh ha ON ha.doc_id = c.doc_a
-       |  JOIN $sh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-       |  GROUP BY 1, 2),
-       |sizesm AS (SELECT doc_id, COUNT(*) AS n FROM $sh GROUP BY doc_id)""".stripMargin
+       |${snmVerifyCtes("candm", sh, "interm", "sizesm")}""".stripMargin
 
   val x72Sql: String =
     s"""WITH $minhashCtesSql,

@@ -119,10 +119,43 @@ class Round13Spec extends SparkSpec {
       .select(avg(size(split(col("text"), " ")))).first().getDouble(0)
     // P(select) ∝ token count ⇒ the selection's mean token count must sit
     // ABOVE the corpus mean (the size-biased mean E[w²]/E[w] > E[w] for
-    // any non-degenerate weight distribution); measured ~64 vs ~54 at
-    // sf0.01 — a weighting bug that silently degrades to uniform fails here
+    // any non-degenerate weight distribution) — a weighting bug that
+    // silently degrades to uniform fails here (for the record: ~64 vs
+    // ~54 at sf0.01; this test runs the sf0.001 fixture, where the same
+    // margin holds)
     assert(selMean > corpusMean * 1.05,
       s"selection mean $selMean not size-biased over corpus mean $corpusMean")
+  }
+
+  test("x76/x77 survive NULL-lang and NULL-text rows (r13 review findings)") {
+    // the two null divergences the review found: equi-joins dropping the
+    // NULL-lang stratum from BOTH x76 branches (x75's window keeps it),
+    // and Spark's size(split(NULL)) = -1 making NULL-text docs win every
+    // x77 stratum. Executed here on a synthetic null-bearing corpus.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
+    val rows = (1L to 60L).map { i =>
+      val lang = if (i % 3 == 0) null else if (i % 3 == 1) "en" else "fr"
+      val text = if (i == 7L) null
+        else s"tok${i} " + Seq.fill((i % 5).toInt + 1)("w").mkString(" ")
+      (i, text, lang, "src", Option(text).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val x75 = SparkEntry.queries("x75_stratified_sample")(spark, dir)
+      .collect().map(_.toString).sorted
+    val x76 = SparkEntry.queries("x76_stratified_prefilter")(spark, dir)
+      .collect().map(_.toString).sorted
+    // the NULL-lang stratum must appear in x76 exactly as in x75
+    assert(x75.exists(_.contains("null")), "fixture lost its NULL stratum")
+    assert(x76.sameElements(x75),
+      s"x76 diverged on a null-bearing corpus:\n${x75.length} vs ${x76.length}")
+    val x77 = SparkEntry.queries("x77_weighted_sample")(spark, dir).collect()
+    // the NULL-text doc gets weight 1 (coalesce→'' splits to ['']), so its
+    // n_tok is 1 — never negative, never NULL
+    val nullDoc = x77.filter(_.getLong(2) == 7L)
+    assert(nullDoc.forall(_.getLong(3) == 1L),
+      s"NULL-text weight wrong: ${nullDoc.mkString(", ")}")
+    assert(x77.forall(_.getLong(3) >= 1L), "negative/zero weight leaked")
   }
 
   test("x73: a fully-peeled round reports (0, 0), not NULL") {
