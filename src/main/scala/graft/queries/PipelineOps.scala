@@ -4874,24 +4874,30 @@ object PipelineOps {
     * (banding's s-curve under-recalls near the threshold; SNM's blind spot
     * is edits in the sort-key prefix, flat across J).
     *
-    * The audit corpus is AUGMENTED with a deterministic prefix-perturbed
-    * twin class (x25/x27's in-plan twin discipline, replayed literally by
+    * The audit corpus is AUGMENTED with TWO deterministic perturbed twin
+    * classes (x25/x27's in-plan twin discipline, replayed literally by
     * the oracle): every block doc with doc_id % 10 == 7 gets a copy at
-    * doc_id + 3·10⁷ with one token ('zqx') PREPENDED. The twin is a true
-    * near-dup of its source (all original shingles survive; J = n/(n+1))
-    * but its normalized sort key now starts 'zqx…', relocating it to a
-    * different block — exactly the SNM blind spot, which the fixture's
-    * natural near-dups never exercised because they share sort-key
-    * prefixes (r12: every decile read 100%, a vacuous audit). Output rows
-    * carry a `slice` column — 'base' (both ids in the original block:
-    * x63-comparable) vs 'perturbed' (a twin involved: the blind-spot
-    * measurement, expected well under 10⁶ ppm). The twins flow through the
-    * FULL corpus ranking (not just the block): SNM's window can cross
-    * block-external docs, so ranking against the whole corpus and
-    * restricting the OUTPUT to audited ids is what measures the real
-    * system.
+    * doc_id + 3·10⁷ with one token ('zqx') PREPENDED (relocates the
+    * PREFIX sort key, leaves the suffix key), and every doc with
+    * doc_id % 10 == 3 a copy at doc_id + 6·10⁷ with ' zqx' APPENDED (the
+    * mirror: moves the suffix key, leaves the prefix). Each twin is a
+    * true near-dup of its source (all original shingles survive;
+    * J = n/(n+1)); the fixture's natural near-dups exercise neither blind
+    * spot because they share sort-key prefixes (r12: every decile read
+    * 100%, a vacuous audit). Output rows carry a `slice` column — 'base',
+    * 'prefix_perturbed' (expected ~0 for single-key SNM: its one sort key
+    * is the prefix), 'suffix_perturbed' (expected ~10⁶ for single-key
+    * SNM: a suffix edit does not move the prefix key — the two classes
+    * together show the blind spot is DIRECTIONAL, and x72d shows the
+    * multi-pass covers both), and 'mixed' (one twin of each class —
+    * invisible to both passes by construction, the compound-edit floor).
+    * The twins flow through the FULL corpus ranking (not just the
+    * block): SNM's window can cross block-external docs, so ranking
+    * against the whole corpus and restricting the OUTPUT to audited ids
+    * is what measures the real system.
     */
-  private val X72PerturbOffset = 30000000L
+  private val X72PerturbOffset = 30000000L // prefix-edit twins ('zqx ' prepended)
+  private val X72SuffixOffset  = 60000000L // suffix-edit twins (' zqx' appended)
 
   def x72bSnmRecall(s: SparkSession, d: String): DataFrame =
     snmRecallOver(s, d, Seq(SnmPrefixKey))
@@ -4899,6 +4905,23 @@ object PipelineOps {
   /** x72b's audit body, parameterized by the SNM sort-key passes — x72b
     * audits the single prefix-key pipeline, x72d the x72c multi-pass.
     */
+  /** The four-way slice label over a truth pair's two ids — 'base' (both
+    * original), 'prefix_perturbed' / 'suffix_perturbed' (a twin of that
+    * class involved), 'mixed' (one of each — invisible to BOTH passes by
+    * construction, so its recall documents the compound-edit floor).
+    * ONE definition interpolated into both engines.
+    */
+  private def snmSliceCase(a: String, b: String): String = {
+    def pre(c: String) =
+      s"($c >= $X72PerturbOffset AND $c < $X72SuffixOffset)"
+    def suf(c: String) = s"($c >= $X72SuffixOffset)"
+    s"""CASE WHEN ${pre(a)} OR ${pre(b)}
+       |       THEN CASE WHEN ${suf(a)} OR ${suf(b)}
+       |                 THEN 'mixed' ELSE 'prefix_perturbed' END
+       |     WHEN ${suf(a)} OR ${suf(b)} THEN 'suffix_perturbed'
+       |     ELSE 'base' END""".stripMargin
+  }
+
   private def snmRecallOver(s: SparkSession, d: String,
       keys: Seq[String]): DataFrame = {
     // Declared key domain: base doc_ids < X72PerturbOffset (3·10⁷), the
@@ -4907,19 +4930,28 @@ object PipelineOps {
     // block ∪ twins (never an id-range filter over the big corpus), so the
     // quadratic all-pairs side stays an absolute-constant-size slice even
     // on an out-of-domain corpus; the found-side id filter is linear.
+    //
+    // TWO deterministic twin classes exercise the two sort keys'
+    // complementary blind spots: doc_id % 10 == 7 docs gain a
+    // PREFIX-edited twin ('zqx ' prepended — relocates the prefix key,
+    // leaves the suffix key), doc_id % 10 == 3 docs a SUFFIX-edited twin
+    // (' zqx' appended — the mirror case). Single-key SNM (x72b) should
+    // recall the suffix slice fully (its prefix key is untouched) and the
+    // prefix slice at ~0; the multi-pass (x72d) should recall both.
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val twins = base
-      .filter(col("doc_id") < X63Block && col("doc_id") % 10 === 7)
+    val blockDocs = base.filter(col("doc_id") < X63Block)
+    val preTwins = blockDocs.filter(col("doc_id") % 10 === 7)
       .select((col("doc_id") + X72PerturbOffset).as("doc_id"),
         concat(lit("zqx "), col("text")).as("text"))
+    val sufTwins = blockDocs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + X72SuffixOffset).as("doc_id"),
+        concat(col("text"), lit(" zqx")).as("text"))
+    val twins = preTwins.unionByName(sufTwins)
     val corpus = base.unionByName(twins)
     def audited(c: org.apache.spark.sql.Column) =
       c < X63Block || c >= X72PerturbOffset
-    val truth = blockTruthOver(s,
-        base.filter(col("doc_id") < X63Block).unionByName(twins))
-      .withColumn("slice",
-        when(col("doc_a") >= X72PerturbOffset ||
-          col("doc_b") >= X72PerturbOffset, "perturbed").otherwise("base"))
+    val truth = blockTruthOver(s, blockDocs.unionByName(twins))
+      .withColumn("slice", expr(snmSliceCase("doc_a", "doc_b")))
     val found = snmPairs(s, corpus, keys)
       .filter(audited(col("doc_a")) && audited(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
@@ -4964,7 +4996,10 @@ object PipelineOps {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $X72PerturbOffset, 'zqx ' || text FROM documents
-       |  WHERE doc_id < $X63Block AND doc_id % 10 = 7),
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + $X72SuffixOffset, text || ' zqx' FROM documents
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 3),
        |${shingleCtesOver("corpus", "toks", "sh")},
        |$snmChain,
        |found AS (
@@ -4991,9 +5026,7 @@ object PipelineOps {
        |  JOIN bsizes sa ON sa.doc_id = tinter.doc_a
        |  JOIN bsizes sb ON sb.doc_id = tinter.doc_b
        |  WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 2)
-       |SELECT CASE WHEN t.doc_a >= $X72PerturbOffset
-       |              OR t.doc_b >= $X72PerturbOffset
-       |            THEN 'perturbed' ELSE 'base' END AS slice,
+       |SELECT ${snmSliceCase("t.doc_a", "t.doc_b")} AS slice,
        |       LEAST((n_common * 10) // un, 9) AS bucket,
        |       COUNT(*) AS n_truth,
        |       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)

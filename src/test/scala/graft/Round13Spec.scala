@@ -51,44 +51,64 @@ class Round13Spec extends SparkSpec {
         .contains("sort_array")
     }
 
-  test("x72b: perturbed-prefix slice shows REAL recall loss; base intact") {
+  test("x72b: the sort-key blind spot is DIRECTIONAL — prefix slice lost, suffix slice kept") {
     val rows = SparkEntry.queries("x72b_snm_recall")(spark, TestSpark.sf0001)
       .collect()
-    val base = rows.filter(_.getString(0) == "base")
-    val pert = rows.filter(_.getString(0) == "perturbed")
-    assert(base.nonEmpty && pert.nonEmpty, "audit lost a slice")
+    def slice(n: String) = rows.filter(_.getString(0) == n)
+    val base = slice("base")
+    val pre = slice("prefix_perturbed")
+    val suf = slice("suffix_perturbed")
+    assert(base.nonEmpty && pre.nonEmpty && suf.nonEmpty, "audit lost a slice")
     // base slice: the x63-comparable measurement — fully recalled at
     // sf0.001 (natural near-dups share sort-key prefixes)
     assert(base.forall(_.getLong(4) >= 900000L),
       base.map(_.toString).mkString(", "))
-    // perturbed slice: one prepended token relocates the twin's block —
-    // the SNM blind spot must now be a measured number, not 100%
-    val pTruth = pert.map(_.getLong(2)).sum
-    val pFound = pert.map(_.getLong(3)).sum
-    assert(pTruth >= 50L, s"perturbed truth too thin to audit: $pTruth")
+    // prefix slice: one prepended token relocates the twin's block —
+    // the SNM blind spot must be a measured number, not 100%
+    val pTruth = pre.map(_.getLong(2)).sum
+    val pFound = pre.map(_.getLong(3)).sum
+    assert(pTruth >= 50L, s"prefix truth too thin to audit: $pTruth")
     assert(pFound * 1000000L / pTruth <= 500000L,
-      s"perturbed slice recalled $pFound/$pTruth — the audit is vacuous again")
+      s"prefix slice recalled $pFound/$pTruth — the audit is vacuous again")
+    // suffix slice: an APPENDED token does not move the prefix sort key,
+    // so single-key SNM must keep recalling it — proving the blind spot
+    // is directional, not a general SNM failure
+    val sTruth = suf.map(_.getLong(2)).sum
+    val sFound = suf.map(_.getLong(3)).sum
+    assert(sTruth >= 30L, s"suffix truth too thin to audit: $sTruth")
+    assert(sFound * 1000000L / sTruth >= 800000L,
+      s"suffix slice recalled only $sFound/$sTruth under the UNTOUCHED key")
   }
 
   test("x72d: the multi-key pass RECOVERS the blind spot x72b measures") {
     val d = TestSpark.sf0001
-    def slices(key: String): (Long, Long, Seq[Long]) = {
+    def slices(key: String): (Map[String, (Long, Long)], Seq[Long]) = {
       val rows = SparkEntry.queries(key)(spark, d).collect()
-      val pert = rows.filter(_.getString(0) == "perturbed")
-      (pert.map(_.getLong(2)).sum, pert.map(_.getLong(3)).sum,
-        rows.filter(_.getString(0) == "base").map(_.getLong(4)).toSeq)
+      val bySlice = rows.groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum)
+      }
+      (bySlice, rows.filter(_.getString(0) == "base").map(_.getLong(4)).toSeq)
     }
-    val (bTruth, bFound, bBase) = slices("x72b_snm_recall")
-    val (dTruth, dFound, dBase) = slices("x72d_multikey_recall")
+    val (b, bBase) = slices("x72b_snm_recall")
+    val (m, mBase) = slices("x72d_multikey_recall")
     // the audits share one truth — sanity that the comparison is apples
-    assert(bTruth == dTruth && bTruth >= 50L, s"truth drifted: $bTruth/$dTruth")
-    // recovery floor: measured 50/54 at sf0.001 (the 4 misses are genuine
-    // twin-vs-OTHER pairs whose suffix keys differ); single-key found 0
-    assert(dFound * 1000000L / dTruth >= 800000L,
-      s"multi-key perturbed recall $dFound/$dTruth — second pass not recovering")
-    assert(dFound > bFound, s"no recovery over single-key ($dFound vs $bFound)")
+    assert(b("prefix_perturbed")._1 == m("prefix_perturbed")._1 &&
+      b("prefix_perturbed")._1 >= 50L, s"truth drifted: $b vs $m")
+    // recovery floor on the prefix slice: measured 50/54 at sf0.001 (the
+    // misses are twin-vs-OTHER pairs whose suffix keys differ);
+    // single-key found 0
+    val (pT, pF) = m("prefix_perturbed")
+    assert(pF * 1000000L / pT >= 800000L,
+      s"multi-key prefix recall $pF/$pT — second pass not recovering")
+    assert(pF > b("prefix_perturbed")._2,
+      s"no recovery over single-key ($pF vs ${b("prefix_perturbed")._2})")
+    // the suffix slice must stay recalled (the union can only ADD pairs)
+    val (sT, sF) = m("suffix_perturbed")
+    assert(sF * 1000000L / sT >= 800000L, s"suffix slice regressed: $sF/$sT")
+    assert(sF >= b("suffix_perturbed")._2,
+      "union lost pairs the single-key pass found")
     // the second pass must not disturb the base slice
-    assert(dBase == bBase && dBase.forall(_ >= 900000L), s"base drifted: $dBase")
+    assert(mBase == bBase && mBase.forall(_ >= 900000L), s"base drifted: $mBase")
   }
 
   test("x76: prefilter plan is bit-identical to x75 and windows only survivors") {
