@@ -4831,9 +4831,9 @@ object PipelineOps {
 
   /** Multi-pass sorted-neighborhood — the standard Hernández–Stolfo
     * mitigation for single-key SNM's sort-key blind spot, which x72b
-    * MEASURES at 0 ppm on the perturbed slice (one prepended token
-    * relocates a doc's block and the window never sees it next to its
-    * twin): run the SAME bounded window pass under a SECOND independent
+    * MEASURES at 0 ppm on the prefix_perturbed slice (one prepended
+    * token relocates a doc's block and the window never sees it next to
+    * its twin): run the SAME bounded window pass under a SECOND independent
     * sort key — the last 24 normalized chars read backwards — union the
     * canonical candidate pairs (distinct: a pair can surface in both
     * passes, possibly under opposite rank orientations), and verify ONCE
@@ -4965,14 +4965,16 @@ object PipelineOps {
 
   /** x72d: x72b's recall audit replayed over the x72c multi-pass SNM —
     * the MEASURED recovery of the sort-key blind spot. The same exact
-    * block truth, the same perturbed-twin augmentation, the same slices:
+    * block truth, the same two-class twin augmentation, the same slices:
     * a pipeline owner reads x72b and x72d side by side to see what the
-    * second pass buys (the perturbed slice's prepended token leaves the
-    * suffix key byte-identical to its source's whenever the normalized
-    * text is ≥ 24 chars, so the pass-2 window ranks twin and source
-    * adjacently and recall recovers; residual misses are twin-vs-OTHER
-    * pairs whose suffixes genuinely differ — a real measurement, not a
-    * fixture artifact in either direction).
+    * second pass buys (the prefix_perturbed slice's prepended token
+    * leaves the suffix key byte-identical to its source's whenever the
+    * normalized text is ≥ 24 chars, so the pass-2 window ranks twin and
+    * source adjacently and recall recovers; the suffix_perturbed slice
+    * stays fully recalled because the union only ADDS candidates;
+    * residual prefix-slice misses are twin-vs-OTHER pairs whose suffixes
+    * genuinely differ — a real measurement, not a fixture artifact in
+    * either direction).
     */
   def x72dMultikeyRecall(s: SparkSession, d: String): DataFrame =
     snmRecallOver(s, d, Seq(SnmPrefixKey, SnmSuffixKey))

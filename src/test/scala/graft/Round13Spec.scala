@@ -153,29 +153,45 @@ class Round13Spec extends SparkSpec {
     // and Spark's size(split(NULL)) = -1 making NULL-text docs win every
     // x77 stratum. Executed here on a synthetic null-bearing corpus.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
-    val rows = (1L to 60L).map { i =>
-      val lang = if (i % 3 == 0) null else if (i % 3 == 1) "en" else "fr"
-      val text = if (i == 7L) null
-        else s"tok${i} " + Seq.fill((i % 5).toInt + 1)("w").mkString(" ")
-      (i, text, lang, "src", Option(text).map(_.length.toLong).getOrElse(0L))
-    }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val x75 = SparkEntry.queries("x75_stratified_sample")(spark, dir)
-      .collect().map(_.toString).sorted
-    val x76 = SparkEntry.queries("x76_stratified_prefilter")(spark, dir)
-      .collect().map(_.toString).sorted
-    // the NULL-lang stratum must appear in x76 exactly as in x75
-    assert(x75.exists(_.contains("null")), "fixture lost its NULL stratum")
-    assert(x76.sameElements(x75),
-      s"x76 diverged on a null-bearing corpus:\n${x75.length} vs ${x76.length}")
-    val x77 = SparkEntry.queries("x77_weighted_sample")(spark, dir).collect()
-    // the NULL-text doc gets weight 1 (coalesce→'' splits to ['']), so its
-    // n_tok is 1 — never negative, never NULL
-    val nullDoc = x77.filter(_.getLong(2) == 7L)
-    assert(nullDoc.forall(_.getLong(3) == 1L),
-      s"NULL-text weight wrong: ${nullDoc.mkString(", ")}")
-    assert(x77.forall(_.getLong(3) >= 1L), "negative/zero weight leaked")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_nulls")
+    val dir = dirPath.toString
+    try {
+      val rows = (1L to 60L).map { i =>
+        val lang = if (i % 3 == 0) null else if (i % 3 == 1) "en" else "fr"
+        val text = if (i == 7L) null
+          else s"tok${i} " + Seq.fill((i % 5).toInt + 1)("w").mkString(" ")
+        (i, text, lang, "src", Option(text).map(_.length.toLong).getOrElse(0L))
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val x75 = SparkEntry.queries("x75_stratified_sample")(spark, dir)
+        .collect().map(_.toString).sorted
+      val x76 = SparkEntry.queries("x76_stratified_prefilter")(spark, dir)
+        .collect().map(_.toString).sorted
+      // the NULL-lang stratum must appear in x76 exactly as in x75
+      assert(x75.exists(_.contains("null")), "fixture lost its NULL stratum")
+      assert(x76.sameElements(x75),
+        s"x76 diverged on a null-bearing corpus:\n${x75.length} vs ${x76.length}")
+      val x77 = SparkEntry.queries("x77_weighted_sample")(spark, dir).collect()
+      // the NULL-text doc gets weight 1 (coalesce→'' splits to ['']), so its
+      // n_tok is 1 — never negative, never NULL
+      val nullDoc = x77.filter(_.getLong(2) == 7L)
+      assert(nullDoc.forall(_.getLong(3) == 1L),
+        s"NULL-text weight wrong: ${nullDoc.mkString(", ")}")
+      assert(x77.forall(_.getLong(3) >= 1L), "negative/zero weight leaked")
+      // the DuckDB half of the x77 fix can't execute here (no DuckDB in
+      // the JVM; the driver's oracle gate runs on NULL-free corpora) —
+      // pin the oracle TEXT so dropping the coalesce from one side alone
+      // is caught by a test, not only by a future null-bearing corpus
+      assert(SparkEntry.oracleSql("x77_weighted_sample")
+          .contains("coalesce(text, '')"),
+        "x77 oracle lost its NULL-text coalesce")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dirPath.toFile)
+    }
   }
 
   test("x73: a fully-peeled round reports (0, 0), not NULL") {
