@@ -4874,23 +4874,26 @@ object PipelineOps {
     * (banding's s-curve under-recalls near the threshold; SNM's blind spot
     * is edits in the sort-key prefix, flat across J).
     *
-    * The audit corpus is AUGMENTED with TWO deterministic perturbed twin
-    * classes (x25/x27's in-plan twin discipline, replayed literally by
-    * the oracle): every block doc with doc_id % 10 == 7 gets a copy at
-    * doc_id + 3·10⁷ with one token ('zqx') PREPENDED (relocates the
-    * PREFIX sort key, leaves the suffix key), and every doc with
+    * The audit corpus is AUGMENTED with THREE deterministic perturbed
+    * twin classes (x25/x27's in-plan twin discipline, replayed literally
+    * by the oracle): every block doc with doc_id % 10 == 7 gets a copy
+    * at doc_id + 3·10⁷ with one token ('zqx') PREPENDED (relocates the
+    * PREFIX sort key, leaves the suffix key), every doc with
     * doc_id % 10 == 3 a copy at doc_id + 6·10⁷ with ' zqx' APPENDED (the
-    * mirror: moves the suffix key, leaves the prefix). Each twin is a
-    * true near-dup of its source (all original shingles survive;
-    * J = n/(n+1)); the fixture's natural near-dups exercise neither blind
-    * spot because they share sort-key prefixes (r12: every decile read
-    * 100%, a vacuous audit). Output rows carry a `slice` column — 'base',
-    * 'prefix_perturbed' (expected ~0 for single-key SNM: its one sort key
-    * is the prefix), 'suffix_perturbed' (expected ~10⁶ for single-key
-    * SNM: a suffix edit does not move the prefix key — the two classes
-    * together show the blind spot is DIRECTIONAL, and x72d shows the
-    * multi-pass covers both), and 'mixed' (one twin of each class —
-    * invisible to both passes by construction, the compound-edit floor).
+    * mirror), and every doc with doc_id % 10 == 5 a copy at doc_id +
+    * 9·10⁷ edited at BOTH ends (J = n/(n+2)). Each twin is a true
+    * near-dup of its source (all original shingles survive); the
+    * fixture's natural near-dups exercise no blind spot because they
+    * share sort-key prefixes (r12: every decile read 100%, a vacuous
+    * audit). Output rows carry a `slice` column — 'base',
+    * 'prefix_perturbed' (expected ~0 for single-key SNM: its one sort
+    * key is the prefix), 'suffix_perturbed' (expected ~10⁶ for
+    * single-key SNM — together the two directions show the blind spot is
+    * a property of the KEY CHOICE, and x72d shows the multi-pass covers
+    * both), 'both_perturbed' (twin↔source pairs move BOTH keys — the
+    * multi-pass's own measured floor; twin↔twin pairs of prefix-sharing
+    * sources still window together under either key), and 'mixed' (one
+    * prefix twin + one suffix twin).
     * The twins flow through the FULL corpus ranking (not just the
     * block): SNM's window can cross block-external docs, so ranking
     * against the whole corpus and restricting the OUTPUT to audited ids
@@ -4898,6 +4901,7 @@ object PipelineOps {
     */
   private val X72PerturbOffset = 30000000L // prefix-edit twins ('zqx ' prepended)
   private val X72SuffixOffset  = 60000000L // suffix-edit twins (' zqx' appended)
+  private val X72BothOffset    = 90000000L // both-ends twins (prepend AND append)
 
   def x72bSnmRecall(s: SparkSession, d: String): DataFrame =
     snmRecallOver(s, d, Seq(SnmPrefixKey))
@@ -4905,17 +4909,21 @@ object PipelineOps {
   /** x72b's audit body, parameterized by the SNM sort-key passes — x72b
     * audits the single prefix-key pipeline, x72d the x72c multi-pass.
     */
-  /** The four-way slice label over a truth pair's two ids — 'base' (both
+  /** The slice label over a truth pair's two ids — 'base' (both
     * original), 'prefix_perturbed' / 'suffix_perturbed' (a twin of that
-    * class involved), 'mixed' (one of each — invisible to BOTH passes by
-    * construction, so its recall documents the compound-edit floor).
-    * ONE definition interpolated into both engines.
+    * class involved), 'both_perturbed' (a twin edited at BOTH ends —
+    * the one class whose twin↔source pairs evade BOTH sort keys, i.e.
+    * the multi-pass's own measured floor), 'mixed' (one prefix twin +
+    * one suffix twin). ONE definition interpolated into both engines.
     */
   private def snmSliceCase(a: String, b: String): String = {
     def pre(c: String) =
       s"($c >= $X72PerturbOffset AND $c < $X72SuffixOffset)"
-    def suf(c: String) = s"($c >= $X72SuffixOffset)"
-    s"""CASE WHEN ${pre(a)} OR ${pre(b)}
+    def suf(c: String) =
+      s"($c >= $X72SuffixOffset AND $c < $X72BothOffset)"
+    def both(c: String) = s"($c >= $X72BothOffset)"
+    s"""CASE WHEN ${both(a)} OR ${both(b)} THEN 'both_perturbed'
+       |     WHEN ${pre(a)} OR ${pre(b)}
        |       THEN CASE WHEN ${suf(a)} OR ${suf(b)}
        |                 THEN 'mixed' ELSE 'prefix_perturbed' END
        |     WHEN ${suf(a)} OR ${suf(b)} THEN 'suffix_perturbed'
@@ -4931,13 +4939,17 @@ object PipelineOps {
     // quadratic all-pairs side stays an absolute-constant-size slice even
     // on an out-of-domain corpus; the found-side id filter is linear.
     //
-    // TWO deterministic twin classes exercise the two sort keys'
-    // complementary blind spots: doc_id % 10 == 7 docs gain a
-    // PREFIX-edited twin ('zqx ' prepended — relocates the prefix key,
-    // leaves the suffix key), doc_id % 10 == 3 docs a SUFFIX-edited twin
-    // (' zqx' appended — the mirror case). Single-key SNM (x72b) should
-    // recall the suffix slice fully (its prefix key is untouched) and the
-    // prefix slice at ~0; the multi-pass (x72d) should recall both.
+    // THREE deterministic twin classes tile the edit-position ×
+    // sort-key matrix: doc_id % 10 == 7 docs gain a PREFIX-edited twin
+    // ('zqx ' prepended — relocates the prefix key, leaves the suffix
+    // key), % 10 == 3 a SUFFIX-edited twin (' zqx' appended — the
+    // mirror), % 10 == 5 a BOTH-ENDS twin (prepend AND append,
+    // J = n/(n+2) — still a true near-dup, but its twin↔source pairs
+    // move BOTH keys, the one class even the multi-pass cannot window).
+    // Single-key SNM (x72b) should recall the suffix slice fully and the
+    // prefix slice at ~0; the multi-pass (x72d) recovers the prefix
+    // slice; BOTH forms floor on the both_perturbed slice — the audit
+    // measures each strategy's limit, not only its strengths.
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val blockDocs = base.filter(col("doc_id") < X63Block)
     val preTwins = blockDocs.filter(col("doc_id") % 10 === 7)
@@ -4946,7 +4958,10 @@ object PipelineOps {
     val sufTwins = blockDocs.filter(col("doc_id") % 10 === 3)
       .select((col("doc_id") + X72SuffixOffset).as("doc_id"),
         concat(col("text"), lit(" zqx")).as("text"))
-    val twins = preTwins.unionByName(sufTwins)
+    val bothTwins = blockDocs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + X72BothOffset).as("doc_id"),
+        concat(lit("zqx "), col("text"), lit(" zqx")).as("text"))
+    val twins = preTwins.unionByName(sufTwins).unionByName(bothTwins)
     val corpus = base.unionByName(twins)
     def audited(c: org.apache.spark.sql.Column) =
       c < X63Block || c >= X72PerturbOffset
@@ -5001,7 +5016,11 @@ object PipelineOps {
        |  WHERE doc_id < $X63Block AND doc_id % 10 = 7
        |  UNION ALL
        |  SELECT doc_id + $X72SuffixOffset, text || ' zqx' FROM documents
-       |  WHERE doc_id < $X63Block AND doc_id % 10 = 3),
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + $X72BothOffset, 'zqx ' || text || ' zqx'
+       |  FROM documents
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 5),
        |${shingleCtesOver("corpus", "toks", "sh")},
        |$snmChain,
        |found AS (

@@ -109,6 +109,15 @@ class Round13Spec extends SparkSpec {
       "union lost pairs the single-key pass found")
     // the second pass must not disturb the base slice
     assert(mBase == bBase && mBase.forall(_ >= 900000L), s"base drifted: $mBase")
+    // the both-ends class is the multi-pass's own measured floor: the
+    // twin↔source pairs move BOTH keys, so the union cannot window them
+    // (measured 1/54 at sf0.001 — the 1 is a twin↔twin pair of
+    // prefix-sharing sources). If this slice ever reads high, the audit
+    // corpus stopped exercising the compound-edit regime
+    val (bothT, bothF) = m("both_perturbed")
+    assert(bothT >= 30L, s"both-ends truth too thin: $bothT")
+    assert(bothF * 1000000L / bothT <= 200000L,
+      s"both-ends slice recalled $bothF/$bothT — no longer a floor measurement")
   }
 
   test("x76: prefilter plan is bit-identical to x75 and windows only survivors") {
