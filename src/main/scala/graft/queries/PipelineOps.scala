@@ -4980,7 +4980,7 @@ object PipelineOps {
 
   /** x72d: x72b's recall audit replayed over the x72c multi-pass SNM —
     * the MEASURED recovery of the sort-key blind spot. The same exact
-    * block truth, the same two-class twin augmentation, the same slices:
+    * block truth, the same three-class twin augmentation, the same slices:
     * a pipeline owner reads x72b and x72d side by side to see what the
     * second pass buys (the prefix_perturbed slice's prepended token
     * leaves the suffix key byte-identical to its source's whenever the
