@@ -77,6 +77,18 @@ object BenchGate {
     */
   def suiteNoisy(nStillNoisy: Int, nKeys: Int): Boolean =
     nStillNoisy > 0.05 * nKeys
+
+  /** Per-key stats JSON entry — factored out of the main so the artifact
+    * FORMAT is spec-pinnable: `cached_artifact` (r13 verdict #2) marks a
+    * timing that read an engine-published parquet layout
+    * (Tables.ArtifactLog) rather than executing the full computed plan,
+    * so round-over-round headline comparisons self-describe which keys
+    * amortize pipeline cost into a shared artifact (the x68 family,
+    * trained-IVF consumers, the format-grid src keys).
+    */
+  def statJson(name: String, mn: Double, spread: Double,
+      cachedArtifact: Boolean): String =
+    f""""$name":{"min":$mn%.3f,"spread":$spread%.2f,"cached_artifact":$cachedArtifact}"""
 }
 
 /** Host-speed calibration (r12 verdict #4): a FIXED, deterministic in-JVM
@@ -153,6 +165,70 @@ object HostCal {
   def factor(): Double = {
     run()
     (1 to 3).map(_ => run()._1).min / NominalSec
+  }
+
+  // ---- memory-bandwidth leg (r13 verdict #3) ------------------------------
+  // The CPU+IO kernel's working set is 1 MiB — cache-resident — so
+  // memory-bus / page-cache contention is its documented blind spot: a run
+  // sandwiched after the test suite printed a 140 s headline with
+  // host_factor 0.98 and noisy:false, exposed only by sum_of_mins
+  // forensics. This leg sweeps a 128 MiB buffer (beyond any LLC) at
+  // one-long-per-cache-line stride over 8 rotating offsets × MemPasses —
+  // ~4 GiB of genuine DRAM traffic per run — so a memory-contended host
+  // moves host_mem_factor even when the cache-resident CPU leg reads quiet.
+  // Same checksum discipline: the fold is input-determined and spec-pinned
+  // so the WORK cannot silently change.
+
+  val MemBytes: Int = 128 << 20
+  val MemPasses = 4
+  /** Fold of all strided-sweep FNV accumulators — constant for the fixed
+    * init. Pinned by Round14Spec exactly like [[Checksum]].
+    */
+  val MemChecksum = -5029711544494401912L
+  /** Quiet-band wall-clock of one [[memRun]] on the round-14 builder host
+    * (min-of-4 after warmup, bare JVM 0.202 s; the in-bench figure
+    * matches within noise since the leg is DRAM-bound, not JIT-bound).
+    * Convention in docs/BENCH_ARTIFACTS.md.
+    */
+  val MemNominalSec = 0.20
+
+  /** One timed memory-sweep run → (seconds, checksum). Buffer init is
+    * outside the timed region: it is allocation+store traffic the sweep
+    * then re-measures as loads, and timing only the loads keeps the leg a
+    * pure read-bandwidth probe.
+    */
+  def memRun(): (Double, Long) = {
+    val n = MemBytes / 8
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = i * 2654435761L + 1234567L; i += 1 }
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < MemPasses) {
+      var off = 0
+      while (off < 8) {
+        // stride 8 longs = 64 B = one load per cache line; the 128 MiB set
+        // cannot stay resident, so every sub-sweep re-fetches from DRAM
+        var j = off
+        var h = 1469598103934665603L
+        while (j < n) { h = (h ^ buf(j)) * 1099511628211L; j += 8 }
+        // CHAINED fold (multiply-then-xor), not plain XOR: each sub-sweep's
+        // h is pass-independent (the buffer never changes), so an XOR fold
+        // pair-cancels across passes and collapses to a near-zero constant
+        // that pins almost none of the work
+        acc = (acc ^ (h + off + pass)) * 1099511628211L
+        off += 1
+      }
+      pass += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** host_mem_factor: same min-of-3-after-warmup convention as [[factor]]. */
+  def memFactor(): Double = {
+    memRun()
+    (1 to 3).map(_ => memRun()._1).min / MemNominalSec
   }
 }
 
@@ -232,11 +308,16 @@ object Bench {
     val names = selected.keys.toSeq
     val samples =
       names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    // artifact self-description (r13 verdict #2): keys whose timed run
+    // read an engine-published parquet layout, so the record itself says
+    // which timings are artifact reads vs computed plans
+    val artifactKeys = scala.collection.mutable.Set[String]()
     for (t <- 0 until trials; name <- names) {
       val fn = selected(name)
       // plan-shape delta measured over the LAST sweep only (steady state:
       // AQE has settled, layout caches are built)
       val mark = if (t == trials - 1) telemetry.settled() else (0L, 0L)
+      Tables.ArtifactLog.reset()
       val t0 = System.nanoTime()
       // -1 marks a failed trial — a crash must not report its
       // time-to-failure as a (fast) valid timing
@@ -246,6 +327,7 @@ object Bench {
       if (t == trials - 1) {
         val end = telemetry.settled()
         planInfo(name) = (end._1 - mark._1, end._2 - mark._2)
+        if (Tables.ArtifactLog.wasTouched) artifactKeys += name
       }
     }
     // Noise GATE (r11 verdict wrong-#1): the r11 driver record's headline was
@@ -308,7 +390,7 @@ object Bench {
       .mkString("{", ",", "}")
     val statsJson = names.map { n =>
       val (mn, sp) = stats(n)
-      f""""$n":{"min":$mn%.3f,"spread":$sp%.2f}"""
+      BenchGate.statJson(n, mn, sp, artifactKeys(n))
     }.mkString("{", ",", "}")
     val planJson = planInfo.map { case (k, (st, by)) =>
       f""""$k":{"stages":$st,"shuffle_mb":${by / 1048576.0}%.3f}"""
@@ -362,14 +444,19 @@ object Bench {
     val comparable = failed == 0 && !noisy
     // measured AFTER the timed sweeps (competing with them would inflate
     // it) and before the record is printed, so every BENCH artifact carries
-    // its own host-speed context
+    // its own host-speed context. Two legs: the CPU+IO kernel
+    // (host_factor, r12) and the DRAM-bound strided sweep
+    // (host_mem_factor, r13 verdict #3 — catches the memory-bus/page-cache
+    // contention the cache-resident kernel is blind to; the sandwich
+    // scenario is reproduced in docs/memcal_probe.json)
     val hostFactor = HostCal.factor()
+    val hostMemFactor = HostCal.memFactor()
     // failed KEYS by name (capped — failures should be rare): without this,
     // the valid-sample median hides which query crashed and the artifact
     // only carries a count
     val failedJson = failedKeys.take(20).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val noiseJson = f""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":$sumOfMins%.1f,"host_factor":$hostFactor%.2f,"failed_keys":$failedJson"""
+    val noiseJson = f""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":$sumOfMins%.1f,"host_factor":$hostFactor%.2f,"host_mem_factor":$hostMemFactor%.2f,"failed_keys":$failedJson"""
     val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the

@@ -114,6 +114,59 @@ object ScaleProbe {
       return
     }
 
+    // HostCal memory-leg probe (`memcal` arg, r13 verdict #3): reproduce
+    // the calibration blind spot and show the new leg closes it. The
+    // CPU+IO kernel's 1 MiB working set is cache-resident, so uniform
+    // memory-bus contention (the post-test-suite "sandwich" that printed
+    // 140 s quiet with host_factor 0.98) barely moves it; the 128 MiB
+    // strided memRun leg is DRAM-bound and must move. Method: min-of-3
+    // for both kernels solo, then again under N background hammer threads
+    // each streaming over its own 64 MiB array (the contention generator),
+    // then solo again (hammers stopped — proves the delta was the load,
+    // not drift). Evidence: docs/memcal_probe.json with the two ratios;
+    // the leg "flags" when mem_ratio exceeds the cpu_ratio by a clear
+    // margin. Also prints the checksums + quiet minimums that pin
+    // MemChecksum / MemNominalSec.
+    if (args.contains("memcal")) {
+      def minOf3(run: () => (Double, Long)): (Double, Long) = {
+        run()
+        val rs = (1 to 3).map(_ => run())
+        (rs.map(_._1).min, rs.head._2)
+      }
+      val (cpuSolo, cpuSum) = minOf3(HostCal.run _)
+      val (memSolo, memSum) = minOf3(HostCal.memRun _)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val sink = new java.util.concurrent.atomic.AtomicLong(0)
+      val hammers = (1 to 16).map { _ =>
+        val t = new Thread(() => {
+          val a = new Array[Long](8 << 20) // 64 MiB per thread
+          var k = 0L
+          while (!stop.get) {
+            var j = (k % 8).toInt; var h = 0L
+            while (j < a.length) { h ^= a(j); a(j) = h + j; j += 8 }
+            sink.addAndGet(h); k += 1
+          }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      Thread.sleep(500) // let the bus saturate before sampling
+      val (cpuLoad, _) = minOf3(HostCal.run _)
+      val (memLoad, _) = minOf3(HostCal.memRun _)
+      stop.set(true); hammers.foreach(_.join(2000))
+      val (cpuAfter, _) = minOf3(HostCal.run _)
+      val (memAfter, _) = minOf3(HostCal.memRun _)
+      val cpuRatio = cpuLoad / cpuSolo
+      val memRatio = memLoad / memSolo
+      println(f"cpu: solo=$cpuSolo%.3f load=$cpuLoad%.3f after=$cpuAfter%.3f ratio=$cpuRatio%.2f checksum=$cpuSum")
+      println(f"mem: solo=$memSolo%.3f load=$memLoad%.3f after=$memAfter%.3f ratio=$memRatio%.2f checksum=$memSum")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/memcal_probe.json"),
+        f"""{"hammer_threads":16,"hammer_set_mib":64,"cpu_kernel":{"solo_secs":$cpuSolo%.3f,"contended_secs":$cpuLoad%.3f,"after_secs":$cpuAfter%.3f,"ratio":$cpuRatio%.2f},"mem_kernel":{"solo_secs":$memSolo%.3f,"contended_secs":$memLoad%.3f,"after_secs":$memAfter%.3f,"ratio":$memRatio%.2f,"checksum":$memSum},"note":"the sandwich scenario: uniform memory-bus load moves the DRAM-bound mem leg (host_mem_factor) while the cache-resident CPU+IO kernel (host_factor) stays near quiet — the r13 blind spot, now visible in the record itself"}""".getBytes)
+      println("wrote docs/memcal_probe.json")
+      spark.stop()
+      return
+    }
+
     // Bloom-prune probe (`bloom` arg): run exact x20 and bloom-pruned x46
     // decontamination at sf0.1, record per-key wall time and total shuffle
     // WRITE bytes (stage-metric deltas), and require the two result
@@ -828,7 +881,22 @@ object ScaleProbe {
         // same bounded per-block window plan; the union-distinct is
         // pair-id-keyed) — measured, not asserted (r13)
         ("x72c_snm_multikey", "docs",
-          SparkEntry.queries("x72c_snm_multikey")))
+          SparkEntry.queries("x72c_snm_multikey")),
+        // the suite's heaviest key: 4 bounded peel rounds over the edge
+        // set — the per-round persist must keep the cost linear in the
+        // edge count, and the deliberately-UNPERSISTED degree table was a
+        // sf0.1-only measurement; the exponent says whether it holds as
+        // the graph grows (r13 verdict #7)
+        ("x73_kcore_peel", "rel", SparkEntry.queries("x73_kcore_peel")),
+        // the sampling family (r13 verdict #5): x76/x77b must scale as a
+        // scan + domain-sized aggregates (window input is bounded, so the
+        // exponent is the scan's); x77 is the unbounded-window baseline
+        ("x76_stratified_prefilter", "docs",
+          SparkEntry.queries("x76_stratified_prefilter")),
+        ("x77_weighted_sample", "docs",
+          SparkEntry.queries("x77_weighted_sample")),
+        ("x77b_weighted_prefilter", "docs",
+          SparkEntry.queries("x77b_weighted_prefilter")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
@@ -982,19 +1050,35 @@ object ScaleProbe {
       }
       val hotRows = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("lang") === "zz").count()
-      val (_, thr76, surv, short76) = graft.queries.CorpusOps.x76Prefilter(spark, dir)
       // the TRUE max window input: survivors for prefiltered strata, the
       // FULL stratum for any shortfall stratum (the fallback branch ranks
       // the whole stratum — reporting only survivor counts would
-      // understate exactly the regime the fallback exists for)
-      val shortStrata = short76.count()
-      val survMax = surv.groupBy(col("lk"))
-        .agg(count(lit(1)).as("n")).agg(max(col("n"))).first().getLong(0)
-      val maxWindowRows =
-        if (shortStrata == 0) survMax
-        else math.max(survMax,
-          thr76.join(short76, Seq("lk"), "left_semi")
-            .agg(max(col("n"))).first().getLong(0))
+      // understate exactly the regime the fallback exists for). Aggregates
+      // are guarded with coalesce: max over an EMPTY survivor/shortfall
+      // set is NULL, and an unguarded getLong would report that corner as
+      // an opaque NPE instead of a zero (r13 ADVICE).
+      def maxWindow(stages: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame)): (Long, Long) = {
+        val (_, thr, surv, short) = stages
+        val shortStrata = short.count()
+        val survMax = surv.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(max(col("n")), lit(0L))).first().getLong(0)
+        val maxRows =
+          if (shortStrata == 0) survMax
+          else math.max(survMax,
+            thr.join(short.select(col("lang").as("_sl")),
+                col("lang") <=> col("_sl"), "left_semi")
+              .agg(coalesce(max(col("n")), lit(0L))).first().getLong(0))
+        (maxRows, shortStrata)
+      }
+      val (maxWindowRows, shortStrata) =
+        maxWindow(graft.queries.CorpusOps.x76Prefilter(spark, dir))
+      // the weighted leg's bound (r14: x77b is x76's pattern on the
+      // priority — same claim, measured the same way)
+      val (maxWindowRowsW, shortStrataW) =
+        maxWindow(graft.queries.CorpusOps.x77bPrefilter(spark, dir))
       def time(key: String): (Double, Long, Array[String]) = {
         val fn = SparkEntry.queries(key)
         fn(spark, dir).count() // warm
@@ -1007,12 +1091,19 @@ object ScaleProbe {
       val (s76, n76, r76) = time("x76_stratified_prefilter")
       require(r75.sameElements(r76),
         s"x76 diverged from x75 on the hot-stratum corpus: $n75 vs $n76 rows")
+      val (s77, n77, r77) = time("x77_weighted_sample")
+      val (s77b, n77b, r77b) = time("x77b_weighted_prefilter")
+      require(r77.sameElements(r77b),
+        s"x77b diverged from x77 on the hot-stratum corpus: $n77 vs $n77b rows")
       println(f"hot_rows=$hotRows x76_max_window=$maxWindowRows " +
         f"shortfall_strata=$shortStrata x75=$s75%.2fs x76=$s76%.2fs " +
         f"rows=$n75 (bit-identical)")
+      println(f"x77b_max_window=$maxWindowRowsW " +
+        f"shortfall_strata_w=$shortStrataW x77=$s77%.2fs x77b=$s77b%.2fs " +
+        f"rows=$n77 (bit-identical)")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/hotstratum_probe.json"),
-        f"""{"sf_base":"$src","corpus":"documents x32 id-offset replicas, 95%% of rows collapsed into one 'zz' lang stratum","hot_stratum_rows":$hotRows,"x76_max_window_input_rows":$maxWindowRows,"shortfall_strata":$shortStrata,"x75_secs":$s75%.2f,"x76_secs":$s76%.2f,"out_rows":$n75,"outputs_bit_identical":true,"note":"max_window_input counts the FULL stratum for any shortfall stratum (fallback branch), survivors otherwise; the scaling quantity is window INPUT rows (x76 bounds one task's sort at ~8k whatever the stratum size); at this corpus size x75's single 152k-row sort is still trivial, so x76's ~0.5s of fixed extra stages dominates wall time — the crossover is strata of tens of millions of rows, where x75's hot-stratum task is the straggler"}""".getBytes)
+        f"""{"sf_base":"$src","corpus":"documents x32 id-offset replicas, 95%% of rows collapsed into one 'zz' lang stratum","hot_stratum_rows":$hotRows,"x76_max_window_input_rows":$maxWindowRows,"shortfall_strata":$shortStrata,"x75_secs":$s75%.2f,"x76_secs":$s76%.2f,"out_rows":$n75,"outputs_bit_identical":true,"x77b_max_window_input_rows":$maxWindowRowsW,"shortfall_strata_weighted":$shortStrataW,"x77_secs":$s77%.2f,"x77b_secs":$s77b%.2f,"weighted_outputs_bit_identical":true,"note":"max_window_input counts the FULL stratum for any shortfall stratum (fallback branch), survivors otherwise; the scaling quantity is window INPUT rows (x76/x77b bound one task's sort at ~8k whatever the stratum size); at this corpus size the single 152k-row sort is still trivial, so the prefilters' ~0.5s of fixed extra stages dominates wall time — the crossover is strata of tens of millions of rows, where the unfiltered hot-stratum task is the straggler"}""".getBytes)
       println("wrote docs/hotstratum_probe.json")
       spark.stop()
       return

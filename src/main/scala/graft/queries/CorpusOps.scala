@@ -338,54 +338,59 @@ object CorpusOps {
     * EVIDENCE the bounded-window-input claim instead of re-deriving the
     * threshold arithmetic (and silently drifting from it).
     */
-  /** Internal stratum JOIN key: equi-joins are null-unsafe, so a
-    * NULL-lang stratum would silently vanish from both the prefilter and
-    * the fallback (x75's window, like the oracle's PARTITION BY, groups
-    * NULLs into one stratum and samples it) — joining on a coalesced
-    * surrogate keeps the bit-identical contract on NULL-bearing corpora.
-    * The output still carries the ORIGINAL lang. The sentinel is the
-    * non-printable chr(1), which no real language tag contains (the
-    * surrogate never leaves the plan — the oracle is x75's query,
-    * whose PARTITION BY handles NULL natively).
+  /** Stratum joins are NULL-SAFE (`<=>`): equi-joins are null-unsafe, so
+    * a NULL-lang stratum would silently vanish from both the prefilter
+    * and the fallback (x75's window, like the oracle's PARTITION BY,
+    * groups NULLs into one stratum and samples it). EqualNullSafe is a
+    * first-class hash-join key in Catalyst (ExtractEquiJoinKeys coalesces
+    * it), so the broadcast plan shape is identical to a plain equi-join —
+    * no sentinel surrogate needed (r13 shipped a chr(1) coalesce key
+    * whose collision with a literal "" lang was documented but
+    * unenforced; the null-safe join retires the assumption entirely).
     */
-  private val LangKey = "coalesce(lang, chr(1))"
+  private def nullSafeJoin(left: DataFrame, right: DataFrame, key: String,
+      joinType: String): DataFrame = {
+    val r = right.withColumnRenamed(key, "_nsk")
+    val joined = left.join(broadcast(r), left(key) <=> r("_nsk"), joinType)
+    if (joinType == "left_anti" || joinType == "left_semi") joined
+    else joined.drop("_nsk")
+  }
 
   private[graft] def x76Prefilter(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     StringPolyHash.register(s)
     val mod = graft.functions.StringPolyHash.DefaultMod
     val docs = Tables.documents(s, d)
-      .select(col("lang"), expr(LangKey).as("lk"), col("doc_id"),
+      .select(col("lang"), col("doc_id"),
         expr("graft_polyhash(cast(doc_id as string))").as("h"))
-    val thr = docs.groupBy(col("lk")).agg(count(lit(1)).as("n"))
+    val thr = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("t",
         least(lit(mod), expr(s"(8L * $StratN * ${mod}L) div n")))
-    val surv = docs.join(broadcast(thr.select(col("lk"), col("t"))),
-        Seq("lk"))
+    val surv = nullSafeJoin(docs, thr.select(col("lang"), col("t")),
+        "lang", "inner")
       .filter(col("h") < col("t"))
     // shortfall strata: survivors < min(k, n) — the prefilter no longer
     // provably contains the top-k; includes zero-survivor strata (left
     // join + coalesce), and is EMPTY under uniform hashing
-    val short = thr.join(
-        surv.groupBy(col("lk")).agg(count(lit(1)).as("ns")),
-        Seq("lk"), "left")
+    val short = nullSafeJoin(thr,
+        surv.groupBy(col("lang")).agg(count(lit(1)).as("ns")),
+        "lang", "left")
       .filter(coalesce(col("ns"), lit(0L)) <
         least(lit(StratN.toLong), col("n")))
-      .select(col("lk"))
+      .select(col("lang"))
     (docs, thr, surv, short)
   }
 
   def x76StratifiedPrefilter(s: SparkSession, d: String): DataFrame = {
     val (docs, _, surv, short) = x76Prefilter(s, d)
-    // windows partition on the null-safe surrogate key (identical grouping
-    // to x75's PARTITION BY lang, which puts NULLs in one stratum)
+    // windows partition by lang directly — SQL window partitioning puts
+    // NULLs in one group, exactly x75's (and the oracle's) PARTITION BY
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lk")).orderBy(col("h"), col("doc_id"))
-    val ranked = surv.drop("t")
-      .join(broadcast(short), Seq("lk"), "left_anti")
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val ranked = nullSafeJoin(surv.drop("t"), short, "lang", "left_anti")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= StratN)
-    val fallback = docs.join(broadcast(short), Seq("lk"), "left_semi")
+    val fallback = nullSafeJoin(docs, short, "lang", "left_semi")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= StratN)
     ranked.unionByName(fallback)
@@ -422,11 +427,11 @@ object CorpusOps {
     * stays in range.
     *
     * Scale design (100 TB): identical shape to x75 — per-stratum
-    * row_number window over (priority, doc_id); the x76 prefilter
-    * refinement applies verbatim at the hot-stratum limit (threshold on
-    * the priority instead of the raw hash; the priority is NOT uniform,
-    * so the analytic threshold becomes a per-stratum weighted quantile —
-    * the documented production path, not built twice).
+    * row_number window over (priority, doc_id); the hot-stratum
+    * refinement is [[x77bWeightedPrefilter]] (x76's prefilter pattern on
+    * the priority: the priority is NOT uniform, so the analytic
+    * threshold becomes a weight-sum quantile — see its scaladoc), a
+    * declared key whose oracle is this query.
     */
   def x77WeightedSample(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
@@ -463,6 +468,185 @@ object CorpusOps {
        |                            ORDER BY pri, doc_id) AS rn
        |  FROM p)
        |WHERE rn <= $StratN ORDER BY lang, rn""".stripMargin
+
+  // ===== x77b: x77's hot-stratum refinement — weighted-threshold prefilter
+
+  /** x76's prefilter pattern applied to the WEIGHTED leg — the refinement
+    * x77's scaladoc names, built (r13 verdict: at the 10⁷–10⁸-row hot
+    * strata the key targets, x77's per-stratum ranking window is one
+    * task's sort — the exact straggler shape x76 kills for the uniform
+    * leg). Selection is IDENTICAL to x77 (the oracle is literally x77's
+    * query); the plan prefilters on the priority before any window runs.
+    *
+    * The threshold: pri = (h·10⁹) div w with h uniform on [0, mod), so
+    * P(pri < t) ≈ t·w / (mod·10⁹) capped at 1 — a document survives a
+    * priority cutoff in proportion to its WEIGHT, which is the sampling
+    * design itself. Expected survivors under threshold t are therefore
+    * ≈ t·Σw / (mod·10⁹), and t = (8k·10⁹·mod) div Σw targets ≈ 8k
+    * expected survivors per stratum REGARDLESS of stratum size. Σw is a
+    * strata-domain-sized aggregate (one sum per stratum — the weighted
+    * analogue of x76's analytic uniform quantile; exact integer
+    * arithmetic: 8·50·10⁹·1000003 ≈ 4.0·10¹⁷ stays in BIGINT range, and
+    * the cap at mod·10⁹ ≈ 10¹⁵ exceeds every priority, so a small
+    * stratum degenerates to keep-everything = x77's own plan).
+    *
+    * Correctness does NOT rest on the 8× margin or on weight uniformity:
+    * the k smallest (pri, doc_id) pairs all satisfy pri < t whenever ≥ k
+    * survivors do (any non-survivor ranks after every survivor), and a
+    * stratum whose survivor count falls below min(k, n) — possible when
+    * a few huge weights carry most of Σw, since their survival
+    * probability caps at 1 and stops contributing mass — falls back to
+    * the full x77 ranking via the same left-anti/left-semi top-off as
+    * x76, so the output is EXACTLY x77's by construction. Stratum joins
+    * are null-safe (`<=>`) and the windows partition by lang natively,
+    * the same NULL-stratum contract as x76.
+    *
+    * Scale design (100 TB): threshold table broadcast, prefilter is a
+    * map-side predicate, window input is O(strata · 8k) rows total; the
+    * fallback branch is empty in every expected run. Same honest cost
+    * ledger as x76: up to four scans of the 3-column projection vs
+    * x77's one — the trade the bounded window buys.
+    */
+  private[graft] def x77bPrefilter(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    StringPolyHash.register(s)
+    val mod = graft.functions.StringPolyHash.DefaultMod
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        expr("graft_polyhash(cast(doc_id as string))").as("h"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n_tok"))
+      .withColumn("pri", expr("(h * 1000000000L) div n_tok"))
+    val thr = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("sw"))
+      .withColumn("t",
+        least(lit(mod * 1000000000L),
+          expr(s"(${8L * StratN} * 1000000000L * ${mod}L) div sw")))
+    val surv = nullSafeJoin(docs, thr.select(col("lang"), col("t")),
+        "lang", "inner")
+      .filter(col("pri") < col("t"))
+    val short = nullSafeJoin(thr,
+        surv.groupBy(col("lang")).agg(count(lit(1)).as("ns")),
+        "lang", "left")
+      .filter(coalesce(col("ns"), lit(0L)) <
+        least(lit(StratN.toLong), col("n")))
+      .select(col("lang"))
+    (docs, thr, surv, short)
+  }
+
+  def x77bWeightedPrefilter(s: SparkSession, d: String): DataFrame = {
+    val (docs, _, surv, short) = x77bPrefilter(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    val ranked = nullSafeJoin(surv.drop("t"), short, "lang", "left_anti")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= StratN)
+    val fallback = nullSafeJoin(docs, short, "lang", "left_semi")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= StratN)
+    ranked.unionByName(fallback)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"),
+        col("n_tok"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** x77b's contract IS "bit-identical to x77" — the key exists for the
+    * plan shape (priority prefilter below the ranking window), so the
+    * oracle is the x77 selection itself; any divergence in the
+    * threshold/top-off logic hash-mismatches here.
+    */
+  val x77bSql: String = x77Sql
+
+  // ===== x78: exact-count temperature allocation (Hamilton apportionment) =
+
+  private val TempBudget = 400L // total docs across strata (the K knob)
+
+  /** The exact-count completion of the sampling-family matrix: x24 is the
+    * RATE form of temperature mixing (stratum sampled at rate ∝ n^0.5,
+    * membership Bernoulli on the doc hash — realized counts vary), x78
+    * apportions a FIXED total budget K across strata ∝ n^0.5 and takes
+    * EXACTLY that many docs per stratum in scrambled-hash order — the
+    * form a training run with a hard token/doc budget actually consumes
+    * ("K docs total, tail languages up-weighted, bit-reproducible").
+    *
+    * Apportionment is Hamilton/largest-remainder over the SAME
+    * micro-snapped sqrt weights as x24 ([[mixtureRates]]' w_micro
+    * expression verbatim — one definition of the temperature): floor
+    * allocations k_l = (K·w_l) div Σw, then the R = K − Σk_l leftover
+    * seats go to the R largest remainders ((K·w_l) mod Σw, ties broken
+    * by lang — deterministic, and both engines rank identically).
+    * Allocations finally clamp at the stratum size (a stratum with fewer
+    * docs than seats yields its shortfall rather than redistributing —
+    * the documented undershoot: iterative reallocation is a driver-side
+    * loop, and production budget-mixers cap-and-log exactly this way).
+    *
+    * Scale design (100 TB): every apportionment step runs on the
+    * strata-domain aggregate (dozens of rows — the `over ()` windows
+    * never see data-sized input); the allocation joins back broadcast;
+    * selection is x75's per-stratum bounded window. k_l ≤ K is a
+    * constant, so the hot-stratum concern is bounded by K itself.
+    */
+  def x78TemperatureSample(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = Tables.documents(s, d)
+    val alloc = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS LONG)"))
+      .withColumn("sw", expr("sum(w_micro) over ()"))
+      .withColumn("k_floor", expr(s"($TempBudget * w_micro) div sw"))
+      .withColumn("rem", expr(s"($TempBudget * w_micro) % sw"))
+      .withColumn("r_left", expr(s"$TempBudget - sum(k_floor) over ()"))
+      .withColumn("rr", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang"))))
+      .withColumn("k_alloc",
+        least(col("n_docs"),
+          col("k_floor") + when(col("rr") <= col("r_left"), 1L).otherwise(0L)))
+      .select(col("lang").as("_al"), col("k_alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"),
+        expr("graft_polyhash(cast(doc_id as string))").as("h"))
+      .join(broadcast(alloc), col("lang") <=> col("_al"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= col("k_alloc"))
+      .select(col("lang"), col("k_alloc"), col("rn").cast("long").as("rn"),
+        col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val x78Sql: String =
+    s"""WITH w AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+       |  FROM documents GROUP BY lang),
+       |a AS (
+       |  SELECT lang, n_docs, w_micro,
+       |         ($TempBudget * w_micro) // (SELECT SUM(w_micro) FROM w) AS k_floor,
+       |         ($TempBudget * w_micro) % (SELECT SUM(w_micro) FROM w) AS rem
+       |  FROM w),
+       |r AS (
+       |  SELECT lang, n_docs, k_floor, rem,
+       |         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+       |         $TempBudget - (SELECT SUM(k_floor) FROM a) AS r_left
+       |  FROM a),
+       |alloc AS (
+       |  SELECT lang,
+       |         LEAST(n_docs, k_floor +
+       |           CASE WHEN rr <= r_left THEN 1 ELSE 0 END) AS k_alloc
+       |  FROM r),
+       |h AS (
+       |  SELECT lang, doc_id, ${polyhashSqlOf("doc_id")} AS h
+       |  FROM documents)
+       |SELECT s.lang, CAST(k_alloc AS BIGINT) AS k_alloc,
+       |       CAST(rn AS BIGINT) AS rn, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY h, doc_id) AS rn
+       |  FROM h) s
+       |JOIN alloc ON s.lang IS NOT DISTINCT FROM alloc.lang
+       |WHERE rn <= k_alloc ORDER BY s.lang, rn""".stripMargin
 
   // ===== x25: PII scan + redaction ========================================
 
@@ -931,6 +1115,8 @@ object CorpusOps {
     "x75_stratified_sample" -> (x75StratifiedSample _),
     "x76_stratified_prefilter" -> (x76StratifiedPrefilter _),
     "x77_weighted_sample" -> (x77WeightedSample _),
+    "x77b_weighted_prefilter" -> (x77bWeightedPrefilter _),
+    "x78_temperature_sample" -> (x78TemperatureSample _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
   )
@@ -950,6 +1136,8 @@ object CorpusOps {
     "x75_stratified_sample" -> x75Sql,
     "x76_stratified_prefilter" -> x76Sql,
     "x77_weighted_sample" -> x77Sql,
+    "x77b_weighted_prefilter" -> x77bSql,
+    "x78_temperature_sample" -> x78Sql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql
   )

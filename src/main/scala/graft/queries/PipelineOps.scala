@@ -4667,6 +4667,18 @@ object PipelineOps {
     */
   private val SnmWindow = 8
 
+  /** The default SNM block-prefix length — ONE constant interpolated into
+    * BOTH the Scala conf fallback and every oracle CTE, so the two
+    * engines cannot drift on the default geometry (r13 ADVICE: the CTE
+    * hardcoded 2 while the Scala side read the conf). The conf lever
+    * itself remains probe/skew-mitigation territory: setting
+    * `spark.graft.x72.blockPrefixLen` to a NON-default value voids the
+    * oracle contract for every SNM key (x72/x72b/x72c/x72d) by design —
+    * the oracle replays the default geometry, and the hotblock probe is
+    * where non-default values are exercised.
+    */
+  private val SnmDefaultBlockLen = 2
+
   /** The two SNM sort keys over the normalized text (lowercased
     * alphanumerics): x72's single pass uses the PREFIX key alone; x72c's
     * multi-pass adds the SUFFIX key (last 24 normalized chars, read
@@ -4713,8 +4725,10 @@ object PipelineOps {
       keys: Seq[String] = Seq(SnmPrefixKey)): DataFrame = {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
+    // non-default lever values void the oracle contract — see
+    // [[SnmDefaultBlockLen]]
     val blkLen = s.conf.getOption("spark.graft.x72.blockPrefixLen")
-      .getOrElse("2").toInt
+      .getOrElse(SnmDefaultBlockLen.toString).toInt
     val passes = keys.map(k => snmCandidates(corpus, k, blkLen))
     val cand =
       if (passes.lengthCompare(1) == 0) passes.head
@@ -4766,8 +4780,10 @@ object PipelineOps {
     */
   private def snmPassCte(keyExpr: String, tag: String): String =
     s"""ranked$tag AS (
-       |  SELECT doc_id, $keyExpr AS skey, substring($keyExpr, 1, 2) AS blk,
-       |         ROW_NUMBER() OVER (PARTITION BY substring($keyExpr, 1, 2)
+       |  SELECT doc_id, $keyExpr AS skey,
+       |         substring($keyExpr, 1, $SnmDefaultBlockLen) AS blk,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY substring($keyExpr, 1, $SnmDefaultBlockLen)
        |                            ORDER BY $keyExpr, doc_id) AS rn
        |  FROM normed),
        |cand$tag AS (
@@ -4874,15 +4890,18 @@ object PipelineOps {
     * (banding's s-curve under-recalls near the threshold; SNM's blind spot
     * is edits in the sort-key prefix, flat across J).
     *
-    * The audit corpus is AUGMENTED with THREE deterministic perturbed
+    * The audit corpus is AUGMENTED with FOUR deterministic perturbed
     * twin classes (x25/x27's in-plan twin discipline, replayed literally
     * by the oracle): every block doc with doc_id % 10 == 7 gets a copy
     * at doc_id + 3·10⁷ with one token ('zqx') PREPENDED (relocates the
     * PREFIX sort key, leaves the suffix key), every doc with
     * doc_id % 10 == 3 a copy at doc_id + 6·10⁷ with ' zqx' APPENDED (the
-    * mirror), and every doc with doc_id % 10 == 5 a copy at doc_id +
-    * 9·10⁷ edited at BOTH ends (J = n/(n+2)). Each twin is a true
-    * near-dup of its source (all original shingles survive); the
+    * mirror), every doc with doc_id % 10 == 5 a copy at doc_id +
+    * 9·10⁷ edited at BOTH ends (J = n/(n+2)), and every doc with
+    * doc_id % 10 == 1 (whose text passes the [[snmMidGate]] key-intact
+    * gate) a copy at doc_id + 1.2·10⁸ with ' zqx ' spliced in MID-TEXT
+    * — both sort keys provably intact, the matrix's positive control.
+    * Each twin is a true near-dup of its source; the
     * fixture's natural near-dups exercise no blind spot because they
     * share sort-key prefixes (r12: every decile read 100%, a vacuous
     * audit). Output rows carry a `slice` column — 'base',
@@ -4892,8 +4911,10 @@ object PipelineOps {
     * a property of the KEY CHOICE, and x72d shows the multi-pass covers
     * both), 'both_perturbed' (twin↔source pairs move BOTH keys — the
     * multi-pass's own measured floor; twin↔twin pairs of prefix-sharing
-    * sources still window together under either key), and 'mixed' (one
-    * prefix twin + one suffix twin).
+    * sources still window together under either key), 'mixed' (one
+    * prefix twin + one suffix twin), and 'mid_perturbed' (an interior
+    * edit leaving BOTH keys intact — expected ~10⁶ ppm under every SNM
+    * form, the audit's positive control).
     * The twins flow through the FULL corpus ranking (not just the
     * block): SNM's window can cross block-external docs, so ranking
     * against the whole corpus and restricting the OUTPUT to audited ids
@@ -4902,6 +4923,7 @@ object PipelineOps {
   private val X72PerturbOffset = 30000000L // prefix-edit twins ('zqx ' prepended)
   private val X72SuffixOffset  = 60000000L // suffix-edit twins (' zqx' appended)
   private val X72BothOffset    = 90000000L // both-ends twins (prepend AND append)
+  private val X72MidOffset     = 120000000L // mid-text twins (both keys intact)
 
   def x72bSnmRecall(s: SparkSession, d: String): DataFrame =
     snmRecallOver(s, d, Seq(SnmPrefixKey))
@@ -4921,14 +4943,48 @@ object PipelineOps {
       s"($c >= $X72PerturbOffset AND $c < $X72SuffixOffset)"
     def suf(c: String) =
       s"($c >= $X72SuffixOffset AND $c < $X72BothOffset)"
-    def both(c: String) = s"($c >= $X72BothOffset)"
+    def both(c: String) =
+      s"($c >= $X72BothOffset AND $c < $X72MidOffset)"
+    def mid(c: String) = s"($c >= $X72MidOffset)"
+    // precedence: a pair is labeled by its MOST key-damaged member (both >
+    // prefix/suffix > mid > base) — a mid-twin ↔ prefix-twin pair carries a
+    // relocated-prefix member, so it belongs to the prefix slice; the
+    // 'mid_perturbed' slice is exactly the pairs whose every member has
+    // BOTH 24-char keys intact (mid↔mid, mid↔base) — the matrix's
+    // positive-control cell (r13 verdict #4: expected ~10⁶ ppm under every
+    // SNM form, since an interior edit moves neither sort key)
     s"""CASE WHEN ${both(a)} OR ${both(b)} THEN 'both_perturbed'
        |     WHEN ${pre(a)} OR ${pre(b)}
        |       THEN CASE WHEN ${suf(a)} OR ${suf(b)}
        |                 THEN 'mixed' ELSE 'prefix_perturbed' END
        |     WHEN ${suf(a)} OR ${suf(b)} THEN 'suffix_perturbed'
+       |     WHEN ${mid(a)} OR ${mid(b)} THEN 'mid_perturbed'
        |     ELSE 'base' END""".stripMargin
   }
+
+  /** The mid-twin eligibility gate, shared verbatim by both engines: the
+    * interior insertion at raw char 60 leaves BOTH sort keys intact only
+    * when each side of the cut carries ≥ 24 normalized chars — gating on
+    * that (rather than a raw length heuristic) makes "keys intact" a
+    * structural guarantee, so the slice's expected-full-recall claim has
+    * no density caveat.
+    */
+  private def snmMidGate(flags: String): String = {
+    // `flags` is the dialect hook: "" for Spark (replace-all is the
+    // default), ", 'g'" for DuckDB (global flag is an explicit argument)
+    def normLen(sub: String) =
+      s"length(regexp_replace(lower($sub), '[^a-z0-9]', ''$flags))"
+    s"${normLen("substring(text, 1, 60)")} >= 24 AND " +
+      s"${normLen("substring(text, 61, length(text))")} >= 24"
+  }
+
+  /** The mid-twin text: ' zqx ' spliced in at raw char 60 — an interior
+    * edit (possibly splitting a word into two tokens, which costs a
+    * bounded handful of straddling shingles: J ≥ (m−3)/(m+4), well above
+    * the 0.4 threshold at the gated sizes), identical in both dialects.
+    */
+  private val SnmMidEditSql =
+    "concat(substring(text, 1, 60), ' zqx ', substring(text, 61, length(text)))"
 
   private def snmRecallOver(s: SparkSession, d: String,
       keys: Seq[String]): DataFrame = {
@@ -4939,17 +4995,22 @@ object PipelineOps {
     // quadratic all-pairs side stays an absolute-constant-size slice even
     // on an out-of-domain corpus; the found-side id filter is linear.
     //
-    // THREE deterministic twin classes tile the edit-position ×
+    // FOUR deterministic twin classes tile the edit-position ×
     // sort-key matrix: doc_id % 10 == 7 docs gain a PREFIX-edited twin
     // ('zqx ' prepended — relocates the prefix key, leaves the suffix
     // key), % 10 == 3 a SUFFIX-edited twin (' zqx' appended — the
     // mirror), % 10 == 5 a BOTH-ENDS twin (prepend AND append,
     // J = n/(n+2) — still a true near-dup, but its twin↔source pairs
-    // move BOTH keys, the one class even the multi-pass cannot window).
+    // move BOTH keys, the one class even the multi-pass cannot window),
+    // and % 10 == 1 a MID-TEXT twin (' zqx ' spliced in at raw char 60,
+    // gated so BOTH 24-char keys are provably intact — the matrix's
+    // positive-control cell: an interior edit moves neither sort key, so
+    // EVERY SNM form must recall it fully; r13 verdict #4).
     // Single-key SNM (x72b) should recall the suffix slice fully and the
     // prefix slice at ~0; the multi-pass (x72d) recovers the prefix
-    // slice; BOTH forms floor on the both_perturbed slice — the audit
-    // measures each strategy's limit, not only its strengths.
+    // slice; BOTH forms floor on the both_perturbed slice and fully
+    // recall the mid slice — the audit measures each strategy's limit
+    // AND carries its own control for fixture drift.
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val blockDocs = base.filter(col("doc_id") < X63Block)
     val preTwins = blockDocs.filter(col("doc_id") % 10 === 7)
@@ -4961,7 +5022,12 @@ object PipelineOps {
     val bothTwins = blockDocs.filter(col("doc_id") % 10 === 5)
       .select((col("doc_id") + X72BothOffset).as("doc_id"),
         concat(lit("zqx "), col("text"), lit(" zqx")).as("text"))
+    val midTwins = blockDocs.filter(col("doc_id") % 10 === 1)
+      .filter(expr(snmMidGate("")))
+      .select((col("doc_id") + X72MidOffset).as("doc_id"),
+        expr(SnmMidEditSql).as("text"))
     val twins = preTwins.unionByName(sufTwins).unionByName(bothTwins)
+      .unionByName(midTwins)
     val corpus = base.unionByName(twins)
     def audited(c: org.apache.spark.sql.Column) =
       c < X63Block || c >= X72PerturbOffset
@@ -5020,7 +5086,12 @@ object PipelineOps {
        |  UNION ALL
        |  SELECT doc_id + $X72BothOffset, 'zqx ' || text || ' zqx'
        |  FROM documents
-       |  WHERE doc_id < $X63Block AND doc_id % 10 = 5),
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 5
+       |  UNION ALL
+       |  SELECT doc_id + $X72MidOffset, $SnmMidEditSql
+       |  FROM documents
+       |  WHERE doc_id < $X63Block AND doc_id % 10 = 1
+       |    AND ${snmMidGate(", 'g'")}),
        |${shingleCtesOver("corpus", "toks", "sh")},
        |$snmChain,
        |found AS (

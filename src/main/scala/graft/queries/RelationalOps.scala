@@ -258,10 +258,15 @@ object RelationalOps {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def j11Cached(s: SparkSession, path: String): DataFrame =
+  private def j11Cached(s: SparkSession, path: String): DataFrame = {
+    // memoized DataFrame: cachedParquet only runs on first construction,
+    // so the artifact-read flag must be raised at LOOKUP time or later
+    // bench trials would report cached_artifact:false (r13 verdict #2)
+    Tables.ArtifactLog.touch()
     j11Memo.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(path, p => Tables.cachedParquet(s, p))
+  }
 
   def j11DppJoin(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")

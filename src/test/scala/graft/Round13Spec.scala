@@ -131,16 +131,16 @@ class Round13Spec extends SparkSpec {
     assert(x76.collect().map(_.toString).toSeq ==
       x75.collect().map(_.toString).toSeq, "x76 selection diverged from x75")
     // the load-bearing plan property: the h < t threshold filter survives
-    // optimization BELOW the main ranking window (tree children print
-    // after their parent), so a hot stratum's window input is ~8k rows,
-    // not the stratum — the whole point of the key
-    val plan = x76.queryExecution.optimizedPlan.toString
-    val wIdx = plan.indexOf("Window")
-    assert(wIdx >= 0, plan)
-    assert(plan.substring(wIdx).contains(" < t#"),
-      s"no h-threshold filter below the ranking window:\n$plan")
+    // optimization BELOW the main ranking window, so a hot stratum's
+    // window input is ~8k rows, not the stratum — the whole point of the
+    // key. Checked STRUCTURALLY (walk the optimized plan) rather than by
+    // substring position, which broke on any plan-printing or
+    // attribute-numbering change (r13 ADVICE).
+    assert(PlanChecks.hasThresholdBelowWindow(x76),
+      s"no h-threshold filter below the ranking window:\n${x76.queryExecution.optimizedPlan}")
     // both branches present: the prefiltered rank + the shortfall fallback
-    assert("Window".r.findAllIn(plan).size >= 2, plan)
+    assert(PlanChecks.windowCount(x76) >= 2,
+      x76.queryExecution.optimizedPlan.toString)
   }
 
   test("x77: selection is genuinely size-biased vs the uniform x75") {
