@@ -108,7 +108,7 @@ object ScaleProbe {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/spill_probe.json"),
         (s"""{"sf_dir":"$src","lineitem_stamp":"$stamp","heap":"${Runtime.getRuntime.maxMemory() / 1048576} MB","memory_fraction":${sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.04")},""" +
-          entries.mkString("\"keys\":{", ",", "}}")).getBytes)
+          entries.mkString("\"keys\":{", ",", "}}")).getBytes("UTF-8"))
       println("wrote docs/spill_probe.json")
       spark.stop()
       return
@@ -161,7 +161,7 @@ object ScaleProbe {
       println(f"mem: solo=$memSolo%.3f load=$memLoad%.3f after=$memAfter%.3f ratio=$memRatio%.2f checksum=$memSum")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/memcal_probe.json"),
-        f"""{"hammer_threads":16,"hammer_set_mib":64,"cpu_kernel":{"solo_secs":$cpuSolo%.3f,"contended_secs":$cpuLoad%.3f,"after_secs":$cpuAfter%.3f,"ratio":$cpuRatio%.2f},"mem_kernel":{"solo_secs":$memSolo%.3f,"contended_secs":$memLoad%.3f,"after_secs":$memAfter%.3f,"ratio":$memRatio%.2f,"checksum":$memSum},"note":"the sandwich scenario: uniform memory-bus load moves the DRAM-bound mem leg (host_mem_factor) while the cache-resident CPU+IO kernel (host_factor) stays near quiet — the r13 blind spot, now visible in the record itself"}""".getBytes)
+        f"""{"hammer_threads":16,"hammer_set_mib":64,"cpu_kernel":{"solo_secs":$cpuSolo%.3f,"contended_secs":$cpuLoad%.3f,"after_secs":$cpuAfter%.3f,"ratio":$cpuRatio%.2f},"mem_kernel":{"solo_secs":$memSolo%.3f,"contended_secs":$memLoad%.3f,"after_secs":$memAfter%.3f,"ratio":$memRatio%.2f,"checksum":$memSum},"note":"the sandwich scenario: uniform memory-bus load moves the DRAM-bound mem leg (host_mem_factor) while the cache-resident CPU+IO kernel (host_factor) stays near quiet — the r13 blind spot, now visible in the record itself"}""".getBytes("UTF-8"))
       println("wrote docs/memcal_probe.json")
       spark.stop()
       return
@@ -218,7 +218,7 @@ object ScaleProbe {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/bpe_depth_probe.json"),
         (s"""{"sf_dir":"$bsrc","note":"unchecked tree doubles per merge iteration; checkpoint_every=3 bounds lineage (x15 discipline)","configs":[""" +
-          entries.mkString(",") + "]}\n").getBytes)
+          entries.mkString(",") + "]}\n").getBytes("UTF-8"))
       println("wrote docs/bpe_depth_probe.json")
       spark.stop()
       return
@@ -253,7 +253,7 @@ object ScaleProbe {
         f""""$k":{"shuffle_write_mb":${dw / 1048576.0}%.1f,"secs":$secs%.1f,"fingerprint":$fp%d}"""
       }.mkString(s"""{"sf_dir":"$src","identical":true,""", ",", "}")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/bloom_probe.json"), json.getBytes)
+        java.nio.file.Paths.get("docs/bloom_probe.json"), json.getBytes("UTF-8"))
       println("wrote docs/bloom_probe.json")
       spark.stop()
       return
@@ -296,7 +296,7 @@ object ScaleProbe {
         f""""$p":{"mem_spill_mb":${dm / 1048576.0}%.1f,"secs":$secs%.1f,"fingerprint":$fp%d}"""
       }.mkString(s"""{"sf_dir":"$src","key":"q2g_substr_agg","settings":{""", ",", "}}")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/partition_probe.json"), json.getBytes)
+        java.nio.file.Paths.get("docs/partition_probe.json"), json.getBytes("UTF-8"))
       println("wrote docs/partition_probe.json")
       spark.stop()
       return
@@ -354,7 +354,7 @@ object ScaleProbe {
         f""""${k}.$shape":{"median_secs":$med%.2f,"trials":[${trials.map(t => f"${t._1}%.2f").mkString(",")}],"max_spill_mb":${trials.map(_._2).max / 1048576.0}%.1f,"fingerprint":$fp%d}"""
       }.mkString(s"""{"sf_dir":"$src","identical_per_key":true,""", ",", "}")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/agglever_probe.json"), json.getBytes)
+        java.nio.file.Paths.get("docs/agglever_probe.json"), json.getBytes("UTF-8"))
       println("wrote docs/agglever_probe.json")
       spark.stop()
       return
@@ -394,7 +394,7 @@ object ScaleProbe {
         f""""numparts_$n":{"median_secs":$med%.2f,"trials":[${trials.map(t => f"${t._1}%.2f").mkString(",")}]}"""
       }.mkString(s"""{"sf_dir":"$src","key":"q2g_substr_agg","identical":true,""", ",", "}")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/aggparts_probe.json"), json.getBytes)
+        java.nio.file.Paths.get("docs/aggparts_probe.json"), json.getBytes("UTF-8"))
       println("wrote docs/aggparts_probe.json")
       spark.stop()
       return
@@ -436,7 +436,7 @@ object ScaleProbe {
         f""""${k}.$shape":{"median_secs":$med%.2f,"trials":[${trials.map(t => f"${t._1}%.2f").mkString(",")}]}"""
       }.mkString(s"""{"sf_dir":"$src","identical_per_key":true,""", ",", "}")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/intkeys_probe.json"), json.getBytes)
+        java.nio.file.Paths.get("docs/intkeys_probe.json"), json.getBytes("UTF-8"))
       println("wrote docs/intkeys_probe.json")
       spark.stop()
       return
@@ -774,7 +774,7 @@ object ScaleProbe {
       }
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/incremental_probe.json"),
-        entries.mkString(s"""{"n":$n,"corpora":{""", ",", "}}").getBytes)
+        entries.mkString(s"""{"n":$n,"corpora":{""", ",", "}}").getBytes("UTF-8"))
       println("wrote docs/incremental_probe.json")
       spark.stop()
       return
@@ -955,7 +955,7 @@ object ScaleProbe {
         java.nio.file.Paths.get("docs/scaling_probe.json"),
         entries.mkString(
           s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"keys":{""",
-          ",", "}}").getBytes)
+          ",", "}}").getBytes("UTF-8"))
       println("wrote docs/scaling_probe.json")
       spark.stop()
       return
@@ -1013,7 +1013,7 @@ object ScaleProbe {
         java.nio.file.Paths.get("docs/hotblock_probe.json"),
         entries.mkString(
           s"""{"sf_base":"$src","corpus":"documents with 'zz ' boilerplate prepended to every text","levers":{""",
-          ",", "}}").getBytes)
+          ",", "}}").getBytes("UTF-8"))
       println("wrote docs/hotblock_probe.json")
       spark.stop()
       return
@@ -1103,7 +1103,7 @@ object ScaleProbe {
         f"rows=$n77 (bit-identical)")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/hotstratum_probe.json"),
-        f"""{"sf_base":"$src","corpus":"documents x32 id-offset replicas, 95%% of rows collapsed into one 'zz' lang stratum","hot_stratum_rows":$hotRows,"x76_max_window_input_rows":$maxWindowRows,"shortfall_strata":$shortStrata,"x75_secs":$s75%.2f,"x76_secs":$s76%.2f,"out_rows":$n75,"outputs_bit_identical":true,"x77b_max_window_input_rows":$maxWindowRowsW,"shortfall_strata_weighted":$shortStrataW,"x77_secs":$s77%.2f,"x77b_secs":$s77b%.2f,"weighted_outputs_bit_identical":true,"note":"max_window_input counts the FULL stratum for any shortfall stratum (fallback branch), survivors otherwise; the scaling quantity is window INPUT rows (x76/x77b bound one task's sort at ~8k whatever the stratum size); at this corpus size the single 152k-row sort is still trivial, so the prefilters' ~0.5s of fixed extra stages dominates wall time — the crossover is strata of tens of millions of rows, where the unfiltered hot-stratum task is the straggler"}""".getBytes)
+        f"""{"sf_base":"$src","corpus":"documents x32 id-offset replicas, 95%% of rows collapsed into one 'zz' lang stratum","hot_stratum_rows":$hotRows,"x76_max_window_input_rows":$maxWindowRows,"shortfall_strata":$shortStrata,"x75_secs":$s75%.2f,"x76_secs":$s76%.2f,"out_rows":$n75,"outputs_bit_identical":true,"x77b_max_window_input_rows":$maxWindowRowsW,"shortfall_strata_weighted":$shortStrataW,"x77_secs":$s77%.2f,"x77b_secs":$s77b%.2f,"weighted_outputs_bit_identical":true,"note":"max_window_input counts the FULL stratum for any shortfall stratum (fallback branch), survivors otherwise; the scaling quantity is window INPUT rows (x76/x77b bound one task's sort at ~8k whatever the stratum size); at this corpus size the single 152k-row sort is still trivial, so the prefilters' ~0.5s of fixed extra stages dominates wall time — the crossover is strata of tens of millions of rows, where the unfiltered hot-stratum task is the straggler"}""".getBytes("UTF-8"))
       println("wrote docs/hotstratum_probe.json")
       spark.stop()
       return

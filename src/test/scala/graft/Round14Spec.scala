@@ -171,6 +171,40 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("x78: a stratum smaller than its seat allocation clamps, not fails") {
+    // the documented undershoot path: a tiny stratum whose sqrt weight
+    // earns more seats than it has docs yields its shortfall (no
+    // driver-side redistribution); every doc of the tiny stratum is
+    // selected, and the other strata still receive exactly their seats
+    import spark.implicits._
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_clamp78")
+    val dir = dirPath.toString
+    try {
+      // two strata: 'aa' has 3 docs but sqrt-weight share ≈ 3.4% of 400
+      // seats ≈ 13 > 3 → clamps to 3; 'bb' takes its full allocation
+      val rows = (1L to 2503L).map { i =>
+        val lang = if (i <= 3L) "aa" else "bb"
+        (i, s"tok$i text", lang, "src", 9L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("x78_temperature_sample")(spark, dir).collect()
+      val aa = out.filter(_.getString(0) == "aa")
+      val bb = out.filter(_.getString(0) == "bb")
+      assert(aa.length == 3, s"tiny stratum not fully selected: ${aa.length}")
+      assert(aa.forall(_.getLong(1) == 3L), "k_alloc did not clamp to n_docs")
+      // bb's allocation is its unclamped Hamilton share (≥ floor seats);
+      // total undershoots 400 by exactly the clamped shortfall
+      assert(bb.length.toLong == bb.head.getLong(1))
+      assert(out.length < 400, "clamp did not reduce the total")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dirPath.toFile)
+    }
+  }
+
   test("HostCal memory leg: work is checksum-pinned and deterministic") {
     val (s1, c1) = HostCal.memRun()
     val (s2, c2) = HostCal.memRun()
