@@ -270,15 +270,23 @@ object PipelineOps {
     * source CTE — shared by [[minhashCtesSql]] (over `documents`) and
     * x72b's perturbed audit corpus.
     */
+  /** The DuckDB replay of ONE positional 3-gram polyhash (tokens t[i],
+    * t[i+1], t[i+2] of list column `t`, 1-indexed gram start `i`) —
+    * shared by the distinct-set shingle CTE and x79's positioned winnow
+    * gram CTE, so the two chains cannot drift on the hash definition.
+    */
+  private val ShingleHashSql: String =
+    """list_reduce(list_transform(regexp_split_to_array(
+      |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
+      |      (a, b) -> (a * 31 + b) % 1000003)""".stripMargin
+
   private def shingleCtesOver(src: String, toks: String, sh: String): String =
     s"""$toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),
        |$sh AS (
        |  SELECT DISTINCT doc_id,
-       |    list_reduce(list_transform(regexp_split_to_array(
-       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''), c -> ascii(c)),
-       |      (a, b) -> (a * 31 + b) % 1000003) AS h
+       |    $ShingleHashSql AS h
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM $toks))""".stripMargin
 
   val x3Sql: String = {
@@ -4733,6 +4741,16 @@ object PipelineOps {
     val cand =
       if (passes.lengthCompare(1) == 0) passes.head
       else passes.reduce(_ unionByName _).distinct()
+    shingleVerifyPairs(s, corpus, cand)
+  }
+
+  /** The exact-Jaccard verify over a canonical candidate set — candidates
+    * only, through a persisted shingle table (x3's verify discipline).
+    * Factored out of [[snmPairs]] so every blocking strategy (SNM passes,
+    * x79b's winnow-fingerprint join) verifies through ONE definition.
+    */
+  private def shingleVerifyPairs(s: SparkSession, corpus: DataFrame,
+      cand: DataFrame): DataFrame = {
     val hashed = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -4987,7 +5005,17 @@ object PipelineOps {
     "concat(substring(text, 1, 60), ' zqx ', substring(text, 61, length(text)))"
 
   private def snmRecallOver(s: SparkSession, d: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String]): DataFrame =
+    blockRecallOver(s, d, corpus => snmPairs(s, corpus, keys))
+
+  /** The twin-augmented recall audit body, parameterized by the blocking
+    * pipeline under audit — x72b/x72d pass the SNM forms, x79c the
+    * winnow-fingerprint join. ONE corpus augmentation, ONE truth, ONE
+    * slice taxonomy: the strategies' recall tables are directly
+    * comparable because everything but the audited pipeline is shared.
+    */
+  private def blockRecallOver(s: SparkSession, d: String,
+      pairs: DataFrame => DataFrame): DataFrame = {
     // Declared key domain: base doc_ids < X72PerturbOffset (3·10⁷), the
     // same class of bound as x68's partkey < 2³¹ — twin ids must not
     // collide with real ones. The truth input is CONSTRUCTED as
@@ -5033,7 +5061,7 @@ object PipelineOps {
       c < X63Block || c >= X72PerturbOffset
     val truth = blockTruthOver(s, blockDocs.unionByName(twins))
       .withColumn("slice", expr(snmSliceCase("doc_a", "doc_b")))
-    val found = snmPairs(s, corpus, keys)
+    val found = pairs(corpus)
       .filter(audited(col("doc_a")) && audited(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
@@ -5127,6 +5155,198 @@ object PipelineOps {
        |         * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
        |FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
        |GROUP BY 1, 2 ORDER BY slice, bucket""".stripMargin
+
+  // ===== x79: winnowing fingerprints + fingerprint-join near-dup ==========
+
+  /** Winnowing window (grams): every sliding window of [[WinnowWin]]
+    * consecutive 3-gram hashes contributes its RIGHTMOST minimal hash, so
+    * any shared token run of ≥ WinnowWin + 2 tokens shares a selected
+    * fingerprint (the Schleimer–Wilkerson–Aiken guarantee) and expected
+    * density is 2/(WinnowWin+1) ≈ 22% of grams.
+    */
+  private val WinnowWin = 8
+  /** Positions pack into the low bits of the argmin-encoding key
+    * (h·2^21 + (2^21−1 − pos)): declared domain bound docs ≤ 2^21 ≈ 2.1M
+    * grams (the same class of bound as x68's partkey < 2^31) — h < mod
+    * ≈ 2^20, so the key stays under 2^41.
+    */
+  private val WinnowPosBits = 21
+  /** Stop-fingerprint document-frequency cap for the pairs join — the
+    * hot-bucket lever: a boilerplate gram selected in >cap docs would
+    * otherwise make one fingerprint bucket quadratic (banding's stop-
+    * shingle discipline, applied to fingerprints).
+    */
+  private val WinnowDfCap = 50
+
+  /** Selected winnow fingerprints (doc_id, fp_h, fp_pos) of a corpus.
+    *
+    * The per-window rightmost argmin is ONE min-over-frame window
+    * function: key = h·2^B + (2^B−1 − pos) orders first by hash then by
+    * DESCENDING position, so min(key) over [pos, pos+w−1] is exactly the
+    * window's rightmost minimal hash; a row is a window START iff
+    * pos ≤ max(0, m − w) (the max(0,·) keeps sub-window docs: their one
+    * partial frame selects the whole-doc argmin). DISTINCT collapses the
+    * per-window duplicates. All deterministic integer arithmetic — the
+    * oracle replays it literally.
+    *
+    * Scale design (100 TB): grams explode map-side; both windows
+    * partition per doc (no global sort); output is ~22% of gram volume.
+    */
+  private def winnowFingerprints(s: SparkSession, corpus: DataFrame): DataFrame = {
+    ShingleHashes.register(s)
+    val enc = 1L << WinnowPosBits
+    val grams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr("graft_shingle_hashes_all(toks)")).as(Seq("pos", "h")))
+    val wcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wframe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WinnowWin - 1)
+    grams
+      .withColumn("m", count(lit(1)).over(wcnt))
+      .withColumn("mk",
+        min(expr(s"h * ${enc}L + (${enc - 1}L - pos)")).over(wframe))
+      .filter(col("pos") <= greatest(lit(0L), col("m") - WinnowWin))
+      .select(col("doc_id"),
+        expr(s"mk div ${enc}L").as("fp_h"),
+        expr(s"${enc - 1}L - (mk % ${enc}L)").as("fp_pos"))
+      .distinct()
+  }
+
+  /** x79: per-document winnow fingerprint profile — gram count, selected
+    * fingerprint count, density (ppm of grams). The density column is
+    * the operator's own self-check: it must sit near the theoretical
+    * 2/(w+1) ≈ 222k ppm on natural text, and a pipeline owner reads it
+    * to size the fingerprint index before running the x79b join.
+    */
+  def x79WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFingerprints(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val sz = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("n_grams"))
+      .filter(col("n_grams") >= 1)
+    sz.join(fp, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        expr("n_fp * 1000000L div n_grams").as("density_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The winnow chain's oracle CTEs over a corpus CTE: positioned grams,
+    * the min-over-frame argmin, selected fingerprints. One definition —
+    * x79/x79b/x79c all interpolate it.
+    */
+  private def winnowCtesOver(src: String): String = {
+    val enc = 1L << WinnowPosBits
+    s"""wtoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |wg AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    $ShingleHashSql AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM wtoks)),
+       |wwin AS (
+       |  SELECT doc_id, pos,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS m,
+       |         MIN(CAST(h AS BIGINT) * $enc + ($enc - 1 - pos)) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${WinnowWin - 1} FOLLOWING) AS mk
+       |  FROM wg),
+       |wfp AS (
+       |  SELECT DISTINCT doc_id, mk // $enc AS fp_h,
+       |         $enc - 1 - (mk % $enc) AS fp_pos
+       |  FROM wwin WHERE pos <= GREATEST(0, m - $WinnowWin))""".stripMargin
+  }
+
+  val x79Sql: String =
+    s"""WITH ${winnowCtesOver("documents")},
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id),
+       |sz AS (SELECT doc_id, len(t) - 2 AS n_grams FROM wtoks)
+       |SELECT sz.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |       CAST(n_fp AS BIGINT) AS n_fp,
+       |       CAST(n_fp * 1000000 // n_grams AS BIGINT) AS density_ppm
+       |FROM sz JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** x79b: near-dup pairs by winnow-fingerprint join — the third blocking
+    * strategy in the engine's decision table (docs/DEDUP_BLOCKING.md):
+    * candidates are documents sharing ≥ 1 selected fingerprint hash
+    * (document-frequency-capped), verified by the SAME exact-Jaccard
+    * shingle verify as x3 and x72. Fingerprint selection is CONTENT-
+    * anchored, not position-anchored, so edits anywhere in the document
+    * leave fingerprints of untouched regions intact — the structural
+    * contrast to SNM's sort-key blocking that x79c measures (the
+    * both-ends twins SNM irreducibly misses should recall here).
+    *
+    * Scale design (100 TB): the (doc, fp_h) table is ~22% of gram
+    * volume; the df cap bounds every join bucket at WinnowDfCap docs
+    * (candidates ≤ df·|fp| — banding's stop-shingle discipline);
+    * verification touches candidate pairs only.
+    */
+  private def winnowPairsOver(s: SparkSession, corpus: DataFrame): DataFrame = {
+    val fp = winnowFingerprints(s, corpus)
+      .select(col("doc_id"), col("fp_h")).distinct()
+    val kept = fp.join(
+      fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowDfCap)
+        .select(col("fp_h")),
+      Seq("fp_h"))
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.fp_h") === col("b.fp_h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    shingleVerifyPairs(s, corpus, cand)
+  }
+
+  def x79bWinnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairsOver(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The candidate + verify CTE chain over a given corpus CTE and shingle
+    * table — shared by x79b and x79c exactly as the SNM chains are.
+    */
+  private def winnowPairCtesOver(src: String, sh: String): String =
+    s"""${winnowCtesOver(src)},
+       |wfpd AS (SELECT DISTINCT doc_id, fp_h FROM wfp),
+       |wkept AS (
+       |  SELECT f.doc_id, f.fp_h FROM wfpd f
+       |  JOIN (SELECT fp_h FROM wfpd GROUP BY fp_h
+       |        HAVING COUNT(*) <= $WinnowDfCap) d USING (fp_h)),
+       |candw AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM wkept a JOIN wkept b
+       |    ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id),
+       |${snmVerifyCtes("candw", sh, "interw", "sizesw")}""".stripMargin
+
+  val x79bSql: String =
+    s"""WITH ${shingleCtesOver("documents", "tokw", "shw")},
+       |${winnowPairCtesOver("documents", "shw")}
+       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+       |FROM interw i
+       |JOIN sizesw sa ON sa.doc_id = i.doc_a
+       |JOIN sizesw sb ON sb.doc_id = i.doc_b
+       |WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |        >= $JaccThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** x79c: the twin-augmented recall audit replayed over the winnow join
+    * — the decision table's third measured row. Expected shape: every
+    * edit-position slice recalls high (fingerprints are content-anchored;
+    * one edit invalidates only the ≤ w windows covering it), INCLUDING
+    * the both-ends slice where both SNM forms floor at ~2% — and the
+    * strategy's own cost is the fingerprint-index join, not a bounded
+    * window, which is why all three remain declared keys.
+    */
+  def x79cWinnowRecall(s: SparkSession, d: String): DataFrame =
+    blockRecallOver(s, d, corpus => winnowPairsOver(s, corpus))
+
+  lazy val x79cSql: String =
+    snmRecallSqlOver(winnowPairCtesOver("corpus", "sh"), "interw", "sizesw")
 
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
@@ -5442,6 +5662,9 @@ object PipelineOps {
     "x72b_snm_recall"    -> (x72bSnmRecall _),
     "x72c_snm_multikey"  -> (x72cSnmMultikey _),
     "x72d_multikey_recall" -> (x72dMultikeyRecall _),
+    "x79_winnow_fingerprint" -> (x79WinnowFingerprint _),
+    "x79b_winnow_pairs"  -> (x79bWinnowPairs _),
+    "x79c_winnow_recall" -> (x79cWinnowRecall _),
     "x74_tfidf_topk"     -> (x74TfidfTopk _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
@@ -5531,6 +5754,9 @@ object PipelineOps {
     "x72b_snm_recall"    -> x72bSql,
     "x72c_snm_multikey"  -> x72cSql,
     "x72d_multikey_recall" -> x72dSql,
+    "x79_winnow_fingerprint" -> x79Sql,
+    "x79b_winnow_pairs"  -> x79bSql,
+    "x79c_winnow_recall" -> x79cSql,
     "x74_tfidf_topk"     -> x74Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,

@@ -205,6 +205,29 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("x79: winnow density near theory; x79c covers SNM's irreducible cell") {
+    val d = TestSpark.sf0001
+    // density self-check: expected 2/(w+1) ≈ 222k ppm of grams on natural
+    // text — a selection bug (wrong frame, wrong tie rule) moves this far
+    val prof = SparkEntry.queries("x79_winnow_fingerprint")(spark, d).collect()
+    val meanPpm = prof.map(_.getLong(3)).sum / prof.length
+    assert(meanPpm > 120000 && meanPpm < 350000,
+      s"winnow density $meanPpm ppm far from the 2/(w+1) theory band")
+    // the decision-table claim: fingerprints are content-anchored, so the
+    // both-ends twins BOTH SNM forms irreducibly miss (x72d: ~2%) must
+    // recall here — and the positive-control mid slice stays full
+    val rows = SparkEntry.queries("x79c_winnow_recall")(spark, d).collect()
+    def slice(n: String) = rows.filter(_.getString(0) == n)
+    for (s <- Seq("both_perturbed", "mid_perturbed", "prefix_perturbed",
+        "suffix_perturbed", "base")) {
+      val (t, f) = (slice(s).map(_.getLong(2)).sum, slice(s).map(_.getLong(3)).sum)
+      assert(t > 0, s"slice $s lost its truth")
+      assert(f * 1000000L / t >= 900000L,
+        s"winnow join under-recalled slice $s: $f/$t — " +
+          "position-robustness is the strategy's whole claim")
+    }
+  }
+
   test("HostCal memory leg: work is checksum-pinned and deterministic") {
     val (s1, c1) = HostCal.memRun()
     val (s2, c2) = HostCal.memRun()
