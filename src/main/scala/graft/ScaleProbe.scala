@@ -137,7 +137,12 @@ object ScaleProbe {
       val (memSolo, memSum) = minOf3(HostCal.memRun _)
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val sink = new java.util.concurrent.atomic.AtomicLong(0)
-      val hammers = (1 to 16).map { _ =>
+      // hammers sized to HALF the cores (16 on the 32-core builder): a
+      // fixed 16 would oversubscribe a small host's scheduler and inflate
+      // the CPU kernel's ratio for the wrong reason (scheduling, not bus
+      // contention), undermining the separation the probe demonstrates
+      val nHammers = math.max(2, Runtime.getRuntime.availableProcessors() / 2)
+      val hammers = (1 to nHammers).map { _ =>
         val t = new Thread(() => {
           val a = new Array[Long](8 << 20) // 64 MiB per thread
           var k = 0L
@@ -161,7 +166,7 @@ object ScaleProbe {
       println(f"mem: solo=$memSolo%.3f load=$memLoad%.3f after=$memAfter%.3f ratio=$memRatio%.2f checksum=$memSum")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/memcal_probe.json"),
-        f"""{"hammer_threads":16,"hammer_set_mib":64,"cpu_kernel":{"solo_secs":$cpuSolo%.3f,"contended_secs":$cpuLoad%.3f,"after_secs":$cpuAfter%.3f,"ratio":$cpuRatio%.2f},"mem_kernel":{"solo_secs":$memSolo%.3f,"contended_secs":$memLoad%.3f,"after_secs":$memAfter%.3f,"ratio":$memRatio%.2f,"checksum":$memSum},"note":"the sandwich scenario: uniform memory-bus load moves the DRAM-bound mem leg (host_mem_factor) while the cache-resident CPU+IO kernel (host_factor) stays near quiet — the r13 blind spot, now visible in the record itself"}""".getBytes("UTF-8"))
+        f"""{"hammer_threads":$nHammers,"hammer_set_mib":64,"cpu_kernel":{"solo_secs":$cpuSolo%.3f,"contended_secs":$cpuLoad%.3f,"after_secs":$cpuAfter%.3f,"ratio":$cpuRatio%.2f},"mem_kernel":{"solo_secs":$memSolo%.3f,"contended_secs":$memLoad%.3f,"after_secs":$memAfter%.3f,"ratio":$memRatio%.2f,"checksum":$memSum},"note":"the sandwich scenario: uniform memory-bus load moves the DRAM-bound mem leg (host_mem_factor) while the cache-resident CPU+IO kernel (host_factor) stays near quiet — the r13 blind spot, now visible in the record itself"}""".getBytes("UTF-8"))
       println("wrote docs/memcal_probe.json")
       spark.stop()
       return
@@ -896,7 +901,13 @@ object ScaleProbe {
         ("x77_weighted_sample", "docs",
           SparkEntry.queries("x77_weighted_sample")),
         ("x77b_weighted_prefilter", "docs",
-          SparkEntry.queries("x77b_weighted_prefilter")))
+          SparkEntry.queries("x77b_weighted_prefilter")),
+        // the winnow-fingerprint join's scale claim is the df cap bounding
+        // every candidate bucket — the exponent says whether the
+        // fingerprint index + self-join stays in the linear class as the
+        // corpus grows (r14)
+        ("x79b_winnow_pairs", "docs",
+          SparkEntry.queries("x79b_winnow_pairs")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {

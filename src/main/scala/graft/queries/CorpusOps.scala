@@ -351,9 +351,9 @@ object CorpusOps {
   private def nullSafeJoin(left: DataFrame, right: DataFrame, key: String,
       joinType: String): DataFrame = {
     val r = right.withColumnRenamed(key, "_nsk")
-    val joined = left.join(broadcast(r), left(key) <=> r("_nsk"), joinType)
-    if (joinType == "left_anti" || joinType == "left_semi") joined
-    else joined.drop("_nsk")
+    // drop is a no-op for semi/anti joins (their output carries only
+    // left-side columns), so no joinType dispatch is needed
+    left.join(broadcast(r), left(key) <=> r("_nsk"), joinType).drop("_nsk")
   }
 
   private[graft] def x76Prefilter(s: SparkSession, d: String)
@@ -598,17 +598,23 @@ object CorpusOps {
       .withColumn("rem", expr(s"($TempBudget * w_micro) % sw"))
       .withColumn("r_left", expr(s"$TempBudget - sum(k_floor) over ()"))
       .withColumn("rr", org.apache.spark.sql.functions.row_number().over(
+        // asc_nulls_last on the lang tie-break: Spark's bare asc sorts
+        // NULLs FIRST while DuckDB's ORDER BY sorts them LAST — on a
+        // rem-tied NULL-lang stratum the leftover seat would go to
+        // different strata in the two engines (review finding; the
+        // NULL-corpus spec exercises exactly this tie)
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col("lang"))))
+          .orderBy(col("rem").desc, col("lang").asc_nulls_last)))
       .withColumn("k_alloc",
         least(col("n_docs"),
           col("k_floor") + when(col("rr") <= col("r_left"), 1L).otherwise(0L)))
-      .select(col("lang").as("_al"), col("k_alloc"))
+      .select(col("lang"), col("k_alloc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("lang"), col("doc_id"),
-        expr("graft_polyhash(cast(doc_id as string))").as("h"))
-      .join(broadcast(alloc), col("lang") <=> col("_al"))
+    nullSafeJoin(
+        docs.select(col("lang"), col("doc_id"),
+          expr("graft_polyhash(cast(doc_id as string))").as("h")),
+        alloc, "lang", "inner")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= col("k_alloc"))
       .select(col("lang"), col("k_alloc"), col("rn").cast("long").as("rn"),

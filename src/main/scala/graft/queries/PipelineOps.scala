@@ -5210,9 +5210,12 @@ object PipelineOps {
       .withColumn("mk",
         min(expr(s"h * ${enc}L + (${enc - 1}L - pos)")).over(wframe))
       .filter(col("pos") <= greatest(lit(0L), col("m") - WinnowWin))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("m").as("n_grams"),
         expr(s"mk div ${enc}L").as("fp_h"),
         expr(s"${enc - 1}L - (mk % ${enc}L)").as("fp_pos"))
+      // n_grams is functionally dependent on doc_id, so carrying it
+      // through the distinct changes no cardinality — and it saves x79's
+      // profile a second full scan+tokenize of the corpus (review finding)
       .distinct()
   }
 
@@ -5222,19 +5225,14 @@ object PipelineOps {
     * 2/(w+1) ≈ 222k ppm on natural text, and a pipeline owner reads it
     * to size the fingerprint index before running the x79b join.
     */
-  def x79WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
-    val fp = winnowFingerprints(s,
+  def x79WinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(s,
         Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val sz = Tables.documents(s, d)
-      .select(col("doc_id"),
-        (size(split(col("text"), " ")) - 2).cast("long").as("n_grams"))
-      .filter(col("n_grams") >= 1)
-    sz.join(fp, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_fp"))
       .select(col("doc_id"), col("n_grams"), col("n_fp"),
         expr("n_fp * 1000000L div n_grams").as("density_ppm"))
       .orderBy(col("doc_id"))
-  }
 
   /** The winnow chain's oracle CTEs over a corpus CTE: positioned grams,
     * the min-over-frame argmin, selected fingerprints. One definition —
@@ -5287,8 +5285,15 @@ object PipelineOps {
     * verification touches candidate pairs only.
     */
   private def winnowPairsOver(s: SparkSession, corpus: DataFrame): DataFrame = {
+    // persisted: the fingerprint table feeds the df aggregate AND both
+    // sides of the candidate self-join — unpersisted, the gram-explode +
+    // two-window subtree re-derives three times (measured at sf0.1:
+    // best-observed 3.80 s → 2.34 s, med 3.9 → 3.4; the x73
+    // re-derivation lesson applied at birth)
     val fp = winnowFingerprints(s, corpus)
       .select(col("doc_id"), col("fp_h")).distinct()
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(fp))
     val kept = fp.join(
       fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinnowDfCap)

@@ -171,6 +171,42 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("x78: leftover-seat tie-break ranks NULL-lang strata LAST (oracle order)") {
+    // three equal strata force a 3-way remainder tie with exactly ONE
+    // leftover seat (400 mod 3 = 1); Hamilton's tie-break is lang order
+    // with NULLS LAST (DuckDB's default) — Spark's bare asc sorts NULLs
+    // FIRST, so without asc_nulls_last the seat would go to the NULL
+    // stratum and the two engines would allocate differently on any
+    // rem-tied NULL-bearing corpus (review finding)
+    import spark.implicits._
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_tie78")
+    val dir = dirPath.toString
+    try {
+      // 150 docs per stratum: allocations (134/133/133) stay below the
+      // stratum sizes, so the clamp cannot mask the tie-break outcome
+      val rows = (1L to 450L).map { i =>
+        val lang = (i % 3) match {
+          case 0 => "aa"; case 1 => "bb"; case _ => null
+        }
+        (i, s"tok$i text words", lang, "src", 12L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("x78_temperature_sample")(spark, dir).collect()
+      val alloc = out.groupBy(r => Option(r.getString(0)))
+        .map { case (l, rs) => l -> rs.map(_.getLong(1)).head }
+      assert(alloc(Some("aa")) == 134L && alloc(Some("bb")) == 133L &&
+        alloc(None) == 133L,
+        s"tie-break allocation wrong (NULL must rank last): $alloc")
+      assert(out.length == 400)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dirPath.toFile)
+    }
+  }
+
   test("x78: a stratum smaller than its seat allocation clamps, not fails") {
     // the documented undershoot path: a tiny stratum whose sqrt weight
     // earns more seats than it has docs yields its shortfall (no
