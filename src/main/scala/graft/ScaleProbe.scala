@@ -1030,6 +1030,62 @@ object ScaleProbe {
       return
     }
 
+    // Winnow df-cap probe (`winnowdf` arg, r14): x79b's scale claim is
+    // that the fingerprint document-frequency cap bounds every candidate
+    // join bucket — the lever that matters when boilerplate makes one
+    // fingerprint near-universal. This manufactures that hot bucket:
+    // every document gains a 10-token boilerplate lead, whose interior
+    // windows winnow to IDENTICAL fingerprints across all ~50k docs
+    // (df ≈ corpus size; uncapped, those buckets alone would contribute
+    // ~1.2·10⁹ candidate pairs — unrunnable, so the probe COUNTS the
+    // avoided pairs Σ C(df,2) from the df distribution instead of
+    // executing them, and runs the capped key end-to-end to show it
+    // completes with bounded buckets). Evidence: docs/winnowdf_probe.json.
+    if (args.contains("winnowdf")) {
+      val srcTag = src.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$scratch/graft_winnowdf_v1_$srcTag"
+      val done = new java.io.File(s"$dir/_GRAFT_DONE")
+      if (!done.exists()) {
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("text",
+            concat(lit("zb za zc zd ze zf zg zh zi zj "), col("text")))
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        done.createNewFile()
+      }
+      def dfStats(d: String): (Long, Long, Long, Long) = {
+        val fp = graft.queries.PipelineOps.winnowFingerprints(spark,
+            spark.read.parquet(s"$d/documents.parquet")
+              .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("fp_h")).distinct()
+        val df = fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+        val row = df.agg(
+          coalesce(max(col("df")), lit(0L)),
+          coalesce(sum(when(col("df") > 50, lit(1L))), lit(0L)),
+          // pairs the cap refuses to enumerate: Σ C(df,2) over df>cap
+          coalesce(sum(when(col("df") > 50,
+            expr("df * (df - 1) div 2"))), lit(0L)),
+          count(lit(1))).first()
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      }
+      val (mx0, over0, avoided0, nfp0) = dfStats(src)
+      val (mx1, over1, avoided1, nfp1) = dfStats(dir)
+      val fn = SparkEntry.queries("x79b_winnow_pairs")
+      fn(spark, dir).count() // warm
+      val t0 = System.nanoTime()
+      val pairs = fn(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"clean: max_df=$mx0 over_cap=$over0 avoided=$avoided0 n_fp=$nfp0")
+      println(f"boiler: max_df=$mx1 over_cap=$over1 avoided=$avoided1 n_fp=$nfp1")
+      println(f"capped x79b on boilerplate corpus: pairs=$pairs secs=$secs%.2f")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/winnowdf_probe.json"),
+        f"""{"sf_base":"$src","corpus":"documents with a 10-token boilerplate lead on every text","df_cap":50,"clean":{"max_df":$mx0,"fp_over_cap":$over0,"pairs_avoided":$avoided0,"n_distinct_fp":$nfp0},"boilerplate":{"max_df":$mx1,"fp_over_cap":$over1,"pairs_avoided":$avoided1,"n_distinct_fp":$nfp1},"capped_run":{"pairs":$pairs,"secs":$secs%.2f},"note":"pairs_avoided = sum C(df,2) over fingerprints above the cap — the candidate pairs an uncapped join would enumerate from those buckets; the capped key completes end-to-end because every surviving bucket is <= cap docs, at the documented recall trade (boilerplate-anchored matches are not candidates)"}""".getBytes("UTF-8"))
+      println("wrote docs/winnowdf_probe.json")
+      spark.stop()
+      return
+    }
+
     // Hot-stratum probe (`hotstratum` arg, r13): x76's claim is that the
     // hash prefilter bounds the ranking window's input at ~8k rows per
     // stratum REGARDLESS of stratum size — the failure mode it refines

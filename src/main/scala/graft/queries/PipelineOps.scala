@@ -5192,7 +5192,7 @@ object PipelineOps {
     * Scale design (100 TB): grams explode map-side; both windows
     * partition per doc (no global sort); output is ~22% of gram volume.
     */
-  private def winnowFingerprints(s: SparkSession, corpus: DataFrame): DataFrame = {
+  private[graft] def winnowFingerprints(s: SparkSession, corpus: DataFrame): DataFrame = {
     ShingleHashes.register(s)
     val enc = 1L << WinnowPosBits
     val grams = corpus
@@ -5294,9 +5294,15 @@ object PipelineOps {
       .select(col("doc_id"), col("fp_h")).distinct()
       .persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(fp))
+    // the df-cap skew lever (hotblock's pattern for the winnow join):
+    // non-default values void the oracle contract — the oracle replays
+    // the default [[WinnowDfCap]]; the winnowdf probe is where other
+    // values are exercised
+    val cap = s.conf.getOption("spark.graft.x79.dfCap")
+      .getOrElse(WinnowDfCap.toString).toInt
     val kept = fp.join(
       fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowDfCap)
+        .filter(col("df") <= cap)
         .select(col("fp_h")),
       Seq("fp_h"))
     val cand = kept.as("a").join(kept.as("b"),
