@@ -5164,13 +5164,15 @@ object PipelineOps {
     * fingerprint (the Schleimer–Wilkerson–Aiken guarantee) and expected
     * density is 2/(WinnowWin+1) ≈ 22% of grams.
     */
-  private val WinnowWin = 8
+  private val WinnowWin = graft.functions.WinnowHashes.DefaultWin
   /** Positions pack into the low bits of the argmin-encoding key
     * (h·2^21 + (2^21−1 − pos)): declared domain bound docs ≤ 2^21 ≈ 2.1M
     * grams (the same class of bound as x68's partkey < 2^31) — h < mod
-    * ≈ 2^20, so the key stays under 2^41.
+    * ≈ 2^20, so the key stays under 2^41. Both constants live on the
+    * [[graft.functions.WinnowHashes]] expression so the Spark kernel and
+    * the oracle interpolation share one definition.
     */
-  private val WinnowPosBits = 21
+  private val WinnowPosBits = graft.functions.WinnowHashes.DefaultPosBits
   /** Stop-fingerprint document-frequency cap for the pairs join — the
     * hot-bucket lever: a boilerplate gram selected in >cap docs would
     * otherwise make one fingerprint bucket quadratic (banding's stop-
@@ -5178,45 +5180,35 @@ object PipelineOps {
     */
   private val WinnowDfCap = 50
 
-  /** Selected winnow fingerprints (doc_id, fp_h, fp_pos) of a corpus.
+  /** Selected winnow fingerprints (doc_id, n_grams, fp_h, fp_pos) of a
+    * corpus — computed MAP-SIDE by the codegen'd
+    * [[graft.functions.WinnowHashes]] expression (O(m) monotonic-deque
+    * sliding minimum per document, distinct encoded fingerprints out):
+    * the selection is per-document, so no gram explode, no exchange, and
+    * no per-doc window sort ever happens — the r14 session originally
+    * shipped the min-over-frame window-function form (two window specs
+    * over an exploded gram table, one exchange), which remains the
+    * ORACLE's replay and the readable spec; the two forms select
+    * identical fingerprints because the rule is the same (min over the
+    * window of `h·2^B + (2^B−1−pos)` = rightmost minimal hash), which
+    * the unchanged oracle hash-verifies every round.
     *
-    * The per-window rightmost argmin is ONE min-over-frame window
-    * function: key = h·2^B + (2^B−1 − pos) orders first by hash then by
-    * DESCENDING position, so min(key) over [pos, pos+w−1] is exactly the
-    * window's rightmost minimal hash; a row is a window START iff
-    * pos ≤ max(0, m − w) (the max(0,·) keeps sub-window docs: their one
-    * partial frame selects the whole-doc argmin). DISTINCT collapses the
-    * per-window duplicates. All deterministic integer arithmetic — the
-    * oracle replays it literally.
-    *
-    * Scale design (100 TB): grams explode map-side; both windows
-    * partition per doc (no global sort); output is ~22% of gram volume.
+    * Scale design (100 TB): one scan, zero shuffles to fingerprint;
+    * output is ~2/(w+1) ≈ 22% of gram volume. The expression also works
+    * per-row in Structured Streaming, where window functions cannot.
     */
   private[graft] def winnowFingerprints(s: SparkSession, corpus: DataFrame): DataFrame = {
-    ShingleHashes.register(s)
+    graft.functions.WinnowHashes.register(s)
     val enc = 1L << WinnowPosBits
-    val grams = corpus
+    corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        posexplode(expr("graft_shingle_hashes_all(toks)")).as(Seq("pos", "h")))
-    val wcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val wframe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        WinnowWin - 1)
-    grams
-      .withColumn("m", count(lit(1)).over(wcnt))
-      .withColumn("mk",
-        min(expr(s"h * ${enc}L + (${enc - 1}L - pos)")).over(wframe))
-      .filter(col("pos") <= greatest(lit(0L), col("m") - WinnowWin))
-      .select(col("doc_id"), col("m").as("n_grams"),
-        expr(s"mk div ${enc}L").as("fp_h"),
-        expr(s"${enc - 1}L - (mk % ${enc}L)").as("fp_pos"))
-      // n_grams is functionally dependent on doc_id, so carrying it
-      // through the distinct changes no cardinality — and it saves x79's
-      // profile a second full scan+tokenize of the corpus (review finding)
-      .distinct()
+        (size(col("toks")) - 2).cast("long").as("n_grams"),
+        explode(expr("graft_winnow_hashes(toks)")).as("e"))
+      .select(col("doc_id"), col("n_grams"),
+        expr(s"e div ${enc}L").as("fp_h"),
+        expr(s"e % ${enc}L").as("fp_pos"))
   }
 
   /** x79: per-document winnow fingerprint profile — gram count, selected

@@ -596,6 +596,30 @@ object Streams {
       pmod(expr("graft_polyhash(cast(doc_id as string))"), lit(100)) < pct)
   }
 
+  /** Streaming twin of x79 winnow fingerprinting: the per-document
+    * profile (gram count, selected fingerprints, density) computed on a
+    * LIVE document stream. Possible at all because the selection moved
+    * into the codegen'd [[graft.functions.WinnowHashes]] expression —
+    * the batch form's window functions cannot run in Structured
+    * Streaming, but a per-row expression can, STATELESS: a document's
+    * fingerprints depend on nothing but its own text, so each arriving
+    * doc emits its profile exactly once and the streamed output is
+    * bit-identical to the batch x79 profile over the same rows whatever
+    * the micro-batch boundaries (the sampleDocuments stateless-twin
+    * rule). Fingerprint-at-ingest is the production posture: the
+    * fingerprint index appends in-flight and the x79b candidate join
+    * runs at rest. Expects (doc_id, text).
+    */
+  def winnowProfileStream(docs: DataFrame): DataFrame = {
+    graft.functions.WinnowHashes.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        (size(col("toks")) - 2).cast("long").as("n_grams"),
+        size(expr("graft_winnow_hashes(toks)")).cast("long").as("n_fp"))
+      .withColumn("density_ppm", expr("n_fp * 1000000L div n_grams"))
+  }
+
   /** Streaming twin of x13 embedding near-dup marking: state is keyed by
     * the vector's LSH bucket (same 8-plane bucketing as the batch path), so
     * an arriving vector compares only against prior vectors in ITS bucket —

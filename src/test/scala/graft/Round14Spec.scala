@@ -264,6 +264,56 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("WinnowHashes kernel selects exactly what the frame spec selects") {
+    // the codegen'd O(m) deque kernel replaced the min-over-frame window
+    // form mid-round; the oracle still replays the frame form, and this
+    // differential pins the two Spark-side forms equal on the real corpus
+    // PLUS the edge shapes the corpus may not exercise: sub-window docs
+    // (m < w), exact-window docs (m == w), and all-tied hashes (repeated
+    // tokens — the rightmost-of-ties rule)
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    def frameForm(corpus: DataFrame): Seq[String] = {
+      graft.functions.ShingleHashes.register(spark)
+      val enc = 1L << 21
+      val grams = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          posexplode(expr("graft_shingle_hashes_all(toks)")).as(Seq("pos", "h")))
+      val wcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val wframe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 7)
+      grams
+        .withColumn("m", count(lit(1)).over(wcnt))
+        .withColumn("mk",
+          min(expr(s"h * ${enc}L + (${enc - 1}L - pos)")).over(wframe))
+        .filter(col("pos") <= greatest(lit(0L), col("m") - 8))
+        .select(col("doc_id"),
+          expr(s"mk div ${enc}L").as("fp_h"),
+          expr(s"${enc - 1}L - (mk % ${enc}L)").as("fp_pos"))
+        .distinct()
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def kernelForm(corpus: DataFrame): Seq[String] =
+      graft.queries.PipelineOps.winnowFingerprints(spark, corpus)
+        .select(col("doc_id"), col("fp_h"), col("fp_pos"))
+        .collect().map(_.toString).sorted.toSeq
+    val real = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    assert(kernelForm(real) == frameForm(real), "kernel diverged on the corpus")
+    val edges = Seq(
+      (1L, "a b c"),                            // m=1 (single truncated window)
+      (2L, "a b c d e f"),                      // m=4 < w
+      (3L, "a b c d e f g h i j"),              // m=8 == w (one full window)
+      (4L, "w w w w w w w w w w w w"),          // all grams tied
+      (5L, "x y x y x y x y x y x y x y"),      // period-2 ties
+      (6L, (1 to 40).map(i => s"t${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(kernelForm(edges) == frameForm(edges), "kernel diverged on edges")
+  }
+
   test("HostCal memory leg: work is checksum-pinned and deterministic") {
     val (s1, c1) = HostCal.memRun()
     val (s2, c2) = HostCal.memRun()

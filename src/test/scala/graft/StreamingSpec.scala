@@ -492,6 +492,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnow profile is bit-identical to the batch x79 profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus text through a memory stream in TWO micro-batches: the
+    // selection is stateless per document, so batch boundaries must not
+    // change a single row vs the batch x79 key over the same docs
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.winnowProfileStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("winnow_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.take(50).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(50).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("winnow_test")
+        .collect().map(_.toString).sorted
+      val ids = docs.map(_._1).toSet
+      val batch = SparkEntry.queries("x79_winnow_fingerprint")(
+          spark, TestSpark.sf0001)
+        .filter(col("doc_id").isin(ids.toSeq: _*))
+        .collect().map(_.toString).sorted
+      assert(batch.nonEmpty && streamed.sameElements(batch),
+        s"stream/batch divergence: ${streamed.length} vs ${batch.length} rows")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags exactly the batch x20 train docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
