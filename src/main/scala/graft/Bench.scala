@@ -78,6 +78,32 @@ object BenchGate {
   def suiteNoisy(nStillNoisy: Int, nKeys: Int): Boolean =
     nStillNoisy > 0.05 * nKeys
 
+  /** host_mem_factor threshold above which the run is memory-degraded and
+    * its headline must not print as comparable (r14 verdict #1: the r14
+    * driver record printed `comparable:true` at host_mem_factor 1.46 with
+    * a headline ~30% above the same HEAD's quiet band — the mem leg SAW
+    * the contention but nothing ACTED on it). Calibration from
+    * docs/memcal_probe.json and the observed records: quiet builder band
+    * 0.88–0.97, the caught contended driver run 1.46, the hammer-contended
+    * probe 2.76 — 1.2 splits the quiet band from every observed degraded
+    * reading with margin on both sides. The CPU+IO leg keeps its existing
+    * role (context, plus the per-key noise gates catch CPU bursts); the
+    * DRAM leg needs its own gate precisely because uniform memory-bus load
+    * inflates every timing WITHOUT widening any per-key spread.
+    */
+  val MemDegradedGate = 1.2
+  def memDegraded(hostMemFactor: Double): Boolean =
+    hostMemFactor > MemDegradedGate
+
+  /** Locale-pinned decimal formatting for machine-read JSON emitters: the
+    * f interpolator honors the JVM default locale, so under e.g. de_DE
+    * `%.3f` emits a comma decimal separator and corrupts the BENCH record
+    * (r14 ADVICE). Every numeric field in the bench JSON goes through
+    * this.
+    */
+  def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   /** Per-key stats JSON entry — factored out of the main so the artifact
     * FORMAT is spec-pinnable: `cached_artifact` (r13 verdict #2) marks a
     * timing that read an engine-published parquet layout
@@ -88,7 +114,7 @@ object BenchGate {
     */
   def statJson(name: String, mn: Double, spread: Double,
       cachedArtifact: Boolean): String =
-    f""""$name":{"min":$mn%.3f,"spread":$spread%.2f,"cached_artifact":$cachedArtifact}"""
+    s""""$name":{"min":${num(mn, 3)},"spread":${num(spread, 2)},"cached_artifact":$cachedArtifact}"""
 }
 
 /** Host-speed calibration (r12 verdict #4): a FIXED, deterministic in-JVM
@@ -393,7 +419,7 @@ object Bench {
       BenchGate.statJson(n, mn, sp, artifactKeys(n))
     }.mkString("{", ",", "}")
     val planJson = planInfo.map { case (k, (st, by)) =>
-      f""""$k":{"stages":$st,"shuffle_mb":${by / 1048576.0}%.3f}"""
+      s""""$k":{"stages":$st,"shuffle_mb":${BenchGate.num(by / 1048576.0, 3)}}"""
     }.mkString("{", ",", "}")
     // -1 sentinels mark failures; summing them would make a partially
     // failing run report a better-looking total than a clean one.
@@ -435,13 +461,6 @@ object Bench {
         }.mkString("{", ",", "}")
     }
 
-    // A run with failures must never print a smaller-is-better headline: the
-    // sum over the surviving queries is NOT comparable to a clean round's
-    // total (r7 postmortem — 25 failed keys made 118.9s look faster than a
-    // clean 142.4s). Noise gates it too (r11 postmortem — a degraded host
-    // made 248.5s print as comparable while the same code bands at
-    // 102–131s quiet). `comparable:false` marks both explicitly.
-    val comparable = failed == 0 && !noisy
     // measured AFTER the timed sweeps (competing with them would inflate
     // it) and before the record is printed, so every BENCH artifact carries
     // its own host-speed context. Two legs: the CPU+IO kernel
@@ -451,12 +470,25 @@ object Bench {
     // scenario is reproduced in docs/memcal_probe.json)
     val hostFactor = HostCal.factor()
     val hostMemFactor = HostCal.memFactor()
+    // A run with failures must never print a smaller-is-better headline: the
+    // sum over the surviving queries is NOT comparable to a clean round's
+    // total (r7 postmortem — 25 failed keys made 118.9s look faster than a
+    // clean 142.4s). Noise gates it too (r11 postmortem — a degraded host
+    // made 248.5s print as comparable while the same code bands at
+    // 102–131s quiet). And since r15 the DRAM calibration leg gates it as
+    // well (r14 postmortem — a memory-contended host inflated every timing
+    // uniformly, so no per-key spread widened and 159.6s printed comparable
+    // beside the same HEAD's quiet 122.3s; the `degraded` field names the
+    // cause). `comparable:false` marks all three explicitly.
+    val degraded = BenchGate.memDegraded(hostMemFactor)
+    val comparable = failed == 0 && !noisy && !degraded
     // failed KEYS by name (capped — failures should be rare): without this,
     // the valid-sample median hides which query crashed and the artifact
     // only carries a count
     val failedJson = failedKeys.take(20).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val noiseJson = f""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":$sumOfMins%.1f,"host_factor":$hostFactor%.2f,"host_mem_factor":$hostMemFactor%.2f,"failed_keys":$failedJson"""
+    val degradedJson = if (degraded) "\"memory\"" else "null"
+    val noiseJson = s""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":${BenchGate.num(sumOfMins, 1)},"host_factor":${BenchGate.num(hostFactor, 2)},"host_mem_factor":${BenchGate.num(hostMemFactor, 2)},"degraded":$degradedJson,"failed_keys":$failedJson"""
     val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the
@@ -479,7 +511,7 @@ object Bench {
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) =>
         val (mn, sp) = stats(k)
-        "\"" + k + "\":" + f"""{"med":$v%.3f,"min":$mn%.3f,"spread":$sp%.2f}"""
+        "\"" + k + "\":" + s"""{"med":${BenchGate.num(v, 3)},"min":${BenchGate.num(mn, 3)},"spread":${BenchGate.num(sp, 2)}}"""
       }.mkString("{", ",", "}")
     println(s"""{"metric":"headline","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"nqueries":${names.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
