@@ -907,7 +907,13 @@ object ScaleProbe {
         // fingerprint index + self-join stays in the linear class as the
         // corpus grows (r14)
         ("x79b_winnow_pairs", "docs",
-          SparkEntry.queries("x79b_winnow_pairs")))
+          SparkEntry.queries("x79b_winnow_pairs")),
+        // the fingerprint-selection stage alone (r14 verdict #7): map-side
+        // codegen'd kernel + one count aggregate — the exponent certifies
+        // the zero-shuffle claim independently of the join above (x79c has
+        // NO row: its audit corpus is constant-size by design, see notes)
+        ("x79_winnow_fingerprint", "docs",
+          SparkEntry.queries("x79_winnow_fingerprint")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
@@ -965,7 +971,7 @@ object ScaleProbe {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/scaling_probe.json"),
         entries.mkString(
-          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"keys":{""",
+          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"notes":{"x79c_winnow_recall":"no exponent row BY DESIGN: the audit corpus is constant-size (block-bounded all-pairs truth over doc_id<1000 plus a fixed twin count), so its cost does not scale with the corpus — replicating the corpus would only re-measure x79b, which has its own row"},"keys":{""",
           ",", "}}").getBytes("UTF-8"))
       println("wrote docs/scaling_probe.json")
       spark.stop()
@@ -1053,6 +1059,12 @@ object ScaleProbe {
           .parquet(s"$dir/documents.parquet")
         done.createNewFile()
       }
+      // the ONE cap definition (r14 ADVICE: three hardcoded 50s here could
+      // drift from the engine's lever default and mislabel the probe), and
+      // the session lever explicitly unset so the timed x79b run below
+      // measures exactly the labeled default geometry
+      val dfCap = graft.queries.PipelineOps.WinnowDfCap
+      spark.conf.unset("spark.graft.x79.dfCap")
       def dfStats(d: String): (Long, Long, Long, Long) = {
         val fp = graft.queries.PipelineOps.winnowFingerprints(spark,
             spark.read.parquet(s"$d/documents.parquet")
@@ -1061,9 +1073,9 @@ object ScaleProbe {
         val df = fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
         val row = df.agg(
           coalesce(max(col("df")), lit(0L)),
-          coalesce(sum(when(col("df") > 50, lit(1L))), lit(0L)),
+          coalesce(sum(when(col("df") > dfCap, lit(1L))), lit(0L)),
           // pairs the cap refuses to enumerate: Σ C(df,2) over df>cap
-          coalesce(sum(when(col("df") > 50,
+          coalesce(sum(when(col("df") > dfCap,
             expr("df * (df - 1) div 2"))), lit(0L)),
           count(lit(1))).first()
         (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
@@ -1080,7 +1092,7 @@ object ScaleProbe {
       println(f"capped x79b on boilerplate corpus: pairs=$pairs secs=$secs%.2f")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/winnowdf_probe.json"),
-        f"""{"sf_base":"$src","corpus":"documents with a 10-token boilerplate lead on every text","df_cap":50,"clean":{"max_df":$mx0,"fp_over_cap":$over0,"pairs_avoided":$avoided0,"n_distinct_fp":$nfp0},"boilerplate":{"max_df":$mx1,"fp_over_cap":$over1,"pairs_avoided":$avoided1,"n_distinct_fp":$nfp1},"capped_run":{"pairs":$pairs,"secs":$secs%.2f},"note":"pairs_avoided = sum C(df,2) over fingerprints above the cap — the candidate pairs an uncapped join would enumerate from those buckets; the capped key completes end-to-end because every surviving bucket is <= cap docs, at the documented recall trade (boilerplate-anchored matches are not candidates)"}""".getBytes("UTF-8"))
+        f"""{"sf_base":"$src","corpus":"documents with a 10-token boilerplate lead on every text","df_cap":$dfCap,"clean":{"max_df":$mx0,"fp_over_cap":$over0,"pairs_avoided":$avoided0,"n_distinct_fp":$nfp0},"boilerplate":{"max_df":$mx1,"fp_over_cap":$over1,"pairs_avoided":$avoided1,"n_distinct_fp":$nfp1},"capped_run":{"pairs":$pairs,"secs":$secs%.2f},"note":"pairs_avoided = sum C(df,2) over fingerprints above the cap — the candidate pairs an uncapped join would enumerate from those buckets; the capped key completes end-to-end because every surviving bucket is <= cap docs, at the documented recall trade (boilerplate-anchored matches are not candidates)"}""".getBytes("UTF-8"))
       println("wrote docs/winnowdf_probe.json")
       spark.stop()
       return

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // strict-oracle marker (r14 verdict #3): query builders whose skew
+    // levers void the oracle contract when set to non-default values
+    // (x72 blockPrefixLen, x79 dfCap) fail FAST with a named error under
+    // this flag instead of silently hash-mismatching against the oracle
+    spark.conf.set("spark.graft.oracleStrict", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

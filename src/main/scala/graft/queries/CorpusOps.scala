@@ -559,7 +559,7 @@ object CorpusOps {
 
   // ===== x78: exact-count temperature allocation (Hamilton apportionment) =
 
-  private val TempBudget = 400L // total docs across strata (the K knob)
+  private[graft] val TempBudget = 400L // total docs across strata (the K knob)
 
   /** The exact-count completion of the sampling-family matrix: x24 is the
     * RATE form of temperature mixing (stratum sampled at rate ∝ n^0.5,
@@ -579,6 +579,14 @@ object CorpusOps {
     * docs than seats yields its shortfall rather than redistributing —
     * the documented undershoot: iterative reallocation is a driver-side
     * loop, and production budget-mixers cap-and-log exactly this way).
+    * Since r15 the undershoot is DATA, not just scaladoc (r14 verdict
+    * #4): every output row carries both `k_seats` (the Hamilton
+    * allocation before the clamp) and `k_alloc` (realized) — a clamped
+    * stratum shows `k_seats > k_alloc` in the output itself, and
+    * Σ(k_seats − k_alloc) is the corpus-level undershoot a pipeline
+    * owner alerts on. The one-round in-plan seat REDISTRIBUTION of that
+    * undershoot is x78b. On an unclamped corpus k_seats = k_alloc
+    * everywhere, so the added column is pure provenance.
     *
     * Scale design (100 TB): every apportionment step runs on the
     * strata-domain aggregate (dozens of rows — the `over ()` windows
@@ -586,10 +594,19 @@ object CorpusOps {
     * selection is x75's per-stratum bounded window. k_l ≤ K is a
     * constant, so the hot-stratum concern is bounded by K itself.
     */
-  def x78TemperatureSample(s: SparkSession, d: String): DataFrame = {
-    StringPolyHash.register(s)
-    val docs = Tables.documents(s, d)
-    val alloc = docs.groupBy(col("lang"))
+  def x78TemperatureSample(s: SparkSession, d: String): DataFrame =
+    x78Over(s, Tables.documents(s, d))
+
+  /** [[x78TemperatureSample]] over an arbitrary (lang, doc_id) corpus —
+    * factored so the clamped-stratum spec can run a fixture where seats
+    * exceed one stratum's size (the real testdata never clamps).
+    */
+  /** Round-1 Hamilton allocation frame: (lang, n_docs, w_micro, k_seats,
+    * k_alloc) — shared by x78 (reports the clamp) and x78b (redistributes
+    * it). Runs entirely on the strata-domain aggregate.
+    */
+  private def x78Alloc(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w_micro",
         expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS LONG)"))
@@ -605,22 +622,39 @@ object CorpusOps {
         // NULL-corpus spec exercises exactly this tie)
         org.apache.spark.sql.expressions.Window
           .orderBy(col("rem").desc, col("lang").asc_nulls_last)))
-      .withColumn("k_alloc",
-        least(col("n_docs"),
-          col("k_floor") + when(col("rr") <= col("r_left"), 1L).otherwise(0L)))
-      .select(col("lang"), col("k_alloc"))
+      .withColumn("k_seats",
+        col("k_floor") + when(col("rr") <= col("r_left"), 1L).otherwise(0L))
+      .withColumn("k_alloc", least(col("n_docs"), col("k_seats")))
+      .select(col("lang"), col("n_docs"), col("w_micro"),
+        col("k_seats"), col("k_alloc"))
+
+  /** Per-stratum hash-ordered exact-count selection under an allocation
+    * frame carrying a `k_alloc` realized-count column — the shared tail
+    * of x78/x78b. Emits the alloc frame's provenance columns (everything
+    * but n_docs/w_micro) on every selected row.
+    */
+  private def x78Select(s: SparkSession, docs: DataFrame,
+      alloc: DataFrame): DataFrame = {
+    StringPolyHash.register(s)
+    val provenance = alloc.columns.filter(c =>
+      c != "lang" && c != "n_docs" && c != "w_micro").map(col).toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     nullSafeJoin(
         docs.select(col("lang"), col("doc_id"),
           expr("graft_polyhash(cast(doc_id as string))").as("h")),
-        alloc, "lang", "inner")
+        alloc.drop("n_docs", "w_micro"), "lang", "inner")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= col("k_alloc"))
-      .select(col("lang"), col("k_alloc"), col("rn").cast("long").as("rn"),
-        col("doc_id"))
+      .select(col("lang") +: provenance :+
+        col("rn").cast("long").as("rn") :+ col("doc_id"): _*)
       .orderBy(col("lang"), col("rn"))
   }
+
+  private[graft] def x78Over(s: SparkSession, docs: DataFrame): DataFrame =
+    x78Select(s, docs,
+      x78Alloc(docs).select(col("lang"), col("n_docs"), col("w_micro"),
+        col("k_seats"), col("k_alloc")))
 
   val x78Sql: String =
     s"""WITH w AS (
@@ -639,19 +673,127 @@ object CorpusOps {
        |  FROM a),
        |alloc AS (
        |  SELECT lang,
+       |         k_floor + CASE WHEN rr <= r_left THEN 1 ELSE 0 END AS k_seats,
        |         LEAST(n_docs, k_floor +
        |           CASE WHEN rr <= r_left THEN 1 ELSE 0 END) AS k_alloc
        |  FROM r),
        |h AS (
        |  SELECT lang, doc_id, ${polyhashSqlOf("doc_id")} AS h
        |  FROM documents)
-       |SELECT s.lang, CAST(k_alloc AS BIGINT) AS k_alloc,
+       |SELECT s.lang, CAST(k_seats AS BIGINT) AS k_seats,
+       |       CAST(k_alloc AS BIGINT) AS k_alloc,
        |       CAST(rn AS BIGINT) AS rn, doc_id FROM (
        |  SELECT lang, doc_id,
        |         ROW_NUMBER() OVER (PARTITION BY lang
        |                            ORDER BY h, doc_id) AS rn
        |  FROM h) s
        |JOIN alloc ON s.lang IS NOT DISTINCT FROM alloc.lang
+       |WHERE rn <= k_alloc ORDER BY s.lang, rn""".stripMargin
+
+  // ===== x78b: clamp-undershoot redistribution (one Hamilton round) =======
+
+  /** x78 with ONE round of in-plan seat redistribution (r14 verdict #4's
+    * stronger arm): the budget x78's clamp strands on undersized strata
+    * (L = K − Σ k_alloc — Hamilton guarantees Σ k_seats = K, so L is
+    * exactly the stranded undershoot) is re-apportioned by the SAME
+    * largest-remainder rule over the strata that still have capacity
+    * (n_docs > k_alloc), clamped again at remaining capacity. Exactly one
+    * round BY DESIGN: each round is a constant number of domain-sized
+    * windows, and one round already realizes the full budget unless the
+    * corpus is so skewed that round-2 clamps bind too — the residual then
+    * shows as Σ k_alloc < K, visible in the output, same as x78. Every
+    * row carries `k_seats` (round-1 Hamilton), `k_extra` (redistributed
+    * seats realized here), `k_alloc` (final realized = clamp(round1) +
+    * k_extra).
+    *
+    * Scale design: identical to x78 — both apportionment rounds run on
+    * the strata-domain aggregate (the round-2 frame is a FILTER of
+    * round 1's, still dozens of rows), the final allocation joins back
+    * broadcast, selection is the same per-stratum bounded window.
+    */
+  def x78bTemperatureRedistribute(s: SparkSession, d: String): DataFrame =
+    x78bOver(s, Tables.documents(s, d))
+
+  private[graft] def x78bOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val a1 = x78Alloc(docs)
+      // stranded budget, computed on the round-1 frame so round 2 reads
+      // it as a plain column (Σ k_seats = K ⇒ L = K − Σ k_alloc)
+      .withColumn("l_left", expr(s"$TempBudget - sum(k_alloc) over ()"))
+    val elig = a1.filter(col("n_docs") > col("k_alloc"))
+      .withColumn("cap", col("n_docs") - col("k_alloc"))
+      .withColumn("sw2", expr("sum(w_micro) over ()"))
+      .withColumn("k2_floor", expr("(l_left * w_micro) div sw2"))
+      .withColumn("rem2", expr("(l_left * w_micro) % sw2"))
+      .withColumn("r2_left", expr("l_left - sum(k2_floor) over ()"))
+      .withColumn("rr2", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem2").desc, col("lang").asc_nulls_last)))
+      .withColumn("k_extra", least(col("cap"),
+        col("k2_floor") + when(col("rr2") <= col("r2_left"), 1L).otherwise(0L)))
+      .select(col("lang").as("lang2"), col("k_extra"))
+    val alloc = a1.join(elig, col("lang") <=> col("lang2"), "left")
+      .withColumn("k_extra", coalesce(col("k_extra"), lit(0L)))
+      .select(col("lang"), col("n_docs"), col("w_micro"), col("k_seats"),
+        col("k_extra"), (col("k_alloc") + col("k_extra")).as("k_alloc"))
+    x78Select(s, docs, alloc)
+  }
+
+  val x78bSql: String =
+    s"""WITH w AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+       |  FROM documents GROUP BY lang),
+       |a AS (
+       |  SELECT lang, n_docs, w_micro,
+       |         ($TempBudget * w_micro) // (SELECT SUM(w_micro) FROM w) AS k_floor,
+       |         ($TempBudget * w_micro) % (SELECT SUM(w_micro) FROM w) AS rem
+       |  FROM w),
+       |r AS (
+       |  SELECT lang, n_docs, w_micro, k_floor, rem,
+       |         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+       |         $TempBudget - (SELECT SUM(k_floor) FROM a) AS r_left
+       |  FROM a),
+       |alloc1 AS (
+       |  SELECT lang, n_docs, w_micro,
+       |         k_floor + CASE WHEN rr <= r_left THEN 1 ELSE 0 END AS k_seats,
+       |         LEAST(n_docs, k_floor +
+       |           CASE WHEN rr <= r_left THEN 1 ELSE 0 END) AS k_alloc
+       |  FROM r),
+       |elig AS (
+       |  SELECT lang, w_micro, n_docs - k_alloc AS cap,
+       |         $TempBudget - (SELECT SUM(k_alloc) FROM alloc1) AS l_left
+       |  FROM alloc1 WHERE n_docs > k_alloc),
+       |e2 AS (
+       |  SELECT lang, cap, l_left,
+       |         (l_left * w_micro) // (SELECT SUM(w_micro) FROM elig) AS k2_floor,
+       |         (l_left * w_micro) % (SELECT SUM(w_micro) FROM elig) AS rem2
+       |  FROM elig),
+       |r2 AS (
+       |  SELECT lang, cap, k2_floor, rem2,
+       |         ROW_NUMBER() OVER (ORDER BY rem2 DESC, lang) AS rr2,
+       |         l_left - (SELECT SUM(k2_floor) FROM e2) AS r2_left
+       |  FROM e2),
+       |alloc2 AS (
+       |  SELECT lang, LEAST(cap, k2_floor +
+       |           CASE WHEN rr2 <= r2_left THEN 1 ELSE 0 END) AS k_extra
+       |  FROM r2),
+       |fin AS (
+       |  SELECT a1.lang, a1.k_seats, COALESCE(a2.k_extra, 0) AS k_extra,
+       |         a1.k_alloc + COALESCE(a2.k_extra, 0) AS k_alloc
+       |  FROM alloc1 a1 LEFT JOIN alloc2 a2
+       |    ON a1.lang IS NOT DISTINCT FROM a2.lang),
+       |h AS (
+       |  SELECT lang, doc_id, ${polyhashSqlOf("doc_id")} AS h
+       |  FROM documents)
+       |SELECT s.lang, CAST(k_seats AS BIGINT) AS k_seats,
+       |       CAST(k_extra AS BIGINT) AS k_extra,
+       |       CAST(k_alloc AS BIGINT) AS k_alloc,
+       |       CAST(rn AS BIGINT) AS rn, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY h, doc_id) AS rn
+       |  FROM h) s
+       |JOIN fin ON s.lang IS NOT DISTINCT FROM fin.lang
        |WHERE rn <= k_alloc ORDER BY s.lang, rn""".stripMargin
 
   // ===== x25: PII scan + redaction ========================================
@@ -1123,6 +1265,7 @@ object CorpusOps {
     "x77_weighted_sample" -> (x77WeightedSample _),
     "x77b_weighted_prefilter" -> (x77bWeightedPrefilter _),
     "x78_temperature_sample" -> (x78TemperatureSample _),
+    "x78b_temperature_redistribute" -> (x78bTemperatureRedistribute _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
   )
@@ -1144,6 +1287,7 @@ object CorpusOps {
     "x77_weighted_sample" -> x77Sql,
     "x77b_weighted_prefilter" -> x77bSql,
     "x78_temperature_sample" -> x78Sql,
+    "x78b_temperature_redistribute" -> x78bSql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql
   )

@@ -165,7 +165,7 @@ object PipelineOps {
   private val Bands = 4 // 4 bands × 4 rows
   private def permA(j: Int): Long = 1L + 7919L * j
   private def permB(j: Int): Long = 3L + 104729L * j
-  private val JaccThreshold = 0.4
+  private[graft] val JaccThreshold = 0.4
 
   /** Near-duplicate detection: word-3-gram shingles (the 31-word vocabulary
     * makes unigram sets degenerate), StringPolyHash per shingle, 16 affine
@@ -4697,6 +4697,27 @@ object PipelineOps {
   private val SnmPrefixKey = s"substring($SnmNormExpr, 1, 24)"
   private val SnmSuffixKey = s"substring(reverse($SnmNormExpr), 1, 24)"
 
+  /** Skew-lever read with the strict-oracle guard (r14 verdict #3): the
+    * levers (`spark.graft.x72.blockPrefixLen`, `spark.graft.x79.dfCap`)
+    * are real production knobs, but the DuckDB oracles replay the DEFAULT
+    * geometry, so a non-default value under a correctness run would
+    * silently hash-mismatch. Verify pins `spark.graft.oracleStrict=true`
+    * on its session; under strict, a non-default lever fails FAST with an
+    * error naming the conf and the voided keys instead of surfacing as an
+    * opaque hash diff. Outside strict runs (bench, probes, production)
+    * the lever is honored unchanged. Pinned by Round15Spec both ways.
+    */
+  private def leverOrStrictFail(s: SparkSession, conf: String, default: Int,
+      keys: String): Int = {
+    val v = s.conf.getOption(conf).map(_.trim.toInt).getOrElse(default)
+    if (v != default &&
+        s.conf.getOption("spark.graft.oracleStrict").contains("true"))
+      throw new IllegalStateException(
+        s"$conf=$v voids the oracle contract for $keys — the oracle replays " +
+          s"the default $default; unset the lever for Verify/oracle runs")
+    v
+  }
+
   /** One SNM window pass under one sort key: per-block rank, window join,
     * CANONICAL candidate pairs (doc_a < doc_b — within one pass a pair
     * appears exactly once, so least/greatest is a pure relabel; across
@@ -4734,9 +4755,10 @@ object PipelineOps {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
     // non-default lever values void the oracle contract — see
-    // [[SnmDefaultBlockLen]]
-    val blkLen = s.conf.getOption("spark.graft.x72.blockPrefixLen")
-      .getOrElse(SnmDefaultBlockLen.toString).toInt
+    // [[SnmDefaultBlockLen]]; under a strict (Verify) session this fails
+    // fast with a named error rather than hash-mismatching
+    val blkLen = leverOrStrictFail(s, "spark.graft.x72.blockPrefixLen",
+      SnmDefaultBlockLen, "x72/x72b/x72c/x72d")
     val passes = keys.map(k => snmCandidates(corpus, k, blkLen))
     val cand =
       if (passes.lengthCompare(1) == 0) passes.head
@@ -4751,6 +4773,12 @@ object PipelineOps {
     */
   private def shingleVerifyPairs(s: SparkSession, corpus: DataFrame,
       cand: DataFrame): DataFrame = {
+    // self-registering: callers reached this through pipelines that happen
+    // to register the shingle kernel earlier, but a standalone caller
+    // (SPARK_GRAFT_ONLY bench subset, an isolated spec) must not depend on
+    // session-registration order
+    StringPolyHash.register(s)
+    ShingleHashes.register(s)
     val hashed = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -5173,12 +5201,24 @@ object PipelineOps {
     * the oracle interpolation share one definition.
     */
   private val WinnowPosBits = graft.functions.WinnowHashes.DefaultPosBits
+  /** Gram-count domain limit implied by the position encoding: the kernel
+    * requires m < 2^posBits. Documents AT or above this are OUT OF DOMAIN
+    * — and unlike x68's generator-controlled partkey bound, document
+    * length is ADVERSARIAL input at the 100 TB crawl regime
+    * (concatenated logs, genome dumps), so the policy is gate-and-flag,
+    * never throw: [[winnowFingerprints]] pre-filters oversize docs (they
+    * select no fingerprints and are never near-dup candidates), the x79
+    * profile reports them with `n_fp 0, density_ppm -1` so the skip is a
+    * visible number, and the kernel's `require` stays as the final
+    * backstop for callers that bypass the gate (r14 verdict #2).
+    */
+  private val WinnowMaxGrams = 1L << WinnowPosBits
   /** Stop-fingerprint document-frequency cap for the pairs join — the
     * hot-bucket lever: a boilerplate gram selected in >cap docs would
     * otherwise make one fingerprint bucket quadratic (banding's stop-
     * shingle discipline, applied to fingerprints).
     */
-  private val WinnowDfCap = 50
+  private[graft] val WinnowDfCap = 50
 
   /** Selected winnow fingerprints (doc_id, n_grams, fp_h, fp_pos) of a
     * corpus — computed MAP-SIDE by the codegen'd
@@ -5196,13 +5236,20 @@ object PipelineOps {
     * Scale design (100 TB): one scan, zero shuffles to fingerprint;
     * output is ~2/(w+1) ≈ 22% of gram volume. The expression also works
     * per-row in Structured Streaming, where window functions cannot.
+    *
+    * Oversize policy ([[WinnowMaxGrams]]): documents with ≥ 2^21 grams
+    * are pre-gated out here rather than reaching the kernel's `require`
+    * — one adversarial multi-million-token document must degrade to a
+    * flagged skip, not kill the whole job (r14 verdict #2; behavior
+    * pinned by Round15Spec on a manufactured over-limit doc).
     */
   private[graft] def winnowFingerprints(s: SparkSession, corpus: DataFrame): DataFrame = {
     graft.functions.WinnowHashes.register(s)
     val enc = 1L << WinnowPosBits
     corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
+      .filter(size(col("toks")) >= 3 &&
+        (size(col("toks")) - 2).cast("long") < lit(WinnowMaxGrams))
       .select(col("doc_id"),
         (size(col("toks")) - 2).cast("long").as("n_grams"),
         explode(expr("graft_winnow_hashes(toks)")).as("e"))
@@ -5216,15 +5263,38 @@ object PipelineOps {
     * the operator's own self-check: it must sit near the theoretical
     * 2/(w+1) ≈ 222k ppm on natural text, and a pipeline owner reads it
     * to size the fingerprint index before running the x79b join.
+    *
+    * Out-of-domain documents (≥ [[WinnowMaxGrams]] grams — gated out of
+    * [[winnowFingerprints]]) still get a profile ROW: `n_fp 0,
+    * density_ppm -1`, the flagged-count form of the oversize policy — a
+    * pipeline owner reads the -1 rows to see exactly which documents the
+    * winnow index skipped. On an in-domain corpus every doc selects ≥ 1
+    * fingerprint, so the left join degenerates to the old inner join and
+    * the output is unchanged (the oracle hash-verifies that every round).
     */
   def x79WinnowFingerprint(s: SparkSession, d: String): DataFrame =
-    winnowFingerprints(s,
-        Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_fp"))
-      .select(col("doc_id"), col("n_grams"), col("n_fp"),
-        expr("n_fp * 1000000L div n_grams").as("density_ppm"))
+    winnowProfileOver(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[x79WinnowFingerprint]] over an arbitrary (doc_id, text) corpus —
+    * factored so the oversize-gate spec can profile a manufactured
+    * monster-document corpus.
+    */
+  private[graft] def winnowProfileOver(s: SparkSession, corpus: DataFrame): DataFrame = {
+    val sz = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), (size(col("toks")) - 2).cast("long").as("n_grams"))
+    val cnt = winnowFingerprints(s, corpus)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    sz.join(cnt, Seq("doc_id"), "left")
+      .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+      .withColumn("density_ppm",
+        when(col("n_grams") < lit(WinnowMaxGrams),
+          expr("n_fp * 1000000L div n_grams")).otherwise(lit(-1L)))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"), col("density_ppm"))
       .orderBy(col("doc_id"))
+  }
 
   /** The winnow chain's oracle CTEs over a corpus CTE: positioned grams,
     * the min-over-frame argmin, selected fingerprints. One definition —
@@ -5238,7 +5308,8 @@ object PipelineOps {
        |wg AS (
        |  SELECT doc_id, i - 1 AS pos,
        |    $ShingleHashSql AS h
-       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM wtoks)),
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM wtoks
+       |        WHERE len(t) - 2 < $WinnowMaxGrams)),
        |wwin AS (
        |  SELECT doc_id, pos,
        |         COUNT(*) OVER (PARTITION BY doc_id) AS m,
@@ -5257,9 +5328,11 @@ object PipelineOps {
        |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id),
        |sz AS (SELECT doc_id, len(t) - 2 AS n_grams FROM wtoks)
        |SELECT sz.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-       |       CAST(n_fp AS BIGINT) AS n_fp,
-       |       CAST(n_fp * 1000000 // n_grams AS BIGINT) AS density_ppm
-       |FROM sz JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
+       |       CAST(COALESCE(n_fp, 0) AS BIGINT) AS n_fp,
+       |       CAST(CASE WHEN n_grams < $WinnowMaxGrams
+       |                 THEN COALESCE(n_fp, 0) * 1000000 // n_grams
+       |                 ELSE -1 END AS BIGINT) AS density_ppm
+       |FROM sz LEFT JOIN cnt USING (doc_id) ORDER BY sz.doc_id""".stripMargin
 
   /** x79b: near-dup pairs by winnow-fingerprint join — the third blocking
     * strategy in the engine's decision table (docs/DEDUP_BLOCKING.md):
@@ -5276,7 +5349,15 @@ object PipelineOps {
     * (candidates ≤ df·|fp| — banding's stop-shingle discipline);
     * verification touches candidate pairs only.
     */
-  private def winnowPairsOver(s: SparkSession, corpus: DataFrame): DataFrame = {
+  /** The df-capped (doc_id, fp_h) fingerprint-index table of a corpus —
+    * the stage x79b self-joins, and ALSO the table a production pipeline
+    * PUBLISHES at rest for the streaming twin's stream-static candidate
+    * join ([[graft.streaming.Streams.winnowPairsStream]]): one
+    * definition, so the batch join and the at-ingest join read the same
+    * index geometry.
+    */
+  private[graft] def winnowKeptFingerprints(s: SparkSession,
+      corpus: DataFrame): DataFrame = {
     // persisted: the fingerprint table feeds the df aggregate AND both
     // sides of the candidate self-join — unpersisted, the gram-explode +
     // two-window subtree re-derives three times (measured at sf0.1:
@@ -5289,14 +5370,18 @@ object PipelineOps {
     // the df-cap skew lever (hotblock's pattern for the winnow join):
     // non-default values void the oracle contract — the oracle replays
     // the default [[WinnowDfCap]]; the winnowdf probe is where other
-    // values are exercised
-    val cap = s.conf.getOption("spark.graft.x79.dfCap")
-      .getOrElse(WinnowDfCap.toString).toInt
-    val kept = fp.join(
+    // values are exercised, and a strict (Verify) session fails fast
+    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
+      WinnowDfCap, "x79b/x79c")
+    fp.join(
       fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap)
         .select(col("fp_h")),
       Seq("fp_h"))
+  }
+
+  private[graft] def winnowPairsOver(s: SparkSession, corpus: DataFrame): DataFrame = {
+    val kept = winnowKeptFingerprints(s, corpus)
     val cand = kept.as("a").join(kept.as("b"),
         col("a.fp_h") === col("b.fp_h") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -148,7 +148,7 @@ class Round14Spec extends SparkSpec {
     val corpus = Tables.documents(spark, d).groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val alloc = rows.groupBy(_.getString(0))
-      .map { case (l, rs) => l -> rs.map(_.getLong(1)).head }
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("k_alloc")).head }
     // largest-remainder apportionment sums EXACTLY to K when no stratum
     // clamps (none does at sf0.001) — the floor-only form undershoots
     assert(rows.length == 400, s"budget not exact: ${rows.length}")
@@ -166,7 +166,8 @@ class Round14Spec extends SparkSpec {
       s"tail lang not up-weighted: ${alloc(tailLang)}/400 vs $tailN/$total")
     // per-stratum selection honors the allocation exactly
     rows.groupBy(_.getString(0)).foreach { case (l, rs) =>
-      assert(rs.length.toLong == alloc(l) && rs.map(_.getLong(2)).max == alloc(l),
+      assert(rs.length.toLong == alloc(l) &&
+        rs.map(_.getAs[Long]("rn")).max == alloc(l),
         s"stratum $l selected ${rs.length} of ${alloc(l)}")
     }
   }
@@ -193,7 +194,7 @@ class Round14Spec extends SparkSpec {
       rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val out = SparkEntry.queries("x78_temperature_sample")(spark, dir).collect()
       val alloc = out.groupBy(r => Option(r.getString(0)))
-        .map { case (l, rs) => l -> rs.map(_.getLong(1)).head }
+        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("k_alloc")).head }
       assert(alloc(Some("aa")) == 134L && alloc(Some("bb")) == 133L &&
         alloc(None) == 133L,
         s"tie-break allocation wrong (NULL must rank last): $alloc")
@@ -227,10 +228,10 @@ class Round14Spec extends SparkSpec {
       val aa = out.filter(_.getString(0) == "aa")
       val bb = out.filter(_.getString(0) == "bb")
       assert(aa.length == 3, s"tiny stratum not fully selected: ${aa.length}")
-      assert(aa.forall(_.getLong(1) == 3L), "k_alloc did not clamp to n_docs")
+      assert(aa.forall(_.getAs[Long]("k_alloc") == 3L), "k_alloc did not clamp to n_docs")
       // bb's allocation is its unclamped Hamilton share (≥ floor seats);
       // total undershoots 400 by exactly the clamped shortfall
-      assert(bb.length.toLong == bb.head.getLong(1))
+      assert(bb.length.toLong == bb.head.getAs[Long]("k_alloc"))
       assert(out.length < 400, "clamp did not reduce the total")
     } finally {
       def rm(f: java.io.File): Unit = {

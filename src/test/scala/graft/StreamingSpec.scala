@@ -523,6 +523,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnow pairs twin emits exactly batch x79b's verified pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus = real docs + mid-text-edited twins: winnow selection is
+    // content-anchored, so each twin pair must survive blocking AND the
+    // exact-Jaccard verify — a nonempty parity target
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val twins = base.take(20).map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 1000000L, w.updated(w.length / 2, "zqxedit").mkString(" "))
+    }
+    val corpusDf = (base ++ twins).toSeq.toDF("doc_id", "text")
+    val batch = graft.queries.PipelineOps
+      .winnowPairsOver(spark, corpusDf)
+      .collect().map(_.toString).sorted
+    assert(batch.length >= 10, s"parity target too small: ${batch.length}")
+    // the published at-rest index pair (df-capped fingerprints = x79b's
+    // own candidate-stage table; per-doc sorted shingle sets)
+    val (fpIdx, shIdx) = Streams.publishWinnowIndex(corpusDf)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.winnowPairsStream(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"), fpIdx, shIdx)
+      .writeStream.format("memory").queryName("winnowpairs_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches splitting MID-corpus: every pair still surfaces
+      // (each unordered pair is found from whichever side arrives, and
+      // double-finds collapse in the watermarked pair-dedup)
+      val rows = (base ++ twins).map { case (id, t) => (id, t, ts(0)) }
+      mem.addData(rows.take(30).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(30).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("winnowpairs_test")
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch),
+        s"stream/batch divergence: ${streamed.length} vs ${batch.length} pairs")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags exactly the batch x20 train docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
