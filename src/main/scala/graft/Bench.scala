@@ -95,6 +95,31 @@ object BenchGate {
   def memDegraded(hostMemFactor: Double): Boolean =
     hostMemFactor > MemDegradedGate
 
+  /** The symmetric gate on the CPU+IO leg (r15): uniform CPU contention
+    * ALSO inflates every timing without widening any per-key spread —
+    * the same blind-spot argument as memory, with a milder observed
+    * coupling (the memcal hammer moved CPU only to 1.16 while mem read
+    * 2.76). Calibration from docs/cpugate_probe.json: quiet band
+    * 0.91–1.01 across the r12–r15 records, a 32-process spin hammer
+    * moves the leg to 1.99 with the mem leg near-quiet (1.13). 1.5
+    * clears the quiet band and the mem-hammer cross-talk (1.16) with
+    * margin while catching any genuinely CPU-starved host.
+    */
+  val CpuDegradedGate = 1.5
+  def cpuDegraded(hostFactor: Double): Boolean =
+    hostFactor > CpuDegradedGate
+
+  /** The record's `degraded` field: which calibration leg(s) gate this
+    * run's comparability — `null` when neither does.
+    */
+  def degradedLabel(hostFactor: Double, hostMemFactor: Double): Option[String] =
+    (cpuDegraded(hostFactor), memDegraded(hostMemFactor)) match {
+      case (true, true)  => Some("cpu+memory")
+      case (true, false) => Some("cpu")
+      case (false, true) => Some("memory")
+      case _             => None
+    }
+
   /** Locale-pinned decimal formatting for machine-read JSON emitters: the
     * f interpolator honors the JVM default locale, so under e.g. de_DE
     * `%.3f` emits a comma decimal separator and corrupts the BENCH record
@@ -479,15 +504,16 @@ object Bench {
     // well (r14 postmortem — a memory-contended host inflated every timing
     // uniformly, so no per-key spread widened and 159.6s printed comparable
     // beside the same HEAD's quiet 122.3s; the `degraded` field names the
-    // cause). `comparable:false` marks all three explicitly.
-    val degraded = BenchGate.memDegraded(hostMemFactor)
-    val comparable = failed == 0 && !noisy && !degraded
+    // cause, and the CPU leg gates symmetrically since r15 — same blind
+    // spot, milder coupling). `comparable:false` marks all of it.
+    val degraded = BenchGate.degradedLabel(hostFactor, hostMemFactor)
+    val comparable = failed == 0 && !noisy && degraded.isEmpty
     // failed KEYS by name (capped — failures should be rare): without this,
     // the valid-sample median hides which query crashed and the artifact
     // only carries a count
     val failedJson = failedKeys.take(20).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val degradedJson = if (degraded) "\"memory\"" else "null"
+    val degradedJson = degraded.map("\"" + _ + "\"").getOrElse("null")
     val noiseJson = s""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":${BenchGate.num(sumOfMins, 1)},"host_factor":${BenchGate.num(hostFactor, 2)},"host_mem_factor":${BenchGate.num(hostMemFactor, 2)},"degraded":$degradedJson,"failed_keys":$failedJson"""
     val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)

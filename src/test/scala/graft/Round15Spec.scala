@@ -33,6 +33,26 @@ class Round15Spec extends SparkSpec {
     assert(BenchGate.MemDegradedGate > 1.0 && BenchGate.MemDegradedGate < 1.46)
   }
 
+  test("cpuDegraded: quiet band and mem-hammer cross-talk pass, spin hammer gates") {
+    // quiet band 0.91–1.01 across r12–r15 records; the MEMORY hammer only
+    // moves the cache-resident CPU leg to 1.16 (memcal) — that run must
+    // gate as memory, not cpu; the cpu spin hammer reads >2
+    // (docs/cpugate_probe.json)
+    assert(!BenchGate.cpuDegraded(1.01))
+    assert(!BenchGate.cpuDegraded(1.16))
+    assert(BenchGate.cpuDegraded(2.0))
+    assert(BenchGate.CpuDegradedGate > 1.16 && BenchGate.CpuDegradedGate < 2.0)
+  }
+
+  test("degraded label names the gating leg(s)") {
+    assert(BenchGate.degradedLabel(0.95, 0.95).isEmpty)
+    assert(BenchGate.degradedLabel(0.95, 1.46).contains("memory"))
+    assert(BenchGate.degradedLabel(2.1, 0.95).contains("cpu"))
+    assert(BenchGate.degradedLabel(2.1, 3.0).contains("cpu+memory"))
+    // the memcal sandwich reading (cpu 1.16, mem 2.76) is MEMORY-only
+    assert(BenchGate.degradedLabel(1.16, 2.76).contains("memory"))
+  }
+
   // ===== Locale-pinned JSON emitters (r14 ADVICE) ==========================
 
   test("bench JSON numerics are locale-independent") {
