@@ -902,6 +902,13 @@ object ScaleProbe {
           SparkEntry.queries("x77_weighted_sample")),
         ("x77b_weighted_prefilter", "docs",
           SparkEntry.queries("x77b_weighted_prefilter")),
+        // the token-budget pair (r15): x78c is the unbounded-cumsum
+        // baseline, x78d the mass-targeted prefilter — same measured
+        // contrast as x77/x77b, in the token domain
+        ("x78c_token_budget_sample", "docs",
+          SparkEntry.queries("x78c_token_budget_sample")),
+        ("x78d_token_budget_prefilter", "docs",
+          SparkEntry.queries("x78d_token_budget_prefilter")),
         // the winnow-fingerprint join's scale claim is the df cap bounding
         // every candidate bucket — the exponent says whether the
         // fingerprint index + self-join stays in the linear class as the

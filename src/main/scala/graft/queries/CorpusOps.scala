@@ -796,6 +796,177 @@ object CorpusOps {
        |JOIN fin ON s.lang IS NOT DISTINCT FROM fin.lang
        |WHERE rn <= k_alloc ORDER BY s.lang, rn""".stripMargin
 
+  // ===== x78c/x78d: TOKEN-budget temperature sampling ======================
+
+  /** Total token budget across strata — the knob a training run actually
+    * has ("this mixture contributes B tokens"), vs x78's doc budget.
+    */
+  private[graft] val TokBudget = 8000L
+
+  /** x78c: exact TOKEN-budget temperature allocation — the token-currency
+    * completion of the sampling matrix (x24 rate / x75 uniform-doc /
+    * x77 weighted-doc / x78 temperature-doc counts; training budgets are
+    * TOKENS, not documents). Hamilton/largest-remainder apportions
+    * [[TokBudget]] tokens across strata ∝ sqrt(stratum token mass) — the
+    * same micro-snapped temperature weight, applied to the token domain —
+    * then each stratum contributes its scrambled-hash-ordered PREFIX of
+    * documents whose running token sum fits the quota (`cum_tok ≤ quota`:
+    * the boundary document that would cross is dropped, production
+    * budget-packers' strict rule, so the per-stratum undershoot is
+    * bounded by one document and visible as `max(cum_tok) < quota`). A
+    * stratum with less mass than its quota contributes everything — the
+    * undershoot again data, not failure. Σ quota = B exactly (Hamilton).
+    *
+    * Scale design (100 TB): apportionment on the strata-domain aggregate
+    * (one SUM per stratum), quota joins back broadcast; the running-sum
+    * window is per-stratum and UNBOUNDED — the hot-stratum refinement is
+    * [[x78dTokenPrefilter]], a declared key whose oracle is this query.
+    */
+  def x78cTokenBudgetSample(s: SparkSession, d: String): DataFrame =
+    x78cOver(s, Tables.documents(s, d))
+
+  /** The (lang, doc_id, h, n_tok) scan and the (lang, tok, quota) frame —
+    * shared by x78c and x78d so the two plans cannot drift. n_tok mirrors
+    * x77's weight definition exactly (coalesce before split: Spark's
+    * size(split(NULL)) is −1 while DuckDB's len is NULL; '' → 1 in both).
+    */
+  private def x78cScan(docs0: DataFrame): DataFrame =
+    docs0.select(col("lang"), col("doc_id"),
+      expr("graft_polyhash(cast(doc_id as string))").as("h"),
+      size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tok"))
+
+  private def x78cQuota(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("tok"))
+      .withColumn("w_micro",
+        expr("CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000000 + 0.5) AS LONG)"))
+      .withColumn("sw", expr("sum(w_micro) over ()"))
+      .withColumn("k_floor", expr(s"($TokBudget * w_micro) div sw"))
+      .withColumn("rem", expr(s"($TokBudget * w_micro) % sw"))
+      .withColumn("r_left", expr(s"$TokBudget - sum(k_floor) over ()"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc_nulls_last)))
+      .withColumn("quota",
+        col("k_floor") + when(col("rr") <= col("r_left"), 1L).otherwise(0L))
+      .select(col("lang"), col("tok"), col("quota"))
+
+  /** The per-stratum prefix-by-cumsum selection under a quota frame —
+    * x78c runs it on the full scan, x78d's main branch on the prefilter
+    * survivors (valid because survivors are an (h, doc_id)-PREFIX of the
+    * stratum, so rn and cum_tok agree with the full-stratum values on
+    * every surviving row).
+    */
+  private def x78cSelect(rows: DataFrame, quota: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    nullSafeJoin(rows, quota.select(col("lang"), col("quota")),
+        "lang", "inner")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tok") <= col("quota"))
+      .select(col("lang"), col("quota"), col("rn").cast("long").as("rn"),
+        col("n_tok"), col("cum_tok"), col("doc_id"))
+  }
+
+  private[graft] def x78cOver(s: SparkSession, docs0: DataFrame): DataFrame = {
+    StringPolyHash.register(s)
+    val docs = x78cScan(docs0)
+    x78cSelect(docs, x78cQuota(docs)).orderBy(col("lang"), col("rn"))
+  }
+
+  val x78cSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id,
+       |         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
+       |         ${polyhashSqlOf("doc_id")} AS h
+       |  FROM documents),
+       |w AS (
+       |  SELECT lang, SUM(n_tok) AS tok,
+       |         CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+       |  FROM d GROUP BY lang),
+       |a AS (
+       |  SELECT lang, w_micro,
+       |         ($TokBudget * w_micro) // (SELECT SUM(w_micro) FROM w) AS k_floor,
+       |         ($TokBudget * w_micro) % (SELECT SUM(w_micro) FROM w) AS rem
+       |  FROM w),
+       |r AS (
+       |  SELECT lang, k_floor, rem,
+       |         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+       |         $TokBudget - (SELECT SUM(k_floor) FROM a) AS r_left
+       |  FROM a),
+       |q AS (
+       |  SELECT lang,
+       |         k_floor + CASE WHEN rr <= r_left THEN 1 ELSE 0 END AS quota
+       |  FROM r),
+       |sel AS (
+       |  SELECT lang, doc_id, n_tok,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY h, doc_id) AS rn,
+       |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+       |  FROM d)
+       |SELECT s.lang, CAST(quota AS BIGINT) AS quota,
+       |       CAST(rn AS BIGINT) AS rn, CAST(n_tok AS BIGINT) AS n_tok,
+       |       CAST(cum_tok AS BIGINT) AS cum_tok, doc_id
+       |FROM sel s JOIN q ON s.lang IS NOT DISTINCT FROM q.lang
+       |WHERE cum_tok <= quota ORDER BY s.lang, rn""".stripMargin
+
+  /** x78d: x78c's hot-stratum refinement — the x76/x77b prefilter pattern
+    * in the TOKEN domain. The analytic threshold targets survivor token
+    * MASS rather than survivor count: h is uniform on [0, mod), so
+    * survivors under `h < t` carry expected mass tok·t/mod, and
+    * t = (8·quota·mod) div tok targets ≈ 8× the stratum's quota in
+    * surviving tokens regardless of stratum size (capped at mod — a
+    * small stratum degenerates to keep-everything = x78c's own plan).
+    *
+    * Correctness does NOT rest on the 8× margin or on token-mass
+    * uniformity: survivors {h < t} are a PREFIX of the (h, doc_id)
+    * selection order, so whenever survivor mass ≥ min(quota, tok) the
+    * quota boundary falls inside the survivor prefix and rn/cum_tok
+    * agree row-for-row with the full-stratum window; a stratum whose
+    * survivor mass falls short — REACHABLE when one giant document
+    * carries most of the mass and lands above t — falls back to the
+    * full x78c ranking (left-anti/left-semi top-off, x76's shape), so
+    * the output is EXACTLY x78c's by construction. Round15Spec
+    * manufactures the giant-document shortfall and pins bit-equality
+    * plus the filter-below-window plan property. Oracle = x78c's query.
+    *
+    * Scale design (100 TB): quota/threshold tables broadcast, prefilter
+    * map-side, running-sum window input ≈ 8·quota tokens per stratum —
+    * CONSTANT in the stratum size; same four-scan cost ledger as x76.
+    */
+  def x78dTokenPrefilter(s: SparkSession, d: String): DataFrame = {
+    StringPolyHash.register(s)
+    val mod = graft.functions.StringPolyHash.DefaultMod
+    val docs = x78cScan(Tables.documents(s, d))
+    val quota = x78cQuota(docs)
+    val thr = quota.withColumn("t",
+      least(lit(mod), expr(s"(8L * quota * ${mod}L) div tok")))
+    val surv = nullSafeJoin(docs, thr.select(col("lang"), col("t")),
+        "lang", "inner")
+      .filter(col("h") < col("t"))
+    // shortfall strata: surviving token mass below min(quota, tok) — the
+    // prefix no longer provably contains the quota boundary (n_tok ≥ 1
+    // everywhere, so mass(surv) = tok ⟺ surv is the whole stratum,
+    // which is why the min() also covers the quota ≥ tok case exactly)
+    val short = nullSafeJoin(thr,
+        surv.groupBy(col("lang")).agg(sum(col("n_tok")).as("ms")),
+        "lang", "left")
+      .filter(coalesce(col("ms"), lit(0L)) < least(col("quota"), col("tok")))
+      .select(col("lang"))
+    val ranked = x78cSelect(
+      nullSafeJoin(surv.drop("t"), short, "lang", "left_anti"), quota)
+    val fallback = x78cSelect(
+      nullSafeJoin(docs, short, "lang", "left_semi"), quota)
+    ranked.unionByName(fallback).orderBy(col("lang"), col("rn"))
+  }
+
+  /** x78d's contract IS "bit-identical to x78c" — the key exists for the
+    * plan shape (mass-targeted prefilter below the running-sum window).
+    */
+  val x78dSql: String = x78cSql
+
   // ===== x25: PII scan + redaction ========================================
 
   // Regex subset valid and identical in Java regex (Spark) and RE2 (DuckDB):
@@ -1266,6 +1437,8 @@ object CorpusOps {
     "x77b_weighted_prefilter" -> (x77bWeightedPrefilter _),
     "x78_temperature_sample" -> (x78TemperatureSample _),
     "x78b_temperature_redistribute" -> (x78bTemperatureRedistribute _),
+    "x78c_token_budget_sample" -> (x78cTokenBudgetSample _),
+    "x78d_token_budget_prefilter" -> (x78dTokenPrefilter _),
     "x25_pii_scan"       -> (x25PiiScan _),
     "x26_cap_per_source" -> (x26CapPerSource _)
   )
@@ -1288,6 +1461,8 @@ object CorpusOps {
     "x77b_weighted_prefilter" -> x77bSql,
     "x78_temperature_sample" -> x78Sql,
     "x78b_temperature_redistribute" -> x78bSql,
+    "x78c_token_budget_sample" -> x78cSql,
+    "x78d_token_budget_prefilter" -> x78dSql,
     "x25_pii_scan"       -> x25Sql,
     "x26_cap_per_source" -> x26Sql
   )

@@ -212,6 +212,98 @@ class Round15Spec extends SparkSpec {
     assert(base.subsetOf(redis))
   }
 
+  // ===== x78c/x78d token-budget sampling ===================================
+
+  test("x78c: token quotas are Hamilton-exact, selection is a coherent prefix") {
+    val out = SparkEntry.queries("x78c_token_budget_sample")(
+      spark, TestSpark.sf0001).collect()
+    val byLang = out.groupBy(r => Option(r.getString(0)))
+    // Σ quota = B exactly (Hamilton; every sf0.001 stratum's quota is in
+    // the hundreds-to-thousands vs 10-token minimum docs, so every
+    // stratum contributes rows and the per-stratum quota is observable)
+    val quotas = byLang.map { case (_, rs) => rs.map(_.getAs[Long]("quota")).head }
+    assert(quotas.sum == graft.queries.CorpusOps.TokBudget,
+      s"quota sum ${quotas.sum} != budget")
+    byLang.foreach { case (l, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      val quota = sorted.head.getAs[Long]("quota")
+      // rn is consecutive from 1, cum_tok is the exact running n_tok sum,
+      // and every selected row fits the quota (strict prefix rule)
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length).toSeq)
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("cum_tok") == cum, s"$l cum mismatch at rn ${r.getAs[Long]("rn")}")
+      }
+      assert(cum <= quota, s"$l overshot: $cum > $quota")
+    }
+  }
+
+  test("x78d: bit-identical to x78c, mass threshold below the running-sum window") {
+    val d = TestSpark.sf0001
+    val x78c = SparkEntry.queries("x78c_token_budget_sample")(spark, d)
+    val x78d = SparkEntry.queries("x78d_token_budget_prefilter")(spark, d)
+    assert(x78d.collect().map(_.toString).toSeq ==
+      x78c.collect().map(_.toString).toSeq, "x78d selection diverged from x78c")
+    // the load-bearing plan property: h < t bounds the running-sum
+    // window's input at ~8·quota tokens per stratum
+    assert(PlanChecks.hasThresholdBelowWindow(x78d),
+      s"no mass threshold below the window:\n${x78d.queryExecution.optimizedPlan}")
+    // both branches present: prefiltered selection + shortfall fallback
+    assert(PlanChecks.windowCount(x78d) >= 2)
+    // and the baseline must NOT carry the prefilter
+    assert(!PlanChecks.hasThresholdBelowWindow(x78c))
+  }
+
+  test("x78d: giant-document shortfall falls back to the exact x78c ranking") {
+    import spark.implicits._
+    graft.functions.StringPolyHash.register(spark)
+    val mod = graft.functions.StringPolyHash.DefaultMod
+    // candidate pool with precomputed scramble hashes: the GIANT document
+    // (200k tokens — virtually all the stratum's mass) gets the max-hash
+    // id, so it lands ABOVE the mass threshold and the survivors carry
+    // only a few hundred tokens « quota — the exact regime the fallback
+    // exists for (reachable, unlike x76's uniform-count 10^-60 tail).
+    // 200k, not less: polyhash of short numeric strings tops out around
+    // 507k of the 10^6 modulus, so the threshold 8·quota·mod/tok must be
+    // pushed BELOW that observed max for the giant to be excludable
+    val hs = (1L to 1000L).toDF("doc_id")
+      .selectExpr("doc_id", "graft_polyhash(cast(doc_id as string)) as h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val giant = hs.maxBy(_._2)._1
+    val small = (1L to 1000L).filter(_ != giant).take(399)
+    val giantText = Array.fill(200000)("t").mkString(" ")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_x78d")
+    val dir = dirPath.toString
+    try {
+      val rows = small.map(i => (i, "x", "gg", "src", 1L)) :+
+        ((giant, giantText, "gg", "src", giantText.length.toLong))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // precondition: the giant is really excluded by the threshold and
+      // the survivors really fall short of the quota (else this test
+      // would pass without exercising the fallback)
+      val tok = 200000L + 399L
+      val quota = graft.queries.CorpusOps.TokBudget // single stratum
+      val t = math.min(mod, 8L * quota * mod / tok)
+      assert(hs(giant) >= t, s"fixture broken: giant h ${hs(giant)} < t $t")
+      val survMass = small.count(i => hs(i) < t).toLong
+      assert(survMass < quota, s"fixture broken: survivors $survMass >= quota")
+      val c = SparkEntry.queries("x78c_token_budget_sample")(spark, dir).collect()
+      val p = SparkEntry.queries("x78d_token_budget_prefilter")(spark, dir).collect()
+      assert(c.length == 399 && c.forall(_.getAs[Long]("n_tok") == 1L),
+        s"x78c must select all 399 one-token docs and drop the giant: ${c.length}")
+      assert(p.map(_.toString).toSeq == c.map(_.toString).toSeq,
+        "fallback did not reproduce x78c")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dirPath.toFile)
+    }
+  }
+
   test("winnow kernel require stays as the backstop for ungated callers") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
