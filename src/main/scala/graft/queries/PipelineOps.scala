@@ -5298,29 +5298,31 @@ object PipelineOps {
 
   /** The winnow chain's oracle CTEs over a corpus CTE: positioned grams,
     * the min-over-frame argmin, selected fingerprints. One definition —
-    * x79/x79b/x79c all interpolate it.
+    * x79/x79b/x79c/x79d all interpolate it. The `sfx` suffixes every CTE
+    * name so one query can replay the chain over TWO corpora (x79d's
+    * base index + new batch) without name collisions.
     */
-  private def winnowCtesOver(src: String): String = {
+  private def winnowCtesOver(src: String, sfx: String = ""): String = {
     val enc = 1L << WinnowPosBits
-    s"""wtoks AS (
+    s"""wtoks$sfx AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),
-       |wg AS (
+       |wg$sfx AS (
        |  SELECT doc_id, i - 1 AS pos,
        |    $ShingleHashSql AS h
-       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM wtoks
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM wtoks$sfx
        |        WHERE len(t) - 2 < $WinnowMaxGrams)),
-       |wwin AS (
+       |wwin$sfx AS (
        |  SELECT doc_id, pos,
        |         COUNT(*) OVER (PARTITION BY doc_id) AS m,
        |         MIN(CAST(h AS BIGINT) * $enc + ($enc - 1 - pos)) OVER (
        |           PARTITION BY doc_id ORDER BY pos
        |           ROWS BETWEEN CURRENT ROW AND ${WinnowWin - 1} FOLLOWING) AS mk
-       |  FROM wg),
-       |wfp AS (
+       |  FROM wg$sfx),
+       |wfp$sfx AS (
        |  SELECT DISTINCT doc_id, mk // $enc AS fp_h,
        |         $enc - 1 - (mk % $enc) AS fp_pos
-       |  FROM wwin WHERE pos <= GREATEST(0, m - $WinnowWin))""".stripMargin
+       |  FROM wwin$sfx WHERE pos <= GREATEST(0, m - $WinnowWin))""".stripMargin
   }
 
   val x79Sql: String =
@@ -5435,6 +5437,146 @@ object PipelineOps {
 
   lazy val x79cSql: String =
     snmRecallSqlOver(winnowPairCtesOver("corpus", "sh"), "interw", "sizesw")
+
+  // ===== x79d: incremental winnow dedup against a published index =========
+
+  /** x79d: the winnow family's incremental-refresh form — x39's
+    * production shape (publish the standing corpus's index ONCE, dedup
+    * each new crawl against it at O(batch) cost) with winnow-fingerprint
+    * blocking and exact-Jaccard verification instead of simhash/hamming.
+    * The base corpus's df-capped fingerprint index ([[
+    * winnowKeptFingerprints]] — x79b's own candidate-stage table, the
+    * same one [[graft.streaming.Streams.publishWinnowIndex]] publishes
+    * for the at-ingest twin) is materialized as a data-stamped parquet
+    * layout; each refresh fingerprints ONLY the batch, joins it against
+    * the index scan (base-vs-batch candidates) and against its own
+    * df-capped fingerprints (within-batch, lower-id pairwise rule — x39's
+    * first-writer-wins), verifies ALL candidates through the one shared
+    * exact-Jaccard definition, and emits x39's decision shape: one row
+    * per fingerprintable batch doc with its base/batch dup counts and the
+    * insert/drop decision.
+    *
+    * Base/batch split and cross-boundary twins are x39's synthesized
+    * refresh VERBATIM ([[x39BatchDocs]]) — the two keys answer the same
+    * refresh question under the two blocking strategies, directly
+    * comparable. Oversize docs are gated like every winnow key (they are
+    * simply not fingerprintable, so they take no row — the x79 profile is
+    * where skips are flagged).
+    *
+    * Scale design (100 TB): per-refresh cost is O(batch) fingerprinting +
+    * index-join work; the standing corpus is NEVER re-fingerprinted
+    * (the index read is a 2-column published-layout scan, flagged
+    * cached_artifact in bench records); both join sides are df-capped so
+    * no bucket exceeds [[WinnowDfCap]] docs; verification touches
+    * candidates only, through one persisted shingle table over
+    * base ∪ batch.
+    */
+  def x79dWinnowIncremental(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxPath = s"${graft.Scratch.dir(s)}/graft_x79d_index_$tag"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/documents.parquet"), idxPath) {
+      winnowKeptFingerprints(s, baseDocs)
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(idxPath)
+    }
+    val index = Tables.cachedParquet(s, idxPath)
+    val batchDocs = x39BatchDocs(docs)
+    val batchFp = winnowFingerprints(s, batchDocs)
+      .select(col("doc_id"), col("fp_h")).distinct().persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(batchFp))
+    val candBase = batchFp.join(
+        index.select(col("fp_h"), col("doc_id").as("doc_b")), Seq("fp_h"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    // within-batch candidates under the same df cap (and the same
+    // strict-lever contract) as every winnow join
+    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
+      WinnowDfCap, "x79b/x79c/x79d")
+    val bkept = batchFp.join(
+      batchFp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("fp_h")),
+      Seq("fp_h"))
+    val candBatch = bkept.as("a").join(bkept.as("b"),
+        col("a.fp_h") === col("b.fp_h") && col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = shingleVerifyPairs(s, baseDocs.unionByName(batchDocs),
+      candBase.unionByName(candBatch))
+    // split verified pairs by partner side: batch ids (%5==0 or the
+    // +3e7/+4e7 twin ranges) are disjoint from base ids by construction
+    val batchIds = batchDocs.select(col("doc_id").as("doc_b"))
+    val vBase = verified.join(batchIds, Seq("doc_b"), "left_anti")
+    val vBatch = verified.join(batchIds, Seq("doc_b"), "left_semi")
+    batchFp.select(col("doc_id")).distinct()
+      .join(vBase.groupBy(col("doc_a")).agg(count(lit(1)).as("n_base_dups"))
+        .withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .join(vBatch.groupBy(col("doc_a")).agg(count(lit(1)).as("n_batch_dups"))
+        .withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_base_dups", "n_batch_dups"))
+      .select(col("doc_id"), col("n_base_dups"), col("n_batch_dups"),
+        when(col("n_base_dups") === 0 && col("n_batch_dups") === 0,
+          lit("inserted")).otherwise(lit("dropped")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x79dSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 40000000 AS doc_id, text FROM base WHERE doc_id % 7 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 30000000 AS doc_id, text || ' extra' AS text
+       |  FROM base WHERE doc_id % 7 = 3),
+       |allc AS (SELECT doc_id, text FROM base
+       |         UNION ALL SELECT doc_id, text FROM batch),
+       |${winnowCtesOver("base", "B")},
+       |${winnowCtesOver("batch", "N")},
+       |ifp AS (SELECT DISTINCT doc_id, fp_h FROM wfpB),
+       |ikept AS (
+       |  SELECT f.doc_id, f.fp_h FROM ifp f
+       |  JOIN (SELECT fp_h FROM ifp GROUP BY fp_h
+       |        HAVING COUNT(*) <= $WinnowDfCap) d USING (fp_h)),
+       |nfp AS (SELECT DISTINCT doc_id, fp_h FROM wfpN),
+       |nkept AS (
+       |  SELECT f.doc_id, f.fp_h FROM nfp f
+       |  JOIN (SELECT fp_h FROM nfp GROUP BY fp_h
+       |        HAVING COUNT(*) <= $WinnowDfCap) d USING (fp_h)),
+       |candB AS (
+       |  SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+       |  FROM nfp n JOIN ikept i USING (fp_h)),
+       |candN AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM nkept a JOIN nkept b
+       |    ON a.fp_h = b.fp_h AND b.doc_id < a.doc_id),
+       |${shingleCtesOver("allc", "tokc", "shc")},
+       |${snmVerifyCtes("candB", "shc", "interB", "sizesB")},
+       |${snmVerifyCtes("candN", "shc", "interN", "sizesN")},
+       |bd AS (
+       |  SELECT i.doc_a AS doc_id, COUNT(*) AS nb FROM interB i
+       |  JOIN sizesB sa ON sa.doc_id = i.doc_a
+       |  JOIN sizesB sb ON sb.doc_id = i.doc_b
+       |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |          >= $JaccThreshold
+       |  GROUP BY 1),
+       |nd AS (
+       |  SELECT i.doc_a AS doc_id, COUNT(*) AS nn FROM interN i
+       |  JOIN sizesN sa ON sa.doc_id = i.doc_a
+       |  JOIN sizesN sb ON sb.doc_id = i.doc_b
+       |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
+       |          >= $JaccThreshold
+       |  GROUP BY 1),
+       |ids AS (SELECT DISTINCT doc_id FROM nfp)
+       |SELECT ids.doc_id,
+       |       CAST(COALESCE(nb, 0) AS BIGINT) AS n_base_dups,
+       |       CAST(COALESCE(nn, 0) AS BIGINT) AS n_batch_dups,
+       |       CASE WHEN COALESCE(nb, 0) = 0 AND COALESCE(nn, 0) = 0
+       |            THEN 'inserted' ELSE 'dropped' END AS status
+       |FROM ids LEFT JOIN bd USING (doc_id) LEFT JOIN nd USING (doc_id)
+       |ORDER BY ids.doc_id""".stripMargin
 
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
@@ -5753,6 +5895,7 @@ object PipelineOps {
     "x79_winnow_fingerprint" -> (x79WinnowFingerprint _),
     "x79b_winnow_pairs"  -> (x79bWinnowPairs _),
     "x79c_winnow_recall" -> (x79cWinnowRecall _),
+    "x79d_winnow_incremental" -> (x79dWinnowIncremental _),
     "x74_tfidf_topk"     -> (x74TfidfTopk _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
@@ -5845,6 +5988,7 @@ object PipelineOps {
     "x79_winnow_fingerprint" -> x79Sql,
     "x79b_winnow_pairs"  -> x79bSql,
     "x79c_winnow_recall" -> x79cSql,
+    "x79d_winnow_incremental" -> x79dSql,
     "x74_tfidf_topk"     -> x74Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,

@@ -304,6 +304,46 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  // ===== x79d incremental winnow refresh ===================================
+
+  test("x79d: refresh reads the published index and drops both twin families") {
+    val d = TestSpark.sf0001
+    val df = SparkEntry.queries("x79d_winnow_incremental")(spark, d)
+    // the O(batch) claim's structural half: the base side of the candidate
+    // join is the published 2-column index layout, never a recompute of
+    // the standing corpus's fingerprints (LogicalRelation toString omits
+    // paths, so walk the relations' file-index roots)
+    val scanRoots = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }.mkString(";")
+    assert(scanRoots.contains("graft_x79d_index"),
+      s"base side must come from the published index layout: $scanRoots")
+    val rows = df.collect()
+    // exact twins (+4e7 of indexed docs): winnow's >= w+2 shared-run
+    // guarantee makes an exact copy a CERTAIN index hit
+    val exact = rows.filter(_.getLong(0) >= 40000000L)
+    assert(exact.nonEmpty)
+    assert(exact.forall(r => r.getAs[Long]("n_base_dups") >= 1L &&
+      r.getAs[String]("status") == "dropped"),
+      "an exact copy of an indexed doc escaped the index join")
+    // end-appended twins (+3e7, ' extra'): content-anchored fingerprints
+    // recall an edit-at-the-end copy (every base doc is >= 10 tokens =
+    // w+2, so the untouched prefix run shares a fingerprint; J >= 8/9)
+    val pert = rows.filter { r =>
+      val id = r.getLong(0); id >= 30000000L && id < 40000000L
+    }
+    assert(pert.nonEmpty)
+    assert(pert.forall(_.getAs[String]("status") == "dropped"),
+      "a one-token-appended copy escaped the content-anchored blocking")
+    // and the refresh is not degenerate: genuinely new docs insert
+    assert(rows.exists(_.getAs[String]("status") == "inserted"))
+  }
+
   test("winnow kernel require stays as the backstop for ungated callers") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
