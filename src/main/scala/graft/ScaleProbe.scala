@@ -920,7 +920,12 @@ object ScaleProbe {
         // the zero-shuffle claim independently of the join above (x79c has
         // NO row: its audit corpus is constant-size by design, see notes)
         ("x79_winnow_fingerprint", "docs",
-          SparkEntry.queries("x79_winnow_fingerprint")))
+          SparkEntry.queries("x79_winnow_fingerprint")),
+        // the incremental refresh (r15): cold includes the index publish
+        // (the full per-snapshot cost — the layout is rmrf'd below like
+        // the x68 artifacts), warm measures the amortized O(batch) path
+        ("x79d_winnow_incremental", "docs",
+          SparkEntry.queries("x79d_winnow_incremental")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {
@@ -949,6 +954,7 @@ object ScaleProbe {
           // family's shared scored-pair tables)
           val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
           rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_copurchase_$tag"))
+          rmrf(new java.io.File(s"${Scratch.dir(spark)}/graft_x79d_index_$tag"))
           // the x68 layout name carries an algorithm fingerprint — match by
           // prefix+suffix so stale fingerprints are swept too
           Option(new java.io.File(Scratch.checkpointDir(spark)).listFiles())
