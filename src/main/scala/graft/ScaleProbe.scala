@@ -32,6 +32,11 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // every probe mode writes a machine-read JSON evidence file through f
+    // interpolators; under a non-US default locale %.2f would emit comma
+    // decimal separators and corrupt them all (the BenchGate.num lesson,
+    // r14 ADVICE — applied here process-wide since this main owns its JVM)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val n = args.headOption.map(_.toInt).getOrElse(32)
     // `spill` mode strangles the execution-memory pool; pair with a small
     // SPARK_DRIVER_MEM so the heap itself is modest. The authoritative
@@ -954,7 +959,13 @@ object ScaleProbe {
           // family's shared scored-pair tables)
           val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
           rmrf(new java.io.File(s"${Scratch.checkpointDir(spark)}/graft_copurchase_$tag"))
-          rmrf(new java.io.File(s"${Scratch.dir(spark)}/graft_x79d_index_$tag"))
+          // the x79d layout name embeds the df cap (like the x68 algo
+          // fingerprint) — prefix+suffix match sweeps stale caps too
+          Option(new java.io.File(Scratch.dir(spark)).listFiles())
+            .toSeq.flatten
+            .filter(f => f.getName.startsWith("graft_x79d_index_") &&
+              f.getName.endsWith(tag))
+            .foreach(rmrf)
           // the x68 layout name carries an algorithm fingerprint — match by
           // prefix+suffix so stale fingerprints are swept too
           Option(new java.io.File(Scratch.checkpointDir(spark)).listFiles())

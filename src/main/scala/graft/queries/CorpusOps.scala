@@ -597,10 +597,6 @@ object CorpusOps {
   def x78TemperatureSample(s: SparkSession, d: String): DataFrame =
     x78Over(s, Tables.documents(s, d))
 
-  /** [[x78TemperatureSample]] over an arbitrary (lang, doc_id) corpus —
-    * factored so the clamped-stratum spec can run a fixture where seats
-    * exceed one stratum's size (the real testdata never clamps).
-    */
   /** Round-1 Hamilton allocation frame: (lang, n_docs, w_micro, k_seats,
     * k_alloc) — shared by x78 (reports the clamp) and x78b (redistributes
     * it). Runs entirely on the strata-domain aggregate.
@@ -651,10 +647,12 @@ object CorpusOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** [[x78TemperatureSample]] over an arbitrary (lang, doc_id) corpus —
+    * factored so the clamped-stratum spec can run a fixture where seats
+    * exceed one stratum's size (the real testdata never clamps).
+    */
   private[graft] def x78Over(s: SparkSession, docs: DataFrame): DataFrame =
-    x78Select(s, docs,
-      x78Alloc(docs).select(col("lang"), col("n_docs"), col("w_micro"),
-        col("k_seats"), col("k_alloc")))
+    x78Select(s, docs, x78Alloc(docs))
 
   val x78Sql: String =
     s"""WITH w AS (

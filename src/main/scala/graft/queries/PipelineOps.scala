@@ -5374,7 +5374,7 @@ object PipelineOps {
     // the default [[WinnowDfCap]]; the winnowdf probe is where other
     // values are exercised, and a strict (Verify) session fails fast
     val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
-      WinnowDfCap, "x79b/x79c")
+      WinnowDfCap, "x79b/x79c/x79d")
     fp.join(
       fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap)
@@ -5473,7 +5473,17 @@ object PipelineOps {
     */
   def x79dWinnowIncremental(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val idxPath = s"${graft.Scratch.dir(s)}/graft_x79d_index_$tag"
+    // the lever is read ONCE here and embedded in the layout path (x68's
+    // algorithm-fingerprint pattern): ensureLayout stamps only the SOURCE
+    // data, so without the cap in the path a session that published the
+    // index under a non-default dfCap would leave a stale wrong-geometry
+    // layout for a later default-cap (Verify) run to silently reuse —
+    // exactly the silent-mismatch class the strict guard exists to kill
+    // (r15 review). Distinct caps get distinct layouts; the strict guard
+    // itself fires before any path is touched.
+    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
+      WinnowDfCap, "x79b/x79c/x79d")
+    val idxPath = s"${graft.Scratch.dir(s)}/graft_x79d_index_cap${cap}_$tag"
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
     graft.sources.MultiFormat.ensureLayout(
@@ -5490,10 +5500,7 @@ object PipelineOps {
     val candBase = batchFp.join(
         index.select(col("fp_h"), col("doc_id").as("doc_b")), Seq("fp_h"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-    // within-batch candidates under the same df cap (and the same
-    // strict-lever contract) as every winnow join
-    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
-      WinnowDfCap, "x79b/x79c/x79d")
+    // within-batch candidates under the same df cap as the index side
     val bkept = batchFp.join(
       batchFp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select(col("fp_h")),
