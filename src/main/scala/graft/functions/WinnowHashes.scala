@@ -52,6 +52,12 @@ object WinnowHashes {
     */
   val DefaultWin = 8
   val DefaultPosBits = 21
+  /** Gram width of the shingle hashes the winnow selects over — surfaced
+    * as a constant (r15 ADVICE) so published-layout names can embed the
+    * FULL selection geometry (k, mod, win, posBits): an index built under
+    * one geometry must never be silently reused under another.
+    */
+  val DefaultK = 3
 
   /** Static kernel shared by interpreted eval and generated code. */
   def winnow(toks: ArrayData, k: Int, mod: Long, win: Int,
@@ -100,7 +106,7 @@ object WinnowHashes {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow_hashes",
-      exprs => WinnowHashes(exprs.head, 3, StringPolyHash.DefaultMod,
+      exprs => WinnowHashes(exprs.head, DefaultK, StringPolyHash.DefaultMod,
         DefaultWin, DefaultPosBits),
       "built-in")
 }

@@ -5220,6 +5220,23 @@ object PipelineOps {
     */
   private[graft] val WinnowDfCap = 50
 
+  /** Winnow GEOMETRY fingerprint for published-layout names (r15 ADVICE):
+    * the at-rest index layouts (x79d's base index, x79e's merged index)
+    * are stamped on source DATA and keyed on the df cap, but their
+    * contents also depend on the selection constants (gram width k, hash
+    * modulus, window, position bits) — a future constant change would
+    * otherwise silently reuse a stale wrong-geometry index, surfacing
+    * only as an opaque oracle hash mismatch (the exact failure class the
+    * strict lever guard kills for session confs). x68's
+    * algorithm-fingerprint pattern, applied to the winnow family; all
+    * four constants are read from the kernel object, the single source.
+    */
+  private[graft] val WinnowGeomTag: String = {
+    val wh = graft.functions.WinnowHashes
+    s"k${wh.DefaultK}m${graft.functions.StringPolyHash.DefaultMod}" +
+      s"w${wh.DefaultWin}p${wh.DefaultPosBits}"
+  }
+
   /** Selected winnow fingerprints (doc_id, n_grams, fp_h, fp_pos) of a
     * corpus — computed MAP-SIDE by the codegen'd
     * [[graft.functions.WinnowHashes]] expression (O(m) monotonic-deque
@@ -5365,21 +5382,68 @@ object PipelineOps {
     // two-window subtree re-derives three times (measured at sf0.1:
     // best-observed 3.80 s → 2.34 s, med 3.9 → 3.4; the x73
     // re-derivation lesson applied at birth)
-    val fp = winnowFingerprints(s, corpus)
-      .select(col("doc_id"), col("fp_h")).distinct()
-      .persist()
+    val fp = winnowDistinctFp(s, corpus).persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(fp))
-    // the df-cap skew lever (hotblock's pattern for the winnow join):
-    // non-default values void the oracle contract — the oracle replays
-    // the default [[WinnowDfCap]]; the winnowdf probe is where other
-    // values are exercised, and a strict (Verify) session fails fast
+    winnowCapSplit(s, fp)._1
+  }
+
+  /** The distinct (doc_id, fp_h) fingerprint table of a corpus — the raw
+    * index before the df cap.
+    */
+  private[graft] def winnowDistinctFp(s: SparkSession, corpus: DataFrame): DataFrame =
+    winnowFingerprints(s, corpus)
+      .select(col("doc_id"), col("fp_h")).distinct()
+
+  /** ONE definition of the df-cap split: (kept pairs with df ≤ cap,
+    * over-cap fp_h blacklist). The blacklist side is what the published
+    * index layouts carry beside `kept/` so an O(batch) merge can stay
+    * EXACT (see [[winnowMergeIndex]]); the cap itself is the skew lever
+    * (hotblock's pattern for the winnow join) — non-default values void
+    * the oracle contract, and a strict (Verify) session fails fast.
+    */
+  private[graft] def winnowCapSplit(s: SparkSession, fp: DataFrame): (DataFrame, DataFrame) = {
     val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
-      WinnowDfCap, "x79b/x79c/x79d")
-    fp.join(
-      fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap)
-        .select(col("fp_h")),
-      Seq("fp_h"))
+      WinnowDfCap, "x79b/x79c/x79d/x79e")
+    val dfc = fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+    (fp.join(dfc.filter(col("df") <= cap).select(col("fp_h")), Seq("fp_h")),
+      dfc.filter(col("df") > cap).select(col("fp_h")))
+  }
+
+  /** Publish (or reuse) the standing corpus's at-rest winnow index layout:
+    * `kept/` — the df-capped (doc_id, fp_h) table ([[winnowCapSplit]]'s
+    * kept side, the geometry x79b self-joins and
+    * [[graft.streaming.Streams.publishWinnowIndex]] hands the stream) —
+    * and `overcap/` — the fp_h whose BASE document frequency exceeded the
+    * cap. The blacklist makes an O(batch) merge-back EXACT: a fingerprint
+    * absent from kept/ is otherwise ambiguous between "df 0" (may enter
+    * the merged index) and "df > cap" (its pairs were capped out, and df
+    * only grows under a merge, so it must stay out) — see
+    * [[winnowMergeIndex]]. Layout name embeds the data stamp
+    * (ensureLayout), the df cap, AND the selection geometry
+    * ([[WinnowGeomTag]], r15 ADVICE) so any constant change invalidates.
+    * Returns the layout root.
+    */
+  private[graft] def ensureWinnowBaseIndex(s: SparkSession, d: String,
+      baseDocs: DataFrame): String = {
+    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
+      WinnowDfCap, "x79b/x79c/x79d/x79e")
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxPath =
+      s"${graft.Scratch.dir(s)}/graft_x79d_index_${WinnowGeomTag}_cap${cap}_$tag"
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/documents.parquet"), idxPath) {
+      // manual persist across BOTH writes (kept + overcap): the scoped
+      // release would drop the fingerprint table after the first write's
+      // action and re-derive the gram explode for the second
+      val fp = winnowDistinctFp(s, baseDocs).persist()
+      val (kept, over) = winnowCapSplit(s, fp)
+      kept.repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$idxPath/kept")
+      over.repartition(1)
+        .write.mode("overwrite").parquet(s"$idxPath/overcap")
+      fp.unpersist(blocking = false): Unit
+    }
+    idxPath
   }
 
   private[graft] def winnowPairsOver(s: SparkSession, corpus: DataFrame): DataFrame = {
@@ -5472,39 +5536,18 @@ object PipelineOps {
     * base ∪ batch.
     */
   def x79dWinnowIncremental(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    // the lever is read ONCE here and embedded in the layout path (x68's
-    // algorithm-fingerprint pattern): ensureLayout stamps only the SOURCE
-    // data, so without the cap in the path a session that published the
-    // index under a non-default dfCap would leave a stale wrong-geometry
-    // layout for a later default-cap (Verify) run to silently reuse —
-    // exactly the silent-mismatch class the strict guard exists to kill
-    // (r15 review). Distinct caps get distinct layouts; the strict guard
-    // itself fires before any path is touched.
-    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
-      WinnowDfCap, "x79b/x79c/x79d")
-    val idxPath = s"${graft.Scratch.dir(s)}/graft_x79d_index_cap${cap}_$tag"
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
-    graft.sources.MultiFormat.ensureLayout(
-      new java.io.File(s"$d/documents.parquet"), idxPath) {
-      winnowKeptFingerprints(s, baseDocs)
-        .repartition(8, col("doc_id"))
-        .write.mode("overwrite").parquet(idxPath)
-    }
-    val index = Tables.cachedParquet(s, idxPath)
+    val idxPath = ensureWinnowBaseIndex(s, d, baseDocs)
+    val index = Tables.cachedParquet(s, s"$idxPath/kept")
     val batchDocs = x39BatchDocs(docs)
-    val batchFp = winnowFingerprints(s, batchDocs)
-      .select(col("doc_id"), col("fp_h")).distinct().persist()
+    val batchFp = winnowDistinctFp(s, batchDocs).persist()
     graft.ScopedCache.releaseAfterNextAction(s, Seq(batchFp))
     val candBase = batchFp.join(
         index.select(col("fp_h"), col("doc_id").as("doc_b")), Seq("fp_h"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
     // within-batch candidates under the same df cap as the index side
-    val bkept = batchFp.join(
-      batchFp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select(col("fp_h")),
-      Seq("fp_h"))
+    val bkept = winnowCapSplit(s, batchFp)._1
     val candBatch = bkept.as("a").join(bkept.as("b"),
         col("a.fp_h") === col("b.fp_h") && col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -5528,8 +5571,14 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
-  val x79dSql: String =
-    s"""WITH base AS (
+  /** The x79d refresh-decision CTE chain (base/batch split, both candidate
+    * joins, both verifies, the per-doc dup counts) — shared by [[x79dSql]]
+    * (which projects the decisions) and [[x79eSql]] (which replays the
+    * MERGE those decisions drive, from scratch over the merged corpus).
+    * def, not val: referenced by vals above/below its declaration point.
+    */
+  private def x79dDecisionCtes: String =
+    s"""base AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
        |batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -5576,7 +5625,10 @@ object PipelineOps {
        |  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common)
        |          >= $JaccThreshold
        |  GROUP BY 1),
-       |ids AS (SELECT DISTINCT doc_id FROM nfp)
+       |ids AS (SELECT DISTINCT doc_id FROM nfp)""".stripMargin
+
+  val x79dSql: String =
+    s"""WITH $x79dDecisionCtes
        |SELECT ids.doc_id,
        |       CAST(COALESCE(nb, 0) AS BIGINT) AS n_base_dups,
        |       CAST(COALESCE(nn, 0) AS BIGINT) AS n_batch_dups,
@@ -5584,6 +5636,125 @@ object PipelineOps {
        |            THEN 'inserted' ELSE 'dropped' END AS status
        |FROM ids LEFT JOIN bd USING (doc_id) LEFT JOIN nd USING (doc_id)
        |ORDER BY ids.doc_id""".stripMargin
+
+  // ===== x79e: winnow index merge-back (closing x79d's refresh loop) ======
+
+  /** The pure index merge, factored for the spec: given the published base
+    * index pair (`baseKept` = df-capped (doc_id, fp_h) pairs, `baseOver` =
+    * the fp_h with base df > cap) and the INSERTED batch docs' distinct
+    * fingerprints, produce the post-refresh (kept, overcap) pair —
+    * bit-equal to a from-scratch [[winnowCapSplit]] over base ∪ inserted.
+    *
+    * Why exactness holds at O(batch ∪ index), never re-fingerprinting the
+    * standing corpus's text: fingerprints are per-document (content-
+    * anchored, no cross-doc state), so the merged corpus's uncapped pair
+    * set is exactly baseUncapped ∪ insFp, and only the df filter couples
+    * documents. For a non-blacklisted fp_h, kept/ holds ALL its base
+    * pairs, so df over (baseKept ∪ insFp) IS the merged df; for a
+    * blacklisted fp_h, base df > cap already and df only grows, so its
+    * pairs (absent from kept/, present maybe in insFp) must stay out —
+    * the anti-join. Doc-id sets of the two sides are disjoint (base vs
+    * batch ranges), so the union has no duplicate pairs and COUNT(*) per
+    * fp_h counts documents.
+    *
+    * The returned overcap side is base's blacklist ∪ the union's newly
+    * over-cap fp_h — the merged corpus's exact blacklist — so the merged
+    * layout re-publishes the SAME two-part structure and a SECOND refresh
+    * composes (Round16Spec pins that composition against from-scratch).
+    */
+  private[graft] def winnowMergeIndex(s: SparkSession, baseKept: DataFrame,
+      baseOver: DataFrame, insFp: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    val union = baseKept.unionByName(insFp)
+    val dfc = union.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+    // the blacklist is the stop-fingerprint list — boilerplate grams only,
+    // bounded by the corpus's distinct over-cap fingerprints, always ≪ the
+    // index itself — so broadcasting it is the right plan at any scale
+    val mergedKept = union
+      .join(broadcast(baseOver), Seq("fp_h"), "left_anti")
+      .join(dfc.filter(col("df") <= cap).select(col("fp_h")), Seq("fp_h"))
+    val mergedOver = baseOver
+      .unionByName(dfc.filter(col("df") > cap).select(col("fp_h")))
+      .distinct()
+    (mergedKept, mergedOver)
+  }
+
+  /** x79e: the winnow index MERGE-BACK — the missing last step of x79d's
+    * refresh loop (r15 verdict #2). x79d decides insert/drop against the
+    * published standing index but leaves the layout untouched, so a
+    * production loop would re-publish from scratch at O(corpus) each
+    * refresh — the exact cost the incremental form exists to avoid. This
+    * key materializes the POST-REFRESH index (base ∪ inserted batch docs
+    * under the same df-capped geometry) at O(batch ∪ index): inserted
+    * docs are fingerprinted (O(batch)), unioned with the published
+    * `kept/` PAIRS (a 2-column scan), and the df filter is recomputed
+    * over that union with the `overcap/` blacklist excluding fingerprints
+    * whose base pairs were capped out ([[winnowMergeIndex]] has the
+    * exactness argument). x39b is the simhash family's analog at the
+    * corpus level; this is the winnow family's at the INDEX level, which
+    * is what the next refresh actually consumes.
+    *
+    * The merged layout re-publishes the same kept/ + overcap/ structure
+    * under the same stamp + geometry + cap naming ([[WinnowGeomTag]]), so
+    * refreshes COMPOSE: refresh N+1 reads the layout refresh N wrote.
+    * Output: one row per merged-corpus member (status kept|inserted) with
+    * its fingerprint count in the merged index, read back FROM the
+    * published layout — the oracle (a from-scratch replay over the merged
+    * corpus) therefore checks the artifact's own content at every SF.
+    */
+  def x79eWinnowIndexMerge(s: SparkSession, d: String): DataFrame = {
+    val cap = leverOrStrictFail(s, "spark.graft.x79.dfCap",
+      WinnowDfCap, "x79b/x79c/x79d/x79e")
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val basePath = ensureWinnowBaseIndex(s, d, baseDocs)
+    val mergedPath =
+      s"${graft.Scratch.dir(s)}/graft_x79e_merged_${WinnowGeomTag}_cap${cap}_$tag"
+    val inserted = x79dWinnowIncremental(s, d)
+      .filter(col("status") === "inserted").select(col("doc_id"))
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/documents.parquet"), mergedPath) {
+      val insDocs = x39BatchDocs(docs).join(inserted, Seq("doc_id"))
+      val (mk, mo) = winnowMergeIndex(s,
+        Tables.cachedParquet(s, s"$basePath/kept"),
+        Tables.cachedParquet(s, s"$basePath/overcap"),
+        winnowDistinctFp(s, insDocs), cap)
+      mk.repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$mergedPath/kept")
+      mo.repartition(1)
+        .write.mode("overwrite").parquet(s"$mergedPath/overcap")
+    }
+    val nfp = Tables.cachedParquet(s, s"$mergedPath/kept")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    baseDocs.select(col("doc_id"), lit("kept").as("status"))
+      .unionByName(inserted.select(col("doc_id"), lit("inserted").as("status")))
+      .join(nfp, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fp"))
+      .select(col("doc_id"), col("status"), col("n_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x79eSql: String =
+    s"""WITH $x79dDecisionCtes,
+       |dec AS (
+       |  SELECT ids.doc_id FROM ids
+       |  LEFT JOIN bd USING (doc_id) LEFT JOIN nd USING (doc_id)
+       |  WHERE COALESCE(nb, 0) = 0 AND COALESCE(nn, 0) = 0),
+       |mergedc AS (
+       |  SELECT doc_id, text, 'kept' AS status FROM base
+       |  UNION ALL
+       |  SELECT b.doc_id, b.text, 'inserted' AS status
+       |  FROM batch b JOIN dec USING (doc_id)),
+       |${winnowCtesOver("mergedc", "M")},
+       |mfp AS (SELECT DISTINCT doc_id, fp_h FROM wfpM),
+       |mkept AS (
+       |  SELECT f.doc_id, f.fp_h FROM mfp f
+       |  JOIN (SELECT fp_h FROM mfp GROUP BY fp_h
+       |        HAVING COUNT(*) <= $WinnowDfCap) d USING (fp_h)),
+       |mcnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM mkept GROUP BY doc_id)
+       |SELECT m.doc_id, m.status, CAST(COALESCE(c.n_fp, 0) AS BIGINT) AS n_fp
+       |FROM mergedc m LEFT JOIN mcnt c USING (doc_id)
+       |ORDER BY m.doc_id""".stripMargin
 
   // ===== x63: minhash-banding recall audit vs exact ground truth ==========
 
@@ -5903,6 +6074,7 @@ object PipelineOps {
     "x79b_winnow_pairs"  -> (x79bWinnowPairs _),
     "x79c_winnow_recall" -> (x79cWinnowRecall _),
     "x79d_winnow_incremental" -> (x79dWinnowIncremental _),
+    "x79e_winnow_index_merge" -> (x79eWinnowIndexMerge _),
     "x74_tfidf_topk"     -> (x74TfidfTopk _),
     "x65_skipgram_cooc"  -> (x65SkipgramCooc _),
     "x66_dsir_importance" -> (x66DsirImportance _),
@@ -5996,6 +6168,7 @@ object PipelineOps {
     "x79b_winnow_pairs"  -> x79bSql,
     "x79c_winnow_recall" -> x79cSql,
     "x79d_winnow_incremental" -> x79dSql,
+    "x79e_winnow_index_merge" -> x79eSql,
     "x74_tfidf_topk"     -> x74Sql,
     "x65_skipgram_cooc"  -> x65Sql,
     "x66_dsir_importance" -> x66Sql,
