@@ -819,6 +819,16 @@ object CorpusOps {
     * (one SUM per stratum), quota joins back broadcast; the running-sum
     * window is per-stratum and UNBOUNDED — the hot-stratum refinement is
     * [[x78dTokenPrefilter]], a declared key whose oracle is this query.
+    *
+    * BATCH-ONLY BY DESIGN (the whole sampling matrix is — r15 verdict #5):
+    * every apportioning form (x75/x76/x77/x77b/x78/x78b/x78c/x78d) starts
+    * from CORPUS-LEVEL strata aggregates (each stratum's doc count or
+    * token mass), and a stream has never seen its corpus totals — any
+    * streaming "quota" would be a guess that arriving data immediately
+    * falsifies, silently breaking the Σ = B contract these keys exist to
+    * provide. The streaming analog is x24's hash-rate form applied per
+    * micro-batch (a RATE needs no totals); budget-exact sampling runs at
+    * rest over each corpus snapshot.
     */
   def x78cTokenBudgetSample(s: SparkSession, d: String): DataFrame =
     x78cOver(s, Tables.documents(s, d))

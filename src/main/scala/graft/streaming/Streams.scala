@@ -613,20 +613,26 @@ object Streams {
   def winnowProfileStream(docs: DataFrame): DataFrame = {
     graft.functions.WinnowHashes.register(docs.sparkSession)
     val maxGrams = 1L << graft.functions.WinnowHashes.DefaultPosBits
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // oversize gate, batch x79's policy verbatim: a ≥2^21-gram doc emits a
+    // flagged (n_fp 0, density -1) row instead of throwing inside the
+    // kernel and killing the stream. STRUCTURAL split (filter +
+    // unionByName, the batch winnowProfileOver shape) rather than a
+    // CaseWhen branch: conditional evaluation kept the kernel off
+    // out-of-domain rows only as long as the expression occurred ONCE —
+    // a second use in the same projection could let common-subexpression
+    // elimination evaluate it eagerly and hit the require (r15 ADVICE).
+    val sized = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        (size(col("toks")) - 2).cast("long").as("n_grams"),
-        // oversize gate, batch x79's policy verbatim: a ≥2^21-gram doc
-        // emits a flagged (n_fp 0, density -1) row instead of throwing
-        // inside the kernel and killing the stream — CaseWhen evaluates
-        // the winnow expression only on in-domain rows
-        when((size(col("toks")) - 2).cast("long") < lit(maxGrams),
-          size(expr("graft_winnow_hashes(toks)")).cast("long"))
-          .otherwise(lit(0L)).as("n_fp"))
-      .withColumn("density_ppm",
-        when(col("n_grams") < lit(maxGrams),
-          expr("n_fp * 1000000L div n_grams")).otherwise(lit(-1L)))
+        (size(col("toks")) - 2).cast("long").as("n_grams"), col("toks"))
+    val inDomain = sized.filter(col("n_grams") < lit(maxGrams))
+      .select(col("doc_id"), col("n_grams"),
+        size(expr("graft_winnow_hashes(toks)")).cast("long").as("n_fp"))
+      .withColumn("density_ppm", expr("n_fp * 1000000L div n_grams"))
+    val outOfDomain = sized.filter(col("n_grams") >= lit(maxGrams))
+      .select(col("doc_id"), col("n_grams"),
+        lit(0L).as("n_fp"), lit(-1L).as("density_ppm"))
+    inDomain.unionByName(outOfDomain)
   }
 
   /** Streaming twin of x79b at the PAIRS level — completes the
@@ -652,11 +658,20 @@ object Streams {
     * x79b's (StreamingSpec; each unordered pair surfaces from both
     * arrivals and collapses in the pair-dedup).
     *
+    * Exactly-once is HORIZON-BOUNDED (r15 ADVICE): the pair dedup's only
+    * state is watermark-scoped, so a candidate pair re-surfacing after
+    * state eviction — a replayed or very late arrival more than
+    * `watermarkDelay` behind the stream's max event time — emits a second
+    * verified row. Batch-x79b bit-identity therefore holds within the
+    * watermark horizon; deployments replaying history should size
+    * `watermarkDelay` to their replay window (it is a parameter for that
+    * reason) or dedup pairs downstream at rest.
+    *
     * Expects stream columns (doc_id, text, ingest_ts); index columns
     * (doc_id, fp_h) and (doc_id, sh).
     */
   def winnowPairsStream(docs: DataFrame, fpIndex: DataFrame,
-      shIndex: DataFrame): DataFrame = {
+      shIndex: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.WinnowHashes.register(spark)
     graft.functions.ShingleHashes.register(spark)
@@ -677,7 +692,7 @@ object Streams {
       .select(col("a_id"), col("ingest_ts"), col("a_sh"),
         least(col("a_id"), col("b_id")).as("doc_a"),
         greatest(col("a_id"), col("b_id")).as("doc_b"))
-      .withWatermark("ingest_ts", "1 hour")
+      .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
       .join(shIndex.select(col("doc_id").as("b_id2"), col("sh").as("b_sh")),
         when(col("a_id") === col("doc_a"), col("doc_b"))

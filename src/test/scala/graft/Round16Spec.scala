@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 pins: the bench per-key regression gate (r15 verdict #3 —
+  * cross-round "zero regressions" must be a driver-checked field, not a
+  * judge hand-diff), and the x79e winnow index merge-back (r15 verdict
+  * #2 — x79d decided against the published index but nothing materialized
+  * the post-refresh merged index, so a production loop re-published at
+  * O(corpus)): blacklist exactness, df-overflow drops, refresh
+  * COMPOSITION, and the published-layout scan.
+  */
+class Round16Spec extends SparkSpec {
+
+  // ===== BenchGate regression rule (r15 verdict #3) ========================
+
+  test("regressedKeys: gate, floor, missing keys, and failure sentinels") {
+    val baseline = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "e" -> 0.5)
+    val mins = Map(
+      "a" -> 2.6,  // 2.6x baseline AND +1.6s — regressed
+      "b" -> 0.3,  // 3x baseline but +0.2s < floor — jitter, not flagged
+      "c" -> 3.9,  // 1.95x < gate despite +1.9s — not flagged
+      "d" -> 9.0,  // no baseline (new key) — unchecked
+      "e" -> -1.0) // failure sentinel — the failed count's job
+    assert(BenchGate.regressedKeys(mins, baseline) == Seq("a"))
+    // empty baseline (file missing/corrupt) disables the gate entirely
+    assert(BenchGate.regressedKeys(mins, Map.empty).isEmpty)
+  }
+
+  test("regression gate boundary is exclusive on both conjuncts") {
+    // exactly 2x: not a regression (strictly-greater rule)
+    assert(BenchGate.regressedKeys(
+      Map("k" -> 1.0), Map("k" -> 0.5)).isEmpty)
+    // exactly +0.5s delta at >2x: not a regression (strictly-greater rule)
+    assert(BenchGate.regressedKeys(
+      Map("k" -> 0.9), Map("k" -> 0.4)).isEmpty)
+    // both strictly cleared: regression
+    assert(BenchGate.regressedKeys(
+      Map("k" -> 1.01), Map("k" -> 0.4)) == Seq("k"))
+  }
+
+  test("parseBaseline round-trips the written shape and rejects garbage") {
+    val parsed = BenchGate.parseBaseline("""{"q1a":0.104,"x1":1.700}""")
+    assert(parsed == Map("q1a" -> 0.104, "x1" -> 1.7))
+    assert(BenchGate.parseBaseline("not json at all").isEmpty)
+    // the committed baseline itself must parse and cover the full surface
+    val committed = BenchGate.parseBaseline(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("docs/bench_baseline.json")), "UTF-8"))
+    assert(committed.size >= 250,
+      s"committed baseline has only ${committed.size} keys")
+    assert(committed.values.forall(v => v > 0 && v < 60))
+  }
+
+  // ===== x79e winnow index merge-back (r15 verdict #2) =====================
+
+  /** Manufactured corpus exercising BOTH merge hazards: a fingerprint
+    * over-cap in the base corpus (absent from kept/, present only in the
+    * overcap/ blacklist) that re-appears in inserted batch docs, and a
+    * fingerprint under-cap in base whose merged df crosses the cap. 60 >
+    * WinnowDfCap(50) identical boilerplate-B docs blacklist B's
+    * fingerprints; 30 identical boilerplate-C docs keep C's under cap
+    * until 25 batch copies push the union df to 55.
+    */
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  private val boilB = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val boilC = "one two three four five six seven eight nine ten"
+  private def uniq(i: Long) = s"unique token stream number n$i for doc n$i plus tail t$i"
+
+  private lazy val baseDocs = mkDocs(
+    (1L to 60L).map(i => i -> boilB) ++
+      (71L to 100L).map(i => i -> boilC) ++
+      (101L to 110L).map(i => i -> uniq(i)))
+  private lazy val insDocs = mkDocs(Seq(
+    1001L -> boilB, // blacklisted fingerprints arrive in the batch
+    1002L -> uniq(1002L)) ++
+    (1003L to 1027L).map(i => i -> boilC)) // pushes C over the cap
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_id"), col("fp_h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def fps(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("fp_h")).collect().map(_.getLong(0)).toSet
+
+  test("winnowMergeIndex == from-scratch, incl. blacklist and df-overflow") {
+    val cap = graft.queries.PipelineOps.WinnowDfCap
+    val fpBase = graft.queries.PipelineOps.winnowDistinctFp(spark, baseDocs)
+    val (keptB, overB) = graft.queries.PipelineOps.winnowCapSplit(spark, fpBase)
+    val insFp = graft.queries.PipelineOps.winnowDistinctFp(spark, insDocs)
+    // preconditions: the fixture really exercises both hazards
+    val overSet = fps(overB)
+    assert(overSet.nonEmpty, "fixture broken: no over-cap base fingerprint")
+    assert(fps(insFp).intersect(overSet).nonEmpty,
+      "fixture broken: no blacklisted fingerprint arrives in the batch")
+    val keptSet = fps(keptB)
+    val cFps = fps(graft.queries.PipelineOps.winnowDistinctFp(
+      spark, mkDocs(Seq(71L -> boilC))))
+    assert(cFps.subsetOf(keptSet), "fixture broken: C not kept in base")
+    // the merge under test — consumes ONLY the published tables + batch
+    // fingerprints, never the base docs' text (the O(batch) claim is the
+    // function signature itself)
+    val (mk, mo) = graft.queries.PipelineOps.winnowMergeIndex(
+      spark, keptB, overB, insFp, cap)
+    // truth: from-scratch cap split over the merged corpus
+    val (tk, to) = graft.queries.PipelineOps.winnowCapSplit(spark,
+      graft.queries.PipelineOps.winnowDistinctFp(
+        spark, baseDocs.unionByName(insDocs)))
+    assert(pairs(mk) == pairs(tk),
+      "merged kept pairs differ from a from-scratch publish")
+    assert(fps(mo) == fps(to),
+      "merged overcap blacklist differs from a from-scratch publish")
+    // and the hazards actually bit: B stays out, C dropped by overflow
+    assert(fps(mk).intersect(overSet).isEmpty)
+    assert(fps(mk).intersect(cFps).isEmpty,
+      "df-overflow fingerprints survived the merge")
+    assert(cFps.subsetOf(fps(mo)), "overflowed fingerprints must join the blacklist")
+  }
+
+  test("refreshes COMPOSE: a second merge against the merged index is exact") {
+    val cap = graft.queries.PipelineOps.WinnowDfCap
+    val fpBase = graft.queries.PipelineOps.winnowDistinctFp(spark, baseDocs)
+    val (keptB, overB) = graft.queries.PipelineOps.winnowCapSplit(spark, fpBase)
+    val insFp = graft.queries.PipelineOps.winnowDistinctFp(spark, insDocs)
+    val (mk, mo) = graft.queries.PipelineOps.winnowMergeIndex(
+      spark, keptB, overB, insFp, cap)
+    // second refresh: one more blacklisted-B doc, one more C doc (C is in
+    // the MERGED blacklist now — only the merged overcap knows that), one
+    // genuinely new doc
+    val ins2 = mkDocs(Seq(2001L -> boilB, 2002L -> boilC, 2003L -> uniq(2003L)))
+    val ins2Fp = graft.queries.PipelineOps.winnowDistinctFp(spark, ins2)
+    val (mk2, mo2) = graft.queries.PipelineOps.winnowMergeIndex(
+      spark, mk, mo, ins2Fp, cap)
+    val (tk2, to2) = graft.queries.PipelineOps.winnowCapSplit(spark,
+      graft.queries.PipelineOps.winnowDistinctFp(spark,
+        baseDocs.unionByName(insDocs).unionByName(ins2)))
+    assert(pairs(mk2) == pairs(tk2),
+      "second refresh against the merged index diverged from from-scratch")
+    assert(fps(mo2) == fps(to2))
+  }
+
+  test("x79e reads back the published merged layout and emits both statuses") {
+    val d = TestSpark.sf0001
+    val df = SparkEntry.queries("x79e_winnow_index_merge")(spark, d)
+    // the output flows THROUGH the published merged layout (the oracle
+    // then checks the artifact's own content) — walk the scan roots like
+    // Round15Spec does for x79d's base index
+    val scanRoots = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }.mkString(";")
+    assert(scanRoots.contains("graft_x79e_merged"),
+      s"n_fp must come from the published merged layout: $scanRoots")
+    val rows = df.collect()
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses == Set("kept", "inserted"))
+    // base docs are never dropped by a refresh; inserted ⊆ batch ids
+    assert(rows.filter(_.getAs[String]("status") == "inserted")
+      .forall(r => r.getLong(0) % 5 == 0 || r.getLong(0) >= 30000000L))
+    // fingerprintable docs carry their merged-index fingerprint count
+    assert(rows.exists(_.getAs[Long]("n_fp") > 0))
+  }
+
+  test("WinnowGeomTag embeds all four selection constants") {
+    val wh = graft.functions.WinnowHashes
+    val tag = graft.queries.PipelineOps.WinnowGeomTag
+    assert(tag.contains(s"k${wh.DefaultK}"))
+    assert(tag.contains(s"m${graft.functions.StringPolyHash.DefaultMod}"))
+    assert(tag.contains(s"w${wh.DefaultWin}"))
+    assert(tag.contains(s"p${wh.DefaultPosBits}"))
+  }
+}
