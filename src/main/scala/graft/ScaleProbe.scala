@@ -930,7 +930,23 @@ object ScaleProbe {
         // (the full per-snapshot cost — the layout is rmrf'd below like
         // the x68 artifacts), warm measures the amortized O(batch) path
         ("x79d_winnow_incremental", "docs",
-          SparkEntry.queries("x79d_winnow_incremental")))
+          SparkEntry.queries("x79d_winnow_incremental")),
+        // composed pipelines p1–p5 (r15 verdict #4): each single stage has
+        // a probed or argued exponent, but a COMPOSITION can hide a
+        // super-linear stage interaction no single-key probe sees (a dedup
+        // stage feeding a window whose partitions stop being bounded, a
+        // survivor set that grows faster than the corpus) — probe the five
+        // end-to-end chains directly; all consume only the documents table
+        ("p1_curation_pipeline", "docs",
+          SparkEntry.queries("p1_curation_pipeline")),
+        ("p2_dedup_pack_pipeline", "docs",
+          SparkEntry.queries("p2_dedup_pack_pipeline")),
+        ("p3_ensemble_filter", "docs",
+          SparkEntry.queries("p3_ensemble_filter")),
+        ("p4_curriculum_pack", "docs",
+          SparkEntry.queries("p4_curriculum_pack")),
+        ("p5_image_pipeline", "docs",
+          SparkEntry.queries("p5_image_pipeline")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {

@@ -1742,6 +1742,133 @@ object PipelineOps {
   def x12cAnnIvfTrained(s: SparkSession, d: String): DataFrame =
     annIvfOver(trainedAssignShared(s, d))
 
+  // ===== x80: graph-routed ANN — NSW beam search over the cell graph ======
+
+  /** Routing parameters of the cell-graph beam search: [[GraphM]]
+    * out-neighbors per cell, beam width [[GraphBeam]], [[GraphRounds]]
+    * expansion rounds, entry = the min cluster id (HNSW's fixed
+    * entry-point posture). All constant — routing cost is bounded by
+    * B·M·R scored cells per query INDEPENDENT of corpus size, which is
+    * the entire point of graph ANN at scale.
+    */
+  private[graft] val GraphM = 3
+  private[graft] val GraphBeam = 2
+  private[graft] val GraphRounds = 3
+
+  /** The cell-graph beam router shared by x80 (query top-k) and x40's
+    * `graphb` recall row (all-vector admission audit): given (q_id, q_emb)
+    * queries, returns the (q_id, cluster) cells each query's beam probes.
+    *
+    * Structure (r15 verdict #7 — the graph-ANN representative): the
+    * navigable-small-world NAVIGATION primitive, applied at the CELL
+    * level over the trained coarse quantizer. Nodes are the final
+    * assignment's cells with their exact integer sum-vector "centroids"
+    * (recomputed from [[trainedAssignShared]] — self-contained from the
+    * published table); edges are each cell's top-M cosine neighbors
+    * (deterministic: double fold + cluster-id tie-break, the x41
+    * contract); a query walks from the fixed entry, each round expanding
+    * the beam's out-neighbors and keeping the top-B cells by the same
+    * division-free dot(q, sv)/‖sv‖ score the Lloyd assignment ranks
+    * with. Rounds are FIXED (R, unrolled in both engines) rather than
+    * walk-until-no-improvement: identical semantics whenever R ≥ the
+    * greedy walk's settle length, and bounded+replayable always — the
+    * same determinism trade as x15's bounded pointer-doubling.
+    *
+    * Why cell-level and not per-vector HNSW: a per-vector NSW graph is
+    * built by sequential insertion — each vector's edges depend on the
+    * graph state its insertion observed — which is order-dependent,
+    * unparallelizable without changing the result, and un-replayable as
+    * a DuckDB oracle at any scale; cell-level routing captures the
+    * structure's query-side navigation (and its cost bound) with a
+    * deterministic, equi-join-only build. At 100 TB the cell count is
+    * nlist ≈ √N ≈ 10⁵–10⁶: brute-force coarse quantization scores every
+    * centroid per query (the x12 family's posture — fine at nlist 16,
+    * a real cost at 10⁶), while the beam scores B·M·R ≈ tens — this
+    * operator is the nlist-scaling path, and its recall vs the scanned
+    * quantizer is x40's measured `graphb`-vs-`ivf16t` delta.
+    */
+  private[graft] def graphBeamCells(s: SparkSession, d: String,
+      queries: DataFrame): DataFrame = {
+    graft.functions.VectorSumLong.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val asg = trainedAssignShared(s, d)
+    // t3 cell sums: integer micro-sums over the FINAL assignment's members
+    // (t2 fed asg3; summing asg3's own groups keeps the graph derivable
+    // from the one published table). 16 rows — persist: it feeds the edge
+    // self-join twice and the query scoring once
+    val cents = asg.groupBy(col("cluster")).agg(
+        expr("graft_vecsum_long(transform(embedding, " +
+          "v -> cast(round(cast(v as double) * 1000000) as long)))").as("sv"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(sv, x -> cast(x as double)), " +
+          "cast(0.0 as double), (acc, v) -> acc + v * v))"))
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(cents))
+    // edge list: top-M neighbors per cell by full cosine over the double
+    // projections (both sides vary, so both norms — unlike the query
+    // score, where the query norm is rank-constant). nlist² pairs on a
+    // broadcast — at production nlist this is the one-off index-build
+    // step, amortized across every query like the quantizer itself.
+    val dotAB = "aggregate(zip_with(transform(asv, x -> cast(x as double)), " +
+      "transform(bsv, x -> cast(x as double)), (p, q) -> p * q), " +
+      "cast(0.0 as double), (acc, z) -> acc + z)"
+    val edges = cents.select(col("cluster").as("src"), col("sv").as("asv"),
+        col("nrm").as("an"))
+      .join(broadcast(cents.select(col("cluster").as("dst"),
+        col("sv").as("bsv"), col("nrm").as("bn"))), col("src") =!= col("dst"))
+      .withColumn("csim", expr(dotAB) / (col("an") * col("bn")))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("src")).orderBy(col("csim").desc, col("dst"))))
+      .filter(col("rn") <= GraphM)
+      .select(col("src"), col("dst"))
+    // per-(query, cell) score table, computed ONCE and re-joined each
+    // round: dot(q, sv)/‖sv‖ — the assignment's division-free rank score
+    val qc = queries.crossJoin(broadcast(cents))
+      .withColumn("qs", expr(
+        "aggregate(zip_with(transform(q_emb, v -> cast(v as double)), " +
+          "transform(sv, x -> cast(x as double)), (p, q) -> p * q), " +
+          "cast(0.0 as double), (acc, z) -> acc + z)") / col("nrm"))
+      .select(col("q_id"), col("cluster"), col("qs"))
+    val entry = cents.agg(min(col("cluster")).as("cluster"))
+    var beam = queries.select(col("q_id")).crossJoin(broadcast(entry))
+    for (_ <- 1 to GraphRounds) {
+      val frontier = beam.unionByName(
+          beam.join(broadcast(edges), col("cluster") === col("src"))
+            .select(col("q_id"), col("dst").as("cluster")))
+        .distinct()
+      beam = frontier.join(qc, Seq("q_id", "cluster"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("q_id")).orderBy(col("qs").desc, col("cluster"))))
+        .filter(col("rn") <= GraphBeam)
+        .select(col("q_id"), col("cluster"))
+    }
+    beam
+  }
+
+  /** x80: ANN top-3 by graph-routed beam search ([[graphBeamCells]]) —
+    * probe the beam's B cells, exact-cosine rank within them; x12c's
+    * output shape over the routed (rather than scanned) quantizer, so the
+    * two keys are directly comparable row-for-row.
+    */
+  def x80AnnGraphBeam(s: SparkSession, d: String): DataFrame = {
+    VectorCosine.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val asg = trainedAssignShared(s, d)
+    val q = asg.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wRank = w.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    graphBeamCells(s, d, q)
+      .join(asg, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(expr("graft_cosine(q_emb, embedding)"), 6).as("sim"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** x59: hard-negative mining for contrastive training — for each anchor
     * (vec_id < 10, the x12 probe set), the top-3 most-cosine-similar
     * vectors carrying a DIFFERENT class label. Nearest different-class
@@ -1862,6 +1989,69 @@ object PipelineOps {
        |  JOIN embeddings a ON a.vec_id = ca.vec_id AND a.vec_id < 10
        |  JOIN asg3 cb ON cb.cluster = ca.cluster
        |  JOIN embeddings b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  /** DuckDB replay of [[graphBeamCells]] as a CTE chain (assumes `asg3`
+    * from [[trainedAssignCtes]] is in scope). `gqDef` provides the query
+    * set as (q_id, embedding); the final beam CTE is `gb[[GraphRounds]]`.
+    * Rounds are unrolled — the fixed-R determinism trade stated on the
+    * Spark side.
+    */
+  private def graphBeamCtes(gqDef: String): String = {
+    val micro =
+      "list_transform(e.embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    def svd(x: String) = s"list_transform($x, x -> CAST(x AS DOUBLE))"
+    val rounds = (1 to GraphRounds).map { r =>
+      s"""gf$r AS (SELECT DISTINCT q_id, cluster FROM (
+         |  SELECT q_id, cluster FROM gb${r - 1}
+         |  UNION ALL
+         |  SELECT b.q_id, ed.dst AS cluster FROM gb${r - 1} b
+         |  JOIN gedges ed ON ed.src = b.cluster)),
+         |gb$r AS (SELECT q_id, cluster FROM (
+         |  SELECT f.q_id, f.cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY f.q_id
+         |           ORDER BY s.qs DESC, f.cluster) AS rn
+         |  FROM gf$r f JOIN gqc s ON s.q_id = f.q_id AND s.cluster = f.cluster)
+         |  WHERE rn <= $GraphBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""gex AS (SELECT a.cluster, unnest(range(0, len(e.embedding))) AS dim,
+       |               unnest($micro) AS v1
+       |        FROM asg3 a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |gt AS (SELECT cluster, list(sm ORDER BY dim) AS sv FROM (
+       |         SELECT cluster, dim, SUM(v1) AS sm FROM gex
+       |         GROUP BY cluster, dim) GROUP BY cluster),
+       |gcn AS (SELECT cluster, sv,
+       |               sqrt(list_dot_product(${svd("sv")}, ${svd("sv")})) AS nrm
+       |        FROM gt),
+       |gedges AS (SELECT src, dst FROM (
+       |  SELECT a.cluster AS src, b.cluster AS dst,
+       |         ROW_NUMBER() OVER (PARTITION BY a.cluster ORDER BY
+       |           list_dot_product(${svd("a.sv")}, ${svd("b.sv")})
+       |             / (a.nrm * b.nrm) DESC, b.cluster) AS rn
+       |  FROM gcn a JOIN gcn b ON a.cluster <> b.cluster) WHERE rn <= $GraphM),
+       |gentry AS (SELECT MIN(cluster) AS cluster FROM gcn),
+       |gq AS ($gqDef),
+       |gqc AS (SELECT q.q_id, c.cluster,
+       |               list_dot_product(q.embedding::DOUBLE[], ${svd("c.sv")})
+       |                 / c.nrm AS qs
+       |        FROM gq q CROSS JOIN gcn c),
+       |gb0 AS (SELECT q.q_id, ge.cluster FROM gq q CROSS JOIN gentry ge),
+       |$rounds""".stripMargin
+  }
+
+  val x80Sql: String =
+    s"""WITH ${trainedAssignCtes(16, 2)},
+       |${graphBeamCtes(
+          "SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10")}
+       |SELECT q_id, rk, n_id, sim FROM (
+       |  SELECT p.q_id, m.vec_id AS n_id,
+       |         ROUND(${cosineSqlOf("a", "b")}, 6) AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |           ORDER BY ROUND(${cosineSqlOf("a", "b")}, 6) DESC, m.vec_id) AS rk
+       |  FROM gb$GraphRounds p
+       |  JOIN asg3 m ON m.cluster = p.cluster AND m.vec_id <> p.q_id
+       |  JOIN embeddings a ON a.vec_id = p.q_id
+       |  JOIN embeddings b ON b.vec_id = m.vec_id)
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
   // ================= m1/m2: multimodal binary-column plumbing =============
@@ -3294,19 +3484,32 @@ object PipelineOps {
     val trainedPairs = trained.as("x").join(trained.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    // graph-routed admission (x80's router over ALL vectors): pair (a,b)
+    // is admitted when either endpoint's beam probes the other's cell —
+    // the recall standard the r15 verdict set for a graph-ANN
+    // representative; its delta vs ivf16t (same cells, scanned quantizer)
+    // is the measured price of routing instead of scanning
+    val graphPairs = graphBeamCells(s, d, trainedAssignShared(s, d)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .join(trained, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(least(col("q_id"), col("vec_id")).as("vec_a"),
+        greatest(col("q_id"), col("vec_id")).as("vec_b"))
+      .distinct()
     val tagged = pairsOnly(annLshPairs(8)(s, d)).withColumn("method", lit("lsh8"))
       .unionByName(pairsOnly(annLshPairs(6)(s, d)).withColumn("method", lit("lsh6")))
       .unionByName(pairsOnly(x8cPairs(s, d)).withColumn("method", lit("multi")))
       .unionByName(ivfPairs(16).withColumn("method", lit("ivf16")))
       .unionByName(ivfPairs(8).withColumn("method", lit("ivf8")))
       .unionByName(trainedPairs.withColumn("method", lit("ivf16t")))
+      .unionByName(graphPairs.withColumn("method", lit("graphb")))
     val hits = tagged.join(broadcast(exact), Seq("vec_a", "vec_b"))
       .groupBy(col("method")).agg(count(lit(1)).as("n_hit"))
     val nEx = exact.agg(count(lit(1)).as("n_exact"))
     // literal method table, so a method with zero hits still reports a row
     val methods = s.range(1).select(
       explode(array(lit("lsh8"), lit("lsh6"), lit("multi"),
-        lit("ivf16"), lit("ivf8"), lit("ivf16t"))).as("method"))
+        lit("ivf16"), lit("ivf8"), lit("ivf16t"), lit("graphb"))).as("method"))
     val out = methods
       .join(broadcast(hits), Seq("method"), "left")
       .na.fill(0L, Seq("n_hit"))
@@ -3337,6 +3540,11 @@ object PipelineOps {
        |a16 AS ${assignOf(16)},
        |a8 AS ${assignOf(8)},
        |${trainedAssignCtes(16, 2)},
+       |${graphBeamCtes("SELECT vec_id AS q_id, embedding FROM embeddings")},
+       |cgb AS (SELECT DISTINCT LEAST(p.q_id, m.vec_id) AS vec_a,
+       |               GREATEST(p.q_id, m.vec_id) AS vec_b
+       |        FROM gb$GraphRounds p
+       |        JOIN asg3 m ON m.cluster = p.cluster AND m.vec_id <> p.q_id),
        |ci16t AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |          FROM asg3 a JOIN asg3 b
        |            ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
@@ -3360,14 +3568,15 @@ object PipelineOps {
        |  UNION ALL SELECT 'multi', vec_a, vec_b FROM cm
        |  UNION ALL SELECT 'ivf16', vec_a, vec_b FROM ci16
        |  UNION ALL SELECT 'ivf8', vec_a, vec_b FROM ci8
-       |  UNION ALL SELECT 'ivf16t', vec_a, vec_b FROM ci16t),
+       |  UNION ALL SELECT 'ivf16t', vec_a, vec_b FROM ci16t
+       |  UNION ALL SELECT 'graphb', vec_a, vec_b FROM cgb),
        |hits AS (
        |  SELECT method, COUNT(*) AS n_hit
        |  FROM tagged t JOIN exact e
        |    ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b
        |  GROUP BY method),
        |methods(method) AS (VALUES ('lsh8'), ('lsh6'), ('multi'),
-       |                           ('ivf16'), ('ivf8'), ('ivf16t'))
+       |                           ('ivf16'), ('ivf8'), ('ivf16t'), ('graphb'))
        |SELECT m.method,
        |       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
        |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
@@ -6103,6 +6312,7 @@ object PipelineOps {
     "x12_ann_ivf"        -> (x12AnnIvf _),
     "x12b_ann_ivf8"      -> (x12bAnnIvf8 _),
     "x12c_ann_ivf_trained" -> (x12cAnnIvfTrained _),
+    "x80_ann_graph_beam" -> (x80AnnGraphBeam _),
     "x59_hard_negatives" -> (x59HardNegatives _),
     "x60_boilerplate_frac" -> (x60BoilerplateFrac _),
     "x13_embed_dedup"    -> (x13EmbedDedup _),
@@ -6191,6 +6401,7 @@ object PipelineOps {
     "x12_ann_ivf"        -> x12Sql,
     "x12b_ann_ivf8"      -> x12bSql,
     "x12c_ann_ivf_trained" -> x12cSql,
+    "x80_ann_graph_beam" -> x80Sql,
     "x59_hard_negatives" -> x59Sql,
     "x60_boilerplate_frac" -> x60Sql,
     "x13_embed_dedup"    -> x13Sql,

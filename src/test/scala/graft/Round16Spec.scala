@@ -167,6 +167,43 @@ class Round16Spec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_fp") > 0))
   }
 
+  // ===== x80 graph-routed ANN (r15 verdict #7) ==============================
+
+  test("x80: beam probes exactly B cells per query, candidates stay in-beam") {
+    val d = TestSpark.sf0001
+    val asg = graft.queries.PipelineOps.trainedAssignShared(spark, d)
+    val q = asg.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val beams = graft.queries.PipelineOps.graphBeamCells(spark, d, q).collect()
+    val byQ = beams.groupBy(_.getLong(0))
+    // the routing cost bound IS the operator's scale claim: exactly B
+    // probed cells per query after R rounds, never the whole quantizer
+    assert(byQ.size == 10)
+    assert(byQ.values.forall(_.length == graft.queries.PipelineOps.GraphBeam))
+    val beamSet = beams.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellOf = asg.select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("x80_ann_graph_beam")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // every reported neighbor's cell was actually probed by its query's
+    // beam — the candidates are routed, not scanned
+    assert(rows.forall(r =>
+      beamSet((r.getAs[Long]("q_id"), cellOf(r.getAs[Long]("n_id"))))))
+    assert(rows.forall(r => r.getAs[Long]("rk") >= 1 && r.getAs[Long]("rk") <= 3))
+  }
+
+  test("x40 carries the graphb row beside ivf16t (routing-vs-scanning delta)") {
+    val d = TestSpark.sf0001
+    val rows = SparkEntry.queries("x40_ann_recall")(spark, d).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("recall_pct")).toMap
+    assert(rows.contains("graphb") && rows.contains("ivf16t"))
+    // at nlist=16 the beam (B=2 cells) explores most of the tiny graph —
+    // the router must not fall below the single-cell scanned quantizer
+    // here (as nlist grows this is exactly the measured trade to watch)
+    assert(rows("graphb") >= rows("ivf16t"),
+      s"graphb ${rows("graphb")} < ivf16t ${rows("ivf16t")}")
+  }
+
   test("WinnowGeomTag embeds all four selection constants") {
     val wh = graft.functions.WinnowHashes
     val tag = graft.queries.PipelineOps.WinnowGeomTag
