@@ -84,7 +84,8 @@ class AuditSpec extends SparkSpec {
         "x68c_also_bought_recall", // two single-row count aggregates cross-joined per scope row (x64's shape)
         // x73_kcore_peel left this set in r13: per-round stats now read ONE
         // aggregate over the next round's degree table (no crossJoin)
-        "x74_tfidf_topk") // single-row doc-count broadcast into the scoring join (x19's stats shape)
+        "x74_tfidf_topk", // single-row doc-count broadcast into the scoring join (x19's stats shape)
+        "x80_ann_graph_beam") // nlist-row centroid-table and 1-row entry broadcasts (x12's bound; nlist is the quantizer knob, never corpus-sized)
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet
