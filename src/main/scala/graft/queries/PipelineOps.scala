@@ -5904,7 +5904,12 @@ object PipelineOps {
     *
     * The merged layout re-publishes the same kept/ + overcap/ structure
     * under the same stamp + geometry + cap naming ([[WinnowGeomTag]]), so
-    * refreshes COMPOSE: refresh N+1 reads the layout refresh N wrote.
+    * refreshes COMPOSE: refresh N+1 reads the layout refresh N wrote. It
+    * additionally publishes `inserted/` — the x79d decision set that
+    * drove the merge, the loop's audit trail — which keeps the
+    * steady-state output plan an artifact read instead of a per-action
+    * re-run of the decide chain (the chain still runs once per stamp,
+    * inside the publish).
     * Output: one row per merged-corpus member (status kept|inserted) with
     * its fingerprint count in the merged index, read back FROM the
     * published layout — the oracle (a from-scratch replay over the merged
@@ -5918,12 +5923,20 @@ object PipelineOps {
     val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
     val basePath = ensureWinnowBaseIndex(s, d, baseDocs)
     val mergedPath =
-      s"${graft.Scratch.dir(s)}/graft_x79e_merged_${WinnowGeomTag}_cap${cap}_$tag"
-    val inserted = x79dWinnowIncremental(s, d)
-      .filter(col("status") === "inserted").select(col("doc_id"))
+      s"${graft.Scratch.dir(s)}/graft_x79e_refresh_${WinnowGeomTag}_cap${cap}_$tag"
     graft.sources.MultiFormat.ensureLayout(
       new java.io.File(s"$d/documents.parquet"), mergedPath) {
-      val insDocs = x39BatchDocs(docs).join(inserted, Seq("doc_id"))
+      // the decision set is PART of the refresh artifact (inserted/) — a
+      // production loop materializes x79d's decisions with the merge, so
+      // the steady-state x79e plan reads two published tables instead of
+      // re-running the whole decide chain per action (measured: 4.3 s →
+      // artifact-read cost; the x79d chain still runs once per stamp here)
+      val ins = x79dWinnowIncremental(s, d)
+        .filter(col("status") === "inserted").select(col("doc_id"))
+      ins.repartition(1).write.mode("overwrite")
+        .parquet(s"$mergedPath/inserted")
+      val insDocs = x39BatchDocs(docs).join(
+        Tables.cachedParquet(s, s"$mergedPath/inserted"), Seq("doc_id"))
       val (mk, mo) = winnowMergeIndex(s,
         Tables.cachedParquet(s, s"$basePath/kept"),
         Tables.cachedParquet(s, s"$basePath/overcap"),
@@ -5933,6 +5946,7 @@ object PipelineOps {
       mo.repartition(1)
         .write.mode("overwrite").parquet(s"$mergedPath/overcap")
     }
+    val inserted = Tables.cachedParquet(s, s"$mergedPath/inserted")
     val nfp = Tables.cachedParquet(s, s"$mergedPath/kept")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     baseDocs.select(col("doc_id"), lit("kept").as("status"))

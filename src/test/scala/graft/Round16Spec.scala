@@ -155,7 +155,7 @@ class Round16Spec extends SparkSpec {
           case _ => ""
         }
     }.mkString(";")
-    assert(scanRoots.contains("graft_x79e_merged"),
+    assert(scanRoots.contains("graft_x79e_refresh"),
       s"n_fp must come from the published merged layout: $scanRoots")
     val rows = df.collect()
     val statuses = rows.map(_.getAs[String]("status")).toSet
