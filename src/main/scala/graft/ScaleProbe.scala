@@ -931,6 +931,12 @@ object ScaleProbe {
         // the x68 artifacts), warm measures the amortized O(batch) path
         ("x79d_winnow_incremental", "docs",
           SparkEntry.queries("x79d_winnow_incremental")),
+        // the merge-back (r16): cold = the full refresh publish (decide
+        // chain + merged-index write — the per-snapshot cost), warm = the
+        // artifact-read steady state; the layouts are rmrf'd below so cold
+        // is honest
+        ("x79e_winnow_index_merge", "docs",
+          SparkEntry.queries("x79e_winnow_index_merge")),
         // composed pipelines p1–p5 (r15 verdict #4): each single stage has
         // a probed or argued exponent, but a COMPOSITION can hide a
         // super-linear stage interaction no single-key probe sees (a dedup
@@ -979,7 +985,8 @@ object ScaleProbe {
           // fingerprint) — prefix+suffix match sweeps stale caps too
           Option(new java.io.File(Scratch.dir(spark)).listFiles())
             .toSeq.flatten
-            .filter(f => f.getName.startsWith("graft_x79d_index_") &&
+            .filter(f => (f.getName.startsWith("graft_x79d_index_") ||
+                f.getName.startsWith("graft_x79e_refresh_")) &&
               f.getName.endsWith(tag))
             .foreach(rmrf)
           // the x68 layout name carries an algorithm fingerprint — match by
