@@ -1803,7 +1803,9 @@ object PipelineOps {
         "sqrt(aggregate(transform(sv, x -> cast(x as double)), " +
           "cast(0.0 as double), (acc, v) -> acc + v * v))"))
       .persist()
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(cents))
+    // every persisted router table is released together after the caller's
+    // action (one registration — see the loop below for what's collected)
+    val persisted = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](cents)
     // edge list: top-M neighbors per cell by full cosine over the double
     // projections (both sides vary, so both norms — unlike the query
     // score, where the query norm is rank-constant). nlist² pairs on a
@@ -1829,6 +1831,10 @@ object PipelineOps {
           "transform(sv, x -> cast(x as double)), (p, q) -> p * q), " +
           "cast(0.0 as double), (acc, z) -> acc + z)") / col("nrm"))
       .select(col("q_id"), col("cluster"), col("qs"))
+      // persisted: re-joined every round (and in x40 the query side is
+      // ALL vectors, so this is the full-corpus scoring scan)
+      .persist()
+    persisted += qc
     val entry = cents.agg(min(col("cluster")).as("cluster"))
     var beam = queries.select(col("q_id")).crossJoin(broadcast(entry))
     for (_ <- 1 to GraphRounds) {
@@ -1841,7 +1847,14 @@ object PipelineOps {
           w.partitionBy(col("q_id")).orderBy(col("qs").desc, col("cluster"))))
         .filter(col("rn") <= GraphBeam)
         .select(col("q_id"), col("cluster"))
+        // persisted per round: the frontier consumes the previous beam
+        // TWICE (itself ∪ its out-neighbors), so an unpersisted chain
+        // doubles the plan per round — 2^(R-1) copies of round 1's
+        // windows in the final plan (r16 review)
+        .persist()
+      persisted += beam
     }
+    graft.ScopedCache.releaseAfterNextAction(s, persisted.toSeq)
     beam
   }
 
@@ -3303,9 +3316,13 @@ object PipelineOps {
   def x39IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val idxPath = s"${graft.Scratch.dir(s)}/graft_x39_index_$tag"
+    // split + shingle-geometry fingerprint in the name (r16 review): the
+    // index content is simhash-of-base — either constant class changing
+    // must invalidate, not silently reuse
+    val idxPath = s"${graft.Scratch.dir(s)}/graft_x39_index_" +
+      s"${refreshSplitTag}k3m${graft.functions.StringPolyHash.DefaultMod}_$tag"
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val baseDocs = docs.filter(col("doc_id") % BatchSplitMod =!= 0)
     graft.sources.MultiFormat.ensureLayout(
       new java.io.File(s"$d/documents.parquet"), idxPath) {
       // src5's sharded-sink shape: the published index is a keyed layout
@@ -3350,17 +3367,42 @@ object PipelineOps {
     out
   }
 
-  /** The synthesized "new crawl": the doc_id % 5 == 0 slice plus the two
-    * cross-boundary twin families. Shared by x39 (decisions) and x39b
-    * (the merged corpus those decisions produce).
+  /** Synthesized-refresh constants whose values the published refresh
+    * layouts' CONTENT depends on (r16 review — the [[WinnowGeomTag]] rule
+    * extended to the refresh chain): the base/batch split modulus, the
+    * twin-family selector modulus and id offsets, and (via
+    * [[JaccThreshold]]) the verify rule that decides inserts. The Scala
+    * builders read these vals and the layout names embed them through
+    * [[refreshSplitTag]]/[[refreshDecideTag]], so a constant change
+    * INVALIDATES at-rest artifacts instead of silently reusing
+    * wrong-chain content; the oracle SQL replays the same values as
+    * literals, which the hash gate cross-checks every round.
+    */
+  private[graft] val BatchSplitMod = 5
+  private[graft] val TwinSelMod = 7
+  private[graft] val TwinExactOffset = 40000000L
+  private[graft] val TwinEditOffset = 30000000L
+  /** Layout-name tag of what a BASE-side index depends on: the split. */
+  private def refreshSplitTag: String = s"s$BatchSplitMod"
+  /** Layout-name tag of the full decide chain (twin synthesis + the
+    * exact-Jaccard keep threshold) — what x79e's `inserted/` adds on top
+    * of the base index's dependencies.
+    */
+  private def refreshDecideTag: String =
+    s"t${TwinSelMod}x${TwinExactOffset / 10000000L}" +
+      s"e${TwinEditOffset / 10000000L}j${math.round(JaccThreshold * 1000)}"
+
+  /** The synthesized "new crawl": the doc_id % [[BatchSplitMod]] == 0
+    * slice plus the two cross-boundary twin families. Shared by x39
+    * (decisions) and x39b (the merged corpus those decisions produce).
     */
   private def x39BatchDocs(docs: DataFrame): DataFrame = {
-    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
-    docs.filter(col("doc_id") % 5 === 0)
-      .unionByName(baseDocs.filter(col("doc_id") % 7 === 4)
-        .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
-      .unionByName(baseDocs.filter(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + 30000000L).as("doc_id"),
+    val baseDocs = docs.filter(col("doc_id") % BatchSplitMod =!= 0)
+    docs.filter(col("doc_id") % BatchSplitMod === 0)
+      .unionByName(baseDocs.filter(col("doc_id") % TwinSelMod === 4)
+        .select((col("doc_id") + TwinExactOffset).as("doc_id"), col("text")))
+      .unionByName(baseDocs.filter(col("doc_id") % TwinSelMod === 3)
+        .select((col("doc_id") + TwinEditOffset).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text")))
   }
 
@@ -3377,7 +3419,7 @@ object PipelineOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val survivors = x39IncrementalDedup(s, d)
       .filter(col("status") === "inserted").select(col("doc_id"))
-    docs.filter(col("doc_id") % 5 =!= 0)
+    docs.filter(col("doc_id") % BatchSplitMod =!= 0)
       .select(col("doc_id"), lit("kept").as("status"),
         length(col("text")).cast("long").as("n_chars"))
       .unionByName(survivors
@@ -5638,19 +5680,23 @@ object PipelineOps {
       WinnowDfCap, "x79b/x79c/x79d/x79e")
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val idxPath =
-      s"${graft.Scratch.dir(s)}/graft_x79d_index_${WinnowGeomTag}_cap${cap}_$tag"
+      s"${graft.Scratch.dir(s)}/graft_x79d_index_" +
+        s"${WinnowGeomTag}${refreshSplitTag}_cap${cap}_$tag"
     graft.sources.MultiFormat.ensureLayout(
       new java.io.File(s"$d/documents.parquet"), idxPath) {
       // manual persist across BOTH writes (kept + overcap): the scoped
       // release would drop the fingerprint table after the first write's
-      // action and re-derive the gram explode for the second
+      // action and re-derive the gram explode for the second; finally —
+      // a failed write (or the strict-lever throw) must not leak the
+      // cached table into the rest of the session (r16 review)
       val fp = winnowDistinctFp(s, baseDocs).persist()
-      val (kept, over) = winnowCapSplit(s, fp)
-      kept.repartition(8, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$idxPath/kept")
-      over.repartition(1)
-        .write.mode("overwrite").parquet(s"$idxPath/overcap")
-      fp.unpersist(blocking = false): Unit
+      try {
+        val (kept, over) = winnowCapSplit(s, fp)
+        kept.repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$idxPath/kept")
+        over.repartition(1)
+          .write.mode("overwrite").parquet(s"$idxPath/overcap")
+      } finally fp.unpersist(blocking = false): Unit
     }
     idxPath
   }
@@ -5746,7 +5792,7 @@ object PipelineOps {
     */
   def x79dWinnowIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val baseDocs = docs.filter(col("doc_id") % BatchSplitMod =!= 0)
     val idxPath = ensureWinnowBaseIndex(s, d, baseDocs)
     val index = Tables.cachedParquet(s, s"$idxPath/kept")
     val batchDocs = x39BatchDocs(docs)
@@ -5848,11 +5894,12 @@ object PipelineOps {
 
   // ===== x79e: winnow index merge-back (closing x79d's refresh loop) ======
 
-  /** The pure index merge, factored for the spec: given the published base
-    * index pair (`baseKept` = df-capped (doc_id, fp_h) pairs, `baseOver` =
-    * the fp_h with base df > cap) and the INSERTED batch docs' distinct
-    * fingerprints, produce the post-refresh (kept, overcap) pair —
-    * bit-equal to a from-scratch [[winnowCapSplit]] over base ∪ inserted.
+  /** The pure index merge, factored for the spec: given `union` = the
+    * published base index's df-capped (doc_id, fp_h) pairs UNIONED with
+    * the inserted batch docs' distinct fingerprints (caller-persisted —
+    * see the body note), and `baseOver` = the fp_h with base df > cap,
+    * produce the post-refresh (kept, overcap) pair — bit-equal to a
+    * from-scratch [[winnowCapSplit]] over base ∪ inserted.
     *
     * Why exactness holds at O(batch ∪ index), never re-fingerprinting the
     * standing corpus's text: fingerprints are per-document (content-
@@ -5871,9 +5918,15 @@ object PipelineOps {
     * layout re-publishes the SAME two-part structure and a SECOND refresh
     * composes (Round16Spec pins that composition against from-scratch).
     */
-  private[graft] def winnowMergeIndex(s: SparkSession, baseKept: DataFrame,
-      baseOver: DataFrame, insFp: DataFrame, cap: Int): (DataFrame, DataFrame) = {
-    val union = baseKept.unionByName(insFp)
+  private[graft] def winnowMergeIndex(s: SparkSession, union: DataFrame,
+      baseOver: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    // `union` = baseKept ∪ insFp (doc-id sets disjoint by construction, so
+    // no duplicate pairs and COUNT(*) per fp_h counts documents). The
+    // CALLER builds and persists it: the table feeds the df aggregate AND
+    // the kept join below, and x79e's publish additionally writes both
+    // outputs — an unpersisted union would re-derive the batch gram
+    // explode and the kept/ scan per consumer (r16 review; the
+    // ensureWinnowBaseIndex persist rationale applied here).
     val dfc = union.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
     // the blacklist is the stop-fingerprint list — boilerplate grams only,
     // bounded by the corpus's distinct over-cap fingerprints, always ≪ the
@@ -5920,10 +5973,11 @@ object PipelineOps {
       WinnowDfCap, "x79b/x79c/x79d/x79e")
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val baseDocs = docs.filter(col("doc_id") % BatchSplitMod =!= 0)
     val basePath = ensureWinnowBaseIndex(s, d, baseDocs)
     val mergedPath =
-      s"${graft.Scratch.dir(s)}/graft_x79e_refresh_${WinnowGeomTag}_cap${cap}_$tag"
+      s"${graft.Scratch.dir(s)}/graft_x79e_refresh_" +
+        s"${WinnowGeomTag}${refreshSplitTag}${refreshDecideTag}_cap${cap}_$tag"
     graft.sources.MultiFormat.ensureLayout(
       new java.io.File(s"$d/documents.parquet"), mergedPath) {
       // the decision set is PART of the refresh artifact (inserted/) — a
@@ -5937,14 +5991,20 @@ object PipelineOps {
         .parquet(s"$mergedPath/inserted")
       val insDocs = x39BatchDocs(docs).join(
         Tables.cachedParquet(s, s"$mergedPath/inserted"), Seq("doc_id"))
-      val (mk, mo) = winnowMergeIndex(s,
-        Tables.cachedParquet(s, s"$basePath/kept"),
-        Tables.cachedParquet(s, s"$basePath/overcap"),
-        winnowDistinctFp(s, insDocs), cap)
-      mk.repartition(8, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$mergedPath/kept")
-      mo.repartition(1)
-        .write.mode("overwrite").parquet(s"$mergedPath/overcap")
+      // persisted across BOTH writes: the union feeds the df aggregate,
+      // the kept join, AND two output writes — unpersisted, the batch
+      // gram explode and the kept/ scan re-derive per consumer (r16
+      // review; the ensureWinnowBaseIndex discipline)
+      val union = Tables.cachedParquet(s, s"$basePath/kept")
+        .unionByName(winnowDistinctFp(s, insDocs)).persist()
+      try {
+        val (mk, mo) = winnowMergeIndex(s, union,
+          Tables.cachedParquet(s, s"$basePath/overcap"), cap)
+        mk.repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$mergedPath/kept")
+        mo.repartition(1)
+          .write.mode("overwrite").parquet(s"$mergedPath/overcap")
+      } finally union.unpersist(blocking = false): Unit
     }
     val inserted = Tables.cachedParquet(s, s"$mergedPath/inserted")
     val nfp = Tables.cachedParquet(s, s"$mergedPath/kept")

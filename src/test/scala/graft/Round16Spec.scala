@@ -103,7 +103,7 @@ class Round16Spec extends SparkSpec {
     // fingerprints, never the base docs' text (the O(batch) claim is the
     // function signature itself)
     val (mk, mo) = graft.queries.PipelineOps.winnowMergeIndex(
-      spark, keptB, overB, insFp, cap)
+      spark, keptB.unionByName(insFp), overB, cap)
     // truth: from-scratch cap split over the merged corpus
     val (tk, to) = graft.queries.PipelineOps.winnowCapSplit(spark,
       graft.queries.PipelineOps.winnowDistinctFp(
@@ -125,14 +125,14 @@ class Round16Spec extends SparkSpec {
     val (keptB, overB) = graft.queries.PipelineOps.winnowCapSplit(spark, fpBase)
     val insFp = graft.queries.PipelineOps.winnowDistinctFp(spark, insDocs)
     val (mk, mo) = graft.queries.PipelineOps.winnowMergeIndex(
-      spark, keptB, overB, insFp, cap)
+      spark, keptB.unionByName(insFp), overB, cap)
     // second refresh: one more blacklisted-B doc, one more C doc (C is in
     // the MERGED blacklist now — only the merged overcap knows that), one
     // genuinely new doc
     val ins2 = mkDocs(Seq(2001L -> boilB, 2002L -> boilC, 2003L -> uniq(2003L)))
     val ins2Fp = graft.queries.PipelineOps.winnowDistinctFp(spark, ins2)
     val (mk2, mo2) = graft.queries.PipelineOps.winnowMergeIndex(
-      spark, mk, mo, ins2Fp, cap)
+      spark, mk.unionByName(ins2Fp), mo, cap)
     val (tk2, to2) = graft.queries.PipelineOps.winnowCapSplit(spark,
       graft.queries.PipelineOps.winnowDistinctFp(spark,
         baseDocs.unionByName(insDocs).unionByName(ins2)))
