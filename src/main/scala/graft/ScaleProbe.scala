@@ -765,8 +765,8 @@ object ScaleProbe {
         val tf = System.nanoTime()
         full(spark, d).count()
         val fullSecs = (System.nanoTime() - tf) / 1e9
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-        val idxDir = new java.io.File(s"${Scratch.dir(spark)}/graft_x39_index_$tag")
+        val idxDir = new java.io.File(
+          graft.queries.PipelineOps.x39IndexPath(spark, d))
         rmrf(idxDir)
         val fn = SparkEntry.queries("x39_incremental_dedup")
         val t0 = System.nanoTime()

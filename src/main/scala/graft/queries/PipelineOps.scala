@@ -3315,12 +3315,7 @@ object PipelineOps {
     */
   def x39IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
-    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    // split + shingle-geometry fingerprint in the name (r16 review): the
-    // index content is simhash-of-base — either constant class changing
-    // must invalidate, not silently reuse
-    val idxPath = s"${graft.Scratch.dir(s)}/graft_x39_index_" +
-      s"${refreshSplitTag}k3m${graft.functions.StringPolyHash.DefaultMod}_$tag"
+    val idxPath = x39IndexPath(s, d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val baseDocs = docs.filter(col("doc_id") % BatchSplitMod =!= 0)
     graft.sources.MultiFormat.ensureLayout(
@@ -3384,6 +3379,18 @@ object PipelineOps {
   private[graft] val TwinEditOffset = 30000000L
   /** Layout-name tag of what a BASE-side index depends on: the split. */
   private def refreshSplitTag: String = s"s$BatchSplitMod"
+
+  /** x39's published-index location — split + shingle-geometry
+    * fingerprint in the name (r16 review: the content is simhash-of-base,
+    * so either constant class changing must invalidate, not silently
+    * reuse). ONE definition: the builder, StreamingSpec's index read, and
+    * ScaleProbe's cold-sweep all resolve through here.
+    */
+  private[graft] def x39IndexPath(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    s"${graft.Scratch.dir(s)}/graft_x39_index_" +
+      s"${refreshSplitTag}k3m${graft.functions.StringPolyHash.DefaultMod}_$tag"
+  }
   /** Layout-name tag of the full decide chain (twin synthesis + the
     * exact-Jaccard keep threshold) — what x79e's `inserted/` adds on top
     * of the base index's dependencies.

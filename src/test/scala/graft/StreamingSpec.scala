@@ -629,9 +629,8 @@ class StreamingSpec extends SparkSpec {
     val decisions = SparkEntry.queries("x39_incremental_dedup")(spark, TestSpark.sf0001)
       .select("doc_id", "n_base_dups").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tag = TestSpark.sf0001.replaceAll("[^a-zA-Z0-9]", "_")
     val index = spark.read.schema("doc_id LONG, sh LONG")
-      .parquet(s"${Scratch.dir(spark)}/graft_x39_index_$tag")
+      .parquet(graft.queries.PipelineOps.x39IndexPath(spark, TestSpark.sf0001))
     // the same synthesized "new crawl" x39 scores, fed as a stream in two
     // micro-batches (the stream-static join must be batch-boundary-blind)
     val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
