@@ -1862,6 +1862,17 @@ object PipelineOps {
     * probe the beam's B cells, exact-cosine rank within them; x12c's
     * output shape over the routed (rather than scanned) quantizer, so the
     * two keys are directly comparable row-for-row.
+    *
+    * NO streaming twin BY DESIGN: the beam's per-round top-B rank is a
+    * window function, which Structured Streaming cannot run, and
+    * routing's payoff is the AT-REST serving path anyway (amortize the
+    * cell graph across a query workload). At-ingest vector processing
+    * keeps the existing twins' shapes: stream-static equi-join against a
+    * published bucketing (x13's LSH-keyed state) or the scanned-quantizer
+    * assignment (one broadcast-score pass per arriving vector — the x12
+    * posture, fine at ingest rates because nlist is static). A micro-
+    * batch that truly needed routed assignment would foreachBatch into
+    * this batch operator.
     */
   def x80AnnGraphBeam(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
