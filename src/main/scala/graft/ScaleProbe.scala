@@ -802,6 +802,59 @@ object ScaleProbe {
     // run (includes any published-layout build — the real per-snapshot
     // cost x64 pays) and one warm run; exponent = least-squares slope of
     // ln(t) on ln(n). Evidence: docs/scaling_probe.json.
+    // Graph-ANN routing probe (`graphann` arg, r16): x80's recall row at
+    // the DECLARED nlist=16 is weak evidence for the routing claim — a
+    // B·M·R=2·3·3 beam explores most of a 16-node graph. This probe
+    // trains quantizers at growing nlist on the sf0.1 embeddings, routes
+    // EVERY vector with the same beam constants, and reports per nlist:
+    // realized cell count, the scanned quantizer's same-cell admission
+    // recall vs the exact top-10 pairs (x40's standard), the beam's
+    // admission recall, and the score-evaluation counts per query —
+    // nlist for the scan vs the beam's constant 1 + R·B·(M+1) bound.
+    // "Constant routing cost, recall preserved as the quantizer grows"
+    // becomes numbers in docs/graphann_probe.json.
+    if (args.contains("graphann")) {
+      import graft.queries.PipelineOps
+      val exact = SparkEntry.queries("x1_cosine_topk")(spark, src)
+        .select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (nlist, m, b, r): the declared constants at every nlist, plus a
+      // TUNED point at 128 — HNSW's rule that out-degree/beam must grow
+      // ~log(n), measured: does recall recover at eval counts still well
+      // under the scan's nlist?
+      val configs = Seq((16, 3, 2, 3), (64, 3, 2, 3), (128, 3, 2, 3),
+        (128, 6, 3, 4))
+      val entries = configs.map { case (nlist, m, b, r) =>
+        val asg = PipelineOps.ivfTrainedAssign(nlist, 2)(spark, src).persist()
+        val cellOf = asg.select(col("vec_id"), col("cluster")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val queries = asg
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val t0 = System.nanoTime()
+        val beamSet = PipelineOps.graphBeamCellsOver(spark, asg, queries, m, b, r)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val routeSecs = (System.nanoTime() - t0) / 1e9
+        val hitScan = exact.count(p => cellOf(p._1) == cellOf(p._2))
+        val hitGraph = exact.count(p =>
+          beamSet((p._1, cellOf(p._2))) || beamSet((p._2, cellOf(p._1))))
+        asg.unpersist(blocking = false)
+        val nCells = cellOf.values.toSet.size
+        val beamEvalBound = 1 + r * b * (m + 1)
+        println(f"graphann nlist=$nlist%-4d m=$m b=$b r=$r cells=$nCells%-4d " +
+          f"scan_recall=$hitScan/${exact.size} graph_recall=$hitGraph/${exact.size} " +
+          f"scan_evals_per_q=$nCells beam_evals_per_q<=$beamEvalBound route=$routeSecs%.1f s")
+        f""""nlist${nlist}_m${m}b${b}r$r":{"cells_realized":$nCells,"n_exact":${exact.size},"scan_hits":$hitScan,"graph_hits":$hitGraph,"scan_evals_per_query":$nCells,"beam_evals_per_query_bound":$beamEvalBound,"route_all_vectors_secs":$routeSecs%.1f}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/graphann_probe.json"),
+        entries.mkString(
+          s"""{"sf":"$src","beam":{"M":${graft.queries.PipelineOps.GraphM},"B":${graft.queries.PipelineOps.GraphBeam},"R":${graft.queries.PipelineOps.GraphRounds}},"truth":"x1 exact global top-10 pairs (x40's standard)","admission":"pair admitted when either endpoint's beam probes the other's cell (x40 graphb rule)","note":"scan_evals_per_query grows with nlist while the beam's bound is constant — the routing claim as measured numbers; recall at the declared nlist=16 is additionally oracle-checked every round via x40's graphb row","points":{""",
+          ",", "}}").getBytes("UTF-8"))
+      println("wrote docs/graphann_probe.json")
+      spark.stop()
+      return
+    }
+
     if (args.contains("exponent")) {
       def relCorpus(nRep: Int): String = {
         val dir = s"$scratch/graft_scale_rel_$nRep"

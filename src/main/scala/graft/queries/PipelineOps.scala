@@ -1658,7 +1658,7 @@ object PipelineOps {
     * iteration. Cost ∝ iters × (scan + tiny shuffle); `iters` is fixed
     * and small (training quality, not corpus size, sets it).
     */
-  private def ivfTrainedAssign(numPivots: Int, iters: Int)(
+  private[graft] def ivfTrainedAssign(numPivots: Int, iters: Int)(
       s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s) // consumers (annIvfOver, x41) verify with it
     graft.functions.VectorSumLong.register(s)
@@ -1788,10 +1788,23 @@ object PipelineOps {
     * quantizer is x40's measured `graphb`-vs-`ivf16t` delta.
     */
   private[graft] def graphBeamCells(s: SparkSession, d: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame): DataFrame =
+    graphBeamCellsOver(s, trainedAssignShared(s, d), queries)
+
+  /** [[graphBeamCells]] over an arbitrary (vec_id, embedding, cluster)
+    * assignment — factored so the graphann probe can route against
+    * quantizers of any nlist, not just the published 16-cell one, and
+    * with the routing knobs (out-degree m, beam width b, rounds r)
+    * overridable: like HNSW's M/efSearch they must GROW ~log(nlist) —
+    * the probe measures both the declared constants and a tuned point
+    * (docs/graphann_probe.json). The DECLARED key always routes with the
+    * oracle-replayed defaults.
+    */
+  private[graft] def graphBeamCellsOver(s: SparkSession, asg: DataFrame,
+      queries: DataFrame, m: Int = GraphM, b: Int = GraphBeam,
+      r: Int = GraphRounds): DataFrame = {
     graft.functions.VectorSumLong.register(s)
     val w = org.apache.spark.sql.expressions.Window
-    val asg = trainedAssignShared(s, d)
     // t3 cell sums: integer micro-sums over the FINAL assignment's members
     // (t2 fed asg3; summing asg3's own groups keeps the graph derivable
     // from the one published table). 16 rows — persist: it feeds the edge
@@ -1821,31 +1834,36 @@ object PipelineOps {
       .withColumn("csim", expr(dotAB) / (col("an") * col("bn")))
       .withColumn("rn", row_number().over(
         w.partitionBy(col("src")).orderBy(col("csim").desc, col("dst"))))
-      .filter(col("rn") <= GraphM)
+      .filter(col("rn") <= m)
       .select(col("src"), col("dst"))
-    // per-(query, cell) score table, computed ONCE and re-joined each
-    // round: dot(q, sv)/‖sv‖ — the assignment's division-free rank score
-    val qc = queries.crossJoin(broadcast(cents))
-      .withColumn("qs", expr(
-        "aggregate(zip_with(transform(q_emb, v -> cast(v as double)), " +
-          "transform(sv, x -> cast(x as double)), (p, q) -> p * q), " +
-          "cast(0.0 as double), (acc, z) -> acc + z)") / col("nrm"))
-      .select(col("q_id"), col("cluster"), col("qs"))
-      // persisted: re-joined every round (and in x40 the query side is
-      // ALL vectors, so this is the full-corpus scoring scan)
-      .persist()
-    persisted += qc
+    // ON-DEMAND scoring (r16 review follow-up): each round scores ONLY
+    // its frontier's (query, cell) pairs — dot(q, sv)/‖sv‖, the
+    // assignment's division-free rank score — never a queries × nlist
+    // cross join. THIS is the routing cost claim made real: per query
+    // per round the frontier is ≤ B·(M+1) cells, so total scored cells
+    // are ≤ 1 + R·B·(M+1) whatever nlist is, while the scanned
+    // quantizer (x12's posture) pays nlist scores per query. The
+    // graphann probe measures exactly this evaluation count beside the
+    // recall it buys at growing nlist.
+    def scoreCells(cells: DataFrame): DataFrame =
+      cells.join(broadcast(cents), Seq("cluster"))
+        .join(queries, Seq("q_id"))
+        .withColumn("qs", expr(
+          "aggregate(zip_with(transform(q_emb, v -> cast(v as double)), " +
+            "transform(sv, x -> cast(x as double)), (p, q) -> p * q), " +
+            "cast(0.0 as double), (acc, z) -> acc + z)") / col("nrm"))
+        .select(col("q_id"), col("cluster"), col("qs"))
     val entry = cents.agg(min(col("cluster")).as("cluster"))
     var beam = queries.select(col("q_id")).crossJoin(broadcast(entry))
-    for (_ <- 1 to GraphRounds) {
+    for (_ <- 1 to r) {
       val frontier = beam.unionByName(
           beam.join(broadcast(edges), col("cluster") === col("src"))
             .select(col("q_id"), col("dst").as("cluster")))
         .distinct()
-      beam = frontier.join(qc, Seq("q_id", "cluster"))
+      beam = scoreCells(frontier)
         .withColumn("rn", row_number().over(
           w.partitionBy(col("q_id")).orderBy(col("qs").desc, col("cluster"))))
-        .filter(col("rn") <= GraphBeam)
+        .filter(col("rn") <= b)
         .select(col("q_id"), col("cluster"))
         // persisted per round: the frontier consumes the previous beam
         // TWICE (itself ∪ its out-neighbors), so an unpersisted chain
