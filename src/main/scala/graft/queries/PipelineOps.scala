@@ -4321,6 +4321,305 @@ object PipelineOps {
        |  WHERE token <> '')
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ===== x81: TRAINED data-selection classifier (centroid/Rocchio) ========
+
+  /** Per-doc integer feature vector + binary label for the trained
+    * selector: bias, type-token ratio, English-stopword ratio, capped
+    * doc length, capped mean token length (milli-scaled BIGINTs), y = 1
+    * iff lang = 'en'.
+    *
+    * Everything is EXACT INTEGER arithmetic by design: training sums
+    * per-doc feature terms across the corpus, and double sums are
+    * partition-order-dependent while integer sums are not (the x80
+    * sum-vector doctrine applied to model training). Floor divisions
+    * only ever see non-negative operands — the one regime where Spark's
+    * `div` (truncating) and DuckDB's `//` (flooring) agree. Every
+    * feature is DOMAIN-BOUNDED (ratios ≤ 1000 by construction, length
+    * capped at 1000, mean token length capped at 10000 — the
+    * KERNEL_DOMAINS discipline), which is what keeps the trained
+    * threshold arithmetic inside long range on adversarial monster docs.
+    */
+  private[graft] def selectorFeaturesOver(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .select(
+        col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        lit(1000L).as("f_bias"),
+        expr("(1000L * cast(size(array_distinct(toks)) as bigint)) div n_tok")
+          .as("f_ttr"),
+        expr("(1000L * cast(size(filter(toks, t -> t = 'the' OR t = 'a')) " +
+          "as bigint)) div n_tok").as("f_stop"),
+        (least(col("n_tok"), lit(100L)) * 10L).as("f_len"),
+        least(expr("(100L * cast(n_chars as bigint)) div n_tok"), lit(10000L))
+          .as("f_wlen"))
+
+  private val SelFeats = Seq("bias", "ttr", "stop", "len", "wlen")
+
+  /** score = 2000·(w·x) − threshold ≥ 0 ⇔ the doc projects past the
+    * midpoint of the two class centroids (ties keep — fixed in both
+    * engines). The 2000 clears the milli-mean scaling without division. */
+  private[graft] def selectorScore = lit(2000L) * SelFeats.map(n =>
+    col(s"w_$n") * col(s"f_$n")).reduce(_ + _) - col("threshold")
+
+  /** The closed-form trainer shared by the x81 family: the learned rule
+    * is sign(w·x − t) with w = meanPos(x) − meanNeg(x) (milli-scaled
+    * integer means) and t the projected midpoint of the class centroids
+    * — the Rocchio / nearest-centroid linear classifier. Returns
+    * (persisted features, 1-row model, persisted frames).
+    *
+    * Why closed-form and not a GD loop: fastText-style logistic training
+    * needs exp() (not bit-portable across engines) and minibatch order
+    * (not replayable), and an η=1 integer batch perceptron provably
+    * oscillates (the all-zero start flips every prediction each round —
+    * measured before this form was chosen). The centroid rule is the
+    * deterministic member of the linear-classifier family: ONE corpus
+    * scan to train (a 12-column integer aggregate with map-side
+    * partials), model state is 7 longs however large the corpus, and
+    * selection is the same sign(w·x − t) every linear selector applies.
+    * Degenerate corpora (a class absent) train with that class's mean
+    * pinned to 0 instead of dividing by zero — deterministic in both
+    * engines (Round16Spec pins the all-negative case drops everything).
+    *
+    * 100 TB bounds: feature caps bound |mp|,|mn| ≤ 10⁷, so |w| ≤ 10⁷,
+    * |threshold| ≤ 5·2·10¹⁴ and |score| ≤ ~10¹⁵ — inside long range
+    * with three orders of headroom, independent of corpus size (only
+    * the CLASS SUMS grow with n, and they sit inside the milli-mean
+    * floor-divs).
+    */
+  private def selectorModelOver(s: SparkSession, feats: DataFrame)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val f = feats.persist()
+    val classSums = Seq(sum(lit(1L) - col("y")).as("n_neg")) ++
+      SelFeats.flatMap(n => Seq(
+        sum(when(col("y") === 1L, col(s"f_$n")).otherwise(0L)).as(s"sp_$n"),
+        sum(when(col("y") === 0L, col(s"f_$n")).otherwise(0L)).as(s"sn_$n")))
+    val sums = f.agg(sum(col("y")).as("n_pos"), classSums: _*)
+    val means = sums.select(
+      Seq(col("n_pos"), col("n_neg")) ++ SelFeats.flatMap(n => Seq(
+        when(col("n_pos") === 0L, 0L)
+          .otherwise(expr(s"(1000L * sp_$n) div n_pos")).as(s"mp_$n"),
+        when(col("n_neg") === 0L, 0L)
+          .otherwise(expr(s"(1000L * sn_$n) div n_neg")).as(s"mn_$n")
+      )): _*)
+    val model = means.select(
+      Seq(col("n_pos"), col("n_neg")) ++ SelFeats.map(n =>
+        (col(s"mp_$n") - col(s"mn_$n")).as(s"w_$n")) :+
+      SelFeats.map(n => (col(s"mp_$n") - col(s"mn_$n")) *
+        (col(s"mp_$n") + col(s"mn_$n"))).reduce(_ + _).as("threshold"): _*)
+      .persist() // consumed by the scoring pass AND the output row
+    (f, model, Seq(f, model))
+  }
+
+  /** x81: TRAIN a data-selection classifier — the step every modern
+    * pretraining pipeline runs (fastText/DCLM-style: fit a linear model
+    * on known-good vs known-bad docs, then keep what it scores high) and
+    * the piece x29 deliberately stubs (x29 is the INFERENCE path with
+    * reproducible stand-in weights; x81 TRAINS learned ones). Label:
+    * lang = 'en' — the practical shape of an English-quality selector
+    * trained from a language-ID signal. Output: one row with the class
+    * counts, the learned per-feature weights, the midpoint threshold,
+    * and the training-set misclassification count (the observable a
+    * pipeline owner reads first; Round16Spec pins n_err = 0 with
+    * w_stop > 0 on a corpus with a planted separable signal — on natural
+    * data the contract is exact replay, not separability).
+    */
+  def x81SelectorTrain(s: SparkSession, d: String): DataFrame =
+    x81TrainOver(s, Tables.documents(s, d))
+
+  private[graft] def x81TrainOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (f, model, persisted) = selectorModelOver(s, selectorFeaturesOver(docs))
+    graft.ScopedCache.releaseAfterNextAction(s, persisted)
+    val nerr = f.crossJoin(broadcast(model))
+      .withColumn("keep", when(selectorScore >= 0L, 1L).otherwise(0L))
+      .agg(sum(when(col("keep") =!= col("y"), 1L).otherwise(0L)).as("n_err"))
+    model.crossJoin(broadcast(nerr))
+      .select(col("n_pos"), col("n_neg"), col("w_bias"), col("w_len"),
+        col("w_stop"), col("w_ttr"), col("w_wlen"), col("threshold"),
+        col("n_err"))
+  }
+
+  /** x81b: score + select with the x81-trained model — the apply half of
+    * classifier-based data selection: per doc the integer midpoint score
+    * (keep ⇔ score ≥ 0, the training tie rule), and whether the
+    * decision matches the label. One broadcast of 7 longs against one
+    * corpus scan — the model never shuffles. */
+  def x81bSelectorScore(s: SparkSession, d: String): DataFrame =
+    x81bScoreOver(s, Tables.documents(s, d))
+
+  private[graft] def x81bScoreOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (f, model, persisted) = selectorModelOver(s, selectorFeaturesOver(docs))
+    graft.ScopedCache.releaseAfterNextAction(s, persisted)
+    f.crossJoin(broadcast(model))
+      .withColumn("score", selectorScore)
+      .withColumn("keep", when(col("score") >= 0L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("y"), col("score"), col("keep"),
+        when(col("keep") === col("y"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x81c: selector quality eval — the confusion matrix plus
+    * milli-precision/recall/accuracy of x81b's keep decision against the
+    * label (the numbers a pipeline owner reads before trusting the
+    * filter on the next 100 TB). Guarded divisions: an all-drop or
+    * all-keep model yields -1 sentinels instead of a divide-by-zero,
+    * whose semantics differ across engines. */
+  def x81cSelectorEval(s: SparkSession, d: String): DataFrame =
+    x81cEvalOver(s, Tables.documents(s, d))
+
+  private[graft] def x81cEvalOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (f, model, persisted) = selectorModelOver(s, selectorFeaturesOver(docs))
+    graft.ScopedCache.releaseAfterNextAction(s, persisted)
+    f.crossJoin(broadcast(model))
+      .withColumn("keep", when(selectorScore >= 0L, 1L).otherwise(0L))
+      .agg(
+        sum(when(col("y") === 1L && col("keep") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("keep") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("keep") === 0L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0L && col("keep") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, -1L)
+          .otherwise(expr("(1000L * tp) div (tp + fp)")).as("precision_milli"),
+        when(col("tp") + col("fn") === 0L, -1L)
+          .otherwise(expr("(1000L * tp) div (tp + fn)")).as("recall_milli"),
+        expr("(1000L * (tp + tn)) div (tp + fp + fn + tn)").as("accuracy_milli"))
+  }
+
+  /** DuckDB replay of [[selectorModelOver]]: features → class sums →
+    * milli-means → (weights, threshold) — the same CTE chain in all
+    * three x81 oracles. */
+  private val selectorCtes: String = {
+    val sums = SelFeats.flatMap(n => Seq(
+      s"CAST(SUM(CASE WHEN y = 1 THEN f_$n ELSE 0 END) AS BIGINT) AS sp_$n",
+      s"CAST(SUM(CASE WHEN y = 0 THEN f_$n ELSE 0 END) AS BIGINT) AS sn_$n"
+    )).mkString(",\n         ")
+    val means = SelFeats.flatMap(n => Seq(
+      s"CAST(CASE WHEN n_pos = 0 THEN 0 ELSE (1000 * sp_$n) // n_pos END AS BIGINT) AS mp_$n",
+      s"CAST(CASE WHEN n_neg = 0 THEN 0 ELSE (1000 * sn_$n) // n_neg END AS BIGINT) AS mn_$n"
+    )).mkString(",\n         ")
+    val ws = SelFeats.map(n =>
+      s"CAST(mp_$n - mn_$n AS BIGINT) AS w_$n").mkString(",\n         ")
+    val thr = SelFeats.map(n =>
+      s"(mp_$n - mn_$n) * (mp_$n + mn_$n)").mkString(" + ")
+    s"""f AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |         CAST(1000 AS BIGINT) AS f_bias,
+       |         CAST((1000 * len(list_distinct(t))) // n_tok AS BIGINT) AS f_ttr,
+       |         CAST((1000 * len(list_filter(t, x -> x = 'the' OR x = 'a'))) // n_tok AS BIGINT) AS f_stop,
+       |         CAST((CASE WHEN n_tok < 100 THEN n_tok ELSE 100 END) * 10 AS BIGINT) AS f_len,
+       |         CAST(least((100 * n_chars) // n_tok, 10000) AS BIGINT) AS f_wlen
+       |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t,
+       |               len(string_split(text, ' ')) AS n_tok FROM documents)),
+       |sums AS (
+       |  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+       |         CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+       |         $sums
+       |  FROM f),
+       |means AS (
+       |  SELECT n_pos, n_neg,
+       |         $means
+       |  FROM sums),
+       |model AS (
+       |  SELECT n_pos, n_neg,
+       |         $ws,
+       |         CAST($thr AS BIGINT) AS threshold
+       |  FROM means)""".stripMargin
+  }
+
+  private val selectorScoreSql: String = "2000 * (" + SelFeats.map(n =>
+    s"w_$n * f_$n").mkString(" + ") + ") - threshold"
+
+  val x81Sql: String =
+    s"""WITH $selectorCtes
+       |SELECT n_pos, n_neg, w_bias, w_len, w_stop, w_ttr, w_wlen, threshold,
+       |       CAST(SUM(CASE WHEN (CASE WHEN $selectorScoreSql >= 0 THEN 1 ELSE 0 END) <> y
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |FROM f, model
+       |GROUP BY n_pos, n_neg, w_bias, w_len, w_stop, w_ttr, w_wlen, threshold""".stripMargin
+
+  val x81bSql: String =
+    s"""WITH $selectorCtes
+       |SELECT doc_id, y,
+       |       CAST($selectorScoreSql AS BIGINT) AS score,
+       |       CAST(CASE WHEN $selectorScoreSql >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |       CAST(CASE WHEN (CASE WHEN $selectorScoreSql >= 0 THEN 1 ELSE 0 END) = y
+       |            THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM f, model ORDER BY doc_id""".stripMargin
+
+  val x81cSql: String =
+    s"""WITH $selectorCtes,
+       |k AS (SELECT y, CASE WHEN $selectorScoreSql >= 0 THEN 1 ELSE 0 END AS keep
+       |      FROM f, model),
+       |c AS (SELECT
+       |    CAST(SUM(CASE WHEN y = 1 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN y = 0 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN y = 1 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN y = 0 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM k)
+       |SELECT tp, fp, fn, tn,
+       |       CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE (1000 * tp) // (tp + fp) END AS BIGINT) AS precision_milli,
+       |       CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE (1000 * tp) // (tp + fn) END AS BIGINT) AS recall_milli,
+       |       CAST((1000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT) AS accuracy_milli
+       |FROM c""".stripMargin
+
+  // ===== p6: learned-filter curation (train → select → dedup → cap) =======
+
+  /** p6: the DCLM loop closed end-to-end — TRAIN the x81 selector on the
+    * corpus's own language labels, SELECT with the learned rule,
+    * exact-dedup the survivors (sha-256 text identity, min-doc_id
+    * winner — x2's rule), cap per source (x26's posture). p1 is this
+    * same curation chain with x29's STAND-IN weights; p6 swaps in the
+    * trained model, which is the composition a production curation run
+    * actually executes: fit the filter, then curate with it. One oracle
+    * replays the whole chain, so drift anywhere (a feature cap, the
+    * midpoint rule, the dedup identity, the cap) shifts the compared
+    * rows.
+    *
+    * 100 TB shape: train is one scan (x81's aggregate); selection is the
+    * same scan re-read with a 7-long broadcast; dedup shuffles once on
+    * the digest; the cap windows once on source. No stage holds more
+    * than a constant beyond x2's own digest shuffle.
+    */
+  def p6LearnedCuration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (f, model, persisted) = selectorModelOver(s, selectorFeaturesOver(docs))
+    graft.ScopedCache.releaseAfterNextAction(s, persisted)
+    val w = org.apache.spark.sql.expressions.Window
+    val kept = f.crossJoin(broadcast(model))
+      .withColumn("score", selectorScore)
+      .filter(col("score") >= 0L)
+      .select(col("doc_id"), col("score"))
+      .join(docs.select(col("doc_id"), col("source"), col("text")),
+        Seq("doc_id"))
+    kept
+      .withColumn("rn", row_number().over(
+        w.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p6Sql: String =
+    s"""WITH $selectorCtes,
+       |sel AS (SELECT doc_id, CAST($selectorScoreSql AS BIGINT) AS score
+       |        FROM f, model WHERE $selectorScoreSql >= 0),
+       |j AS (SELECT d.doc_id, d.source, d.text, sel.score
+       |      FROM documents d JOIN sel USING (doc_id)),
+       |dd AS (SELECT * FROM (
+       |    SELECT doc_id, source, score,
+       |           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM j) WHERE rn = 1),
+       |cap AS (SELECT * FROM (
+       |    SELECT doc_id, source, score,
+       |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |    FROM dd) WHERE rk <= 10)
+       |SELECT doc_id, source, score FROM cap ORDER BY doc_id""".stripMargin
+
   // ===== x32: bigram corpus-coherence score ==============================
 
   /** Corpus-statistical fluency signal: a document whose bigrams are
@@ -6450,10 +6749,18 @@ object PipelineOps {
     "m5_png_decode"      -> (m5PngDecode _),
     "m6_gif_frames"      -> (m6GifFrames _),
     "x27_simhash_neardup" -> (x27SimhashNeardup _),
-    "x29_quality_classifier" -> (x29QualityClassifier _)
+    "x29_quality_classifier" -> (x29QualityClassifier _),
+    "x81_selector_train" -> (x81SelectorTrain _),
+    "x81b_selector_score" -> (x81bSelectorScore _),
+    "x81c_selector_eval" -> (x81cSelectorEval _),
+    "p6_learned_curation" -> (p6LearnedCuration _)
   )
 
   val oracles: Map[String, String] = Map(
+    "x81_selector_train" -> x81Sql,
+    "x81b_selector_score" -> x81bSql,
+    "x81c_selector_eval" -> x81cSql,
+    "p6_learned_curation" -> p6Sql,
     "x38_subword_tokens" -> x38Sql,
     "x39_incremental_dedup" -> x39Sql,
     "x39b_refresh_merge" -> x39bSql,

@@ -784,6 +784,33 @@ object Streams {
       .filter(col("score_sum") >= 0)
   }
 
+  /** Streaming twin of x81b selector scoring — the SERVING half of
+    * classifier-based data selection. The model itself trains AT REST
+    * (x81's one-scan aggregate needs corpus-level class means — the same
+    * batch-only argument as the sampling matrix); arriving docs are then
+    * scored and filtered at ingest against the trained 7-long model row,
+    * passed in static (the x81 train output, or the same row read back
+    * from a published layout). Feature extraction is stateless
+    * per-document, the model rides in as a broadcast stream-static join
+    * on a literal key, and the decision is the same integer
+    * 2000·(w·x) − threshold ≥ 0 rule — so streamed decisions are
+    * bit-identical to batch x81b over the same rows regardless of
+    * micro-batch boundaries (StreamingSpec pins parity).
+    * Expects (doc_id, text, lang, n_chars) on the stream.
+    */
+  def selectorScoreStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    val ops = graft.queries.PipelineOps
+    ops.selectorFeaturesOver(docs)
+      .withColumn("jk", lit(1))
+      .join(broadcast(model.select(col("w_bias"), col("w_ttr"),
+          col("w_stop"), col("w_len"), col("w_wlen"), col("threshold"))
+        .withColumn("jk", lit(1))), "jk")
+      .withColumn("score", ops.selectorScore)
+      .withColumn("keep", when(col("score") >= 0L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("y"), col("score"), col("keep"),
+        when(col("keep") === col("y"), 1L).otherwise(0L).as("correct"))
+  }
+
   /** Streaming twin of x35 chunking: arriving documents explode into the
     * same size-32/stride-24 token windows with polyhash fingerprints —
     * STATELESS (chunking is per-document), so streamed chunks are

@@ -212,4 +212,62 @@ class Round16Spec extends SparkSpec {
     assert(tag.contains(s"w${wh.DefaultWin}"))
     assert(tag.contains(s"p${wh.DefaultPosBits}"))
   }
+
+  // ===== x81: trained data-selection selector (centroid/Rocchio) ==========
+
+  private def mkLabeled(rows: Seq[(Long, String, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private lazy val planted = mkLabeled(
+    (0L to 5L).map(i => (100L + i,
+      s"the a the quick brown fox number n$i jumps over the lazy dog a the end",
+      "en")) ++
+    (0L to 5L).map(i => (200L + i,
+      s"uno dos tres cuatro cinco seis siete ocho nueve n$i diez once doce",
+      "es")))
+
+  test("x81: the centroid selector LEARNS a planted separable signal") {
+    val row = queries.PipelineOps.x81TrainOver(spark, planted).collect()(0)
+    assert(row.getAs[Long]("n_pos") == 6 && row.getAs[Long]("n_neg") == 6)
+    assert(row.getAs[Long]("n_err") == 0) // separates the planted classes
+    assert(row.getAs[Long]("w_stop") > 0) // and found the planted feature
+    val kept = queries.PipelineOps.x81bScoreOver(spark, planted)
+      .filter(col("keep") === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (100L to 105L)) // keeps exactly the en docs
+    val ev = queries.PipelineOps.x81cEvalOver(spark, planted).collect()(0)
+    assert(ev.getAs[Long]("precision_milli") == 1000
+      && ev.getAs[Long]("recall_milli") == 1000
+      && ev.getAs[Long]("accuracy_milli") == 1000)
+  }
+
+  test("x81: a one-class corpus trains without division and drops everything") {
+    val oneClass = mkLabeled((1L to 5L).map(i => (i, "uno dos tres", "es")))
+    val row = queries.PipelineOps.x81TrainOver(spark, oneClass).collect()(0)
+    assert(row.getAs[Long]("n_pos") == 0 && row.getAs[Long]("n_neg") == 5)
+    val ev = queries.PipelineOps.x81cEvalOver(spark, oneClass).collect()(0)
+    // identical all-negative docs sit AT the (degenerate) centroid: score
+    // = -||mn||^2 < 0, so nothing is kept and the guarded ratios return
+    // the -1 sentinel instead of an engine-dependent divide-by-zero
+    assert(ev.getAs[Long]("tp") == 0 && ev.getAs[Long]("fp") == 0
+      && ev.getAs[Long]("tn") == 5)
+    assert(ev.getAs[Long]("precision_milli") == -1
+      && ev.getAs[Long]("recall_milli") == -1
+      && ev.getAs[Long]("accuracy_milli") == 1000)
+  }
+
+  test("x81: feature domains stay bounded on a monster token") {
+    val monster = mkLabeled(Seq(
+      (1L, "z" * 500000, "en"), (2L, "the a", "en"), (3L, "uno dos", "es")))
+    val f = queries.PipelineOps.selectorFeaturesOver(monster)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(f.getAs[Long]("f_wlen") == 10000L) // capped, not 50,000,000
+    assert(f.getAs[Long]("f_ttr") <= 1000L && f.getAs[Long]("f_len") <= 1000L)
+    // and the trained threshold stays finite/exact through the cap
+    val row = queries.PipelineOps.x81TrainOver(spark, monster).collect()(0)
+    assert(math.abs(row.getAs[Long]("threshold")) < 1.0e15.toLong)
+  }
 }

@@ -692,6 +692,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming selector scoring equals batch x81b decisions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "lang", "n_chars")
+    // train at rest on the full corpus, serve the model to the stream
+    val model = graft.queries.PipelineOps.x81TrainOver(spark, docs)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = Streams.selectorScoreStream(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), model)
+      .writeStream.format("memory").queryName("selector_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.as[(Long, String, String, Long)].collect()
+      // two micro-batches: stateless scoring must be batch-boundary-blind
+      mem.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val streamed = spark.table("selector_test")
+        .select("doc_id", "y", "score", "keep", "correct")
+        .collect().map(key).toSet
+      val batch = graft.queries.PipelineOps.x81bScoreOver(spark, docs)
+        .select("doc_id", "y", "score", "keep", "correct")
+        .collect().map(key).toSet
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming chunker emits exactly the batch x35 chunks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
