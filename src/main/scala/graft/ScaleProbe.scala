@@ -996,6 +996,14 @@ object ScaleProbe {
         // stage feeding a window whose partitions stop being bounded, a
         // survivor set that grows faster than the corpus) — probe the five
         // end-to-end chains directly; all consume only the documents table
+        // the trained selector (r16): train = one 12-column integer
+        // aggregate over the corpus scan; score = the same scan against a
+        // 6-long broadcast — both must sit in the scan's linear class
+        // (x81c shares x81b's plan minus the output projection: no row)
+        ("x81_selector_train", "docs",
+          SparkEntry.queries("x81_selector_train")),
+        ("x81b_selector_score", "docs",
+          SparkEntry.queries("x81b_selector_score")),
         ("p1_curation_pipeline", "docs",
           SparkEntry.queries("p1_curation_pipeline")),
         ("p2_dedup_pack_pipeline", "docs",
@@ -1005,7 +1013,11 @@ object ScaleProbe {
         ("p4_curriculum_pack", "docs",
           SparkEntry.queries("p4_curriculum_pack")),
         ("p5_image_pipeline", "docs",
-          SparkEntry.queries("p5_image_pipeline")))
+          SparkEntry.queries("p5_image_pipeline")),
+        // the learned-curation composition (r16): p1's chain with the
+        // trained model in the filter seat — same composition rationale
+        ("p6_learned_curation", "docs",
+          SparkEntry.queries("p6_learned_curation")))
       // corpora built before any timing (generation must not pollute the
       // cold runs' file cache accounting any more than a fresh mount would)
       val dirs: Map[(String, Int), String] = (for (sc <- scales) yield {

@@ -4339,11 +4339,16 @@ object PipelineOps {
     * KERNEL_DOMAINS discipline), which is what keeps the trained
     * threshold arithmetic inside long range on adversarial monster docs.
     */
-  private[graft] def selectorFeaturesOver(docs: DataFrame): DataFrame =
+  /** `carry` names extra doc columns to keep beside the features — p6
+    * carries (source, text) through so its downstream dedup/cap stages
+    * read the one persisted feature frame instead of re-joining the
+    * corpus on doc_id (a second corpus-wide shuffle at scale). */
+  private[graft] def selectorFeaturesOver(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .select(
+      .select(Seq(
         col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"),
         lit(1000L).as("f_bias"),
@@ -4353,7 +4358,7 @@ object PipelineOps {
           "as bigint)) div n_tok").as("f_stop"),
         (least(col("n_tok"), lit(100L)) * 10L).as("f_len"),
         least(expr("(100L * cast(n_chars as bigint)) div n_tok"), lit(10000L))
-          .as("f_wlen"))
+          .as("f_wlen")) ++ carry.map(col): _*)
 
   private val SelFeats = Seq("bias", "ttr", "stop", "len", "wlen")
 
@@ -4376,7 +4381,7 @@ object PipelineOps {
     * measured before this form was chosen). The centroid rule is the
     * deterministic member of the linear-classifier family: ONE corpus
     * scan to train (a 12-column integer aggregate with map-side
-    * partials), model state is 7 longs however large the corpus, and
+    * partials), model state is 6 longs (5 weights + the midpoint threshold) however large the corpus, and
     * selection is the same sign(w·x − t) every linear selector applies.
     * Degenerate corpora (a class absent) train with that class's mean
     * pinned to 0 instead of dividing by zero — deterministic in both
@@ -4435,6 +4440,11 @@ object PipelineOps {
       .withColumn("keep", when(selectorScore >= 0L, 1L).otherwise(0L))
       .agg(sum(when(col("keep") =!= col("y"), 1L).otherwise(0L)).as("n_err"))
     model.crossJoin(broadcast(nerr))
+      // empty-corpus parity: the oracle's GROUP BY over `FROM f, model`
+      // yields 0 groups when f is empty, while Spark's global-aggregate
+      // chain always yields 1 (all-NULL) row — drop it (NULL sums fail
+      // the > 0 test) so both engines return 0 rows on an empty corpus
+      .filter(col("n_pos") + col("n_neg") > 0L)
       .select(col("n_pos"), col("n_neg"), col("w_bias"), col("w_len"),
         col("w_stop"), col("w_ttr"), col("w_wlen"), col("threshold"),
         col("n_err"))
@@ -4443,8 +4453,8 @@ object PipelineOps {
   /** x81b: score + select with the x81-trained model — the apply half of
     * classifier-based data selection: per doc the integer midpoint score
     * (keep ⇔ score ≥ 0, the training tie rule), and whether the
-    * decision matches the label. One broadcast of 7 longs against one
-    * corpus scan — the model never shuffles. */
+    * decision matches the label. One broadcast of 6 longs (5 weights +
+    * threshold) against one corpus scan — the model never shuffles. */
   def x81bSelectorScore(s: SparkSession, d: String): DataFrame =
     x81bScoreOver(s, Tables.documents(s, d))
 
@@ -4569,30 +4579,34 @@ object PipelineOps {
   /** p6: the DCLM loop closed end-to-end — TRAIN the x81 selector on the
     * corpus's own language labels, SELECT with the learned rule,
     * exact-dedup the survivors (sha-256 text identity, min-doc_id
-    * winner — x2's rule), cap per source (x26's posture). p1 is this
-    * same curation chain with x29's STAND-IN weights; p6 swaps in the
-    * trained model, which is the composition a production curation run
-    * actually executes: fit the filter, then curate with it. One oracle
-    * replays the whole chain, so drift anywhere (a feature cap, the
-    * midpoint rule, the dedup identity, the cap) shifts the compared
-    * rows.
+    * winner — x2's rule), cap per source (x26's posture). p1 is the
+    * FILTER-side analog with x29's STAND-IN weights — not the same
+    * chain: p1 additionally strips markup and langid-gates, and caps
+    * BEFORE deduping, while p6 dedups before capping (the order a
+    * learned selector wants — budget the deduplicated keep set, so a
+    * source's cap is filled with distinct docs). p6 is the composition
+    * a production curation run actually executes: fit the filter, then
+    * curate with it. One oracle replays the whole chain, so drift
+    * anywhere (a feature cap, the midpoint rule, the dedup identity,
+    * the cap) shifts the compared rows.
     *
-    * 100 TB shape: train is one scan (x81's aggregate); selection is the
-    * same scan re-read with a 7-long broadcast; dedup shuffles once on
-    * the digest; the cap windows once on source. No stage holds more
-    * than a constant beyond x2's own digest shuffle.
+    * 100 TB shape: train is one scan (x81's aggregate); selection
+    * re-reads the one persisted feature frame (which carries source +
+    * text — no corpus re-join) against the 6-long model broadcast;
+    * dedup shuffles once on the digest; the cap windows once on source.
+    * No stage holds more than a constant beyond x2's own digest shuffle.
     */
   def p6LearnedCuration(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val (f, model, persisted) = selectorModelOver(s, selectorFeaturesOver(docs))
+    // features carry (source, text) so the dedup/cap stages below read
+    // the one persisted frame — no corpus re-join on doc_id
+    val (f, model, persisted) = selectorModelOver(s,
+      selectorFeaturesOver(docs, Seq("source", "text")))
     graft.ScopedCache.releaseAfterNextAction(s, persisted)
     val w = org.apache.spark.sql.expressions.Window
     val kept = f.crossJoin(broadcast(model))
       .withColumn("score", selectorScore)
       .filter(col("score") >= 0L)
-      .select(col("doc_id"), col("score"))
-      .join(docs.select(col("doc_id"), col("source"), col("text")),
-        Seq("doc_id"))
     kept
       .withColumn("rn", row_number().over(
         w.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))

@@ -788,9 +788,13 @@ object Streams {
     * classifier-based data selection. The model itself trains AT REST
     * (x81's one-scan aggregate needs corpus-level class means — the same
     * batch-only argument as the sampling matrix); arriving docs are then
-    * scored and filtered at ingest against the trained 7-long model row,
-    * passed in static (the x81 train output, or the same row read back
-    * from a published layout). Feature extraction is stateless
+    * scored and filtered at ingest against the trained 6-long model row
+    * (5 weights + threshold), passed in static. Pass a MATERIALIZED
+    * model — a literal 1-row frame or a published-layout read: handing
+    * over a live training plan (x81TrainOver's unexecuted DataFrame)
+    * would re-run the training aggregate inside every micro-batch, since
+    * stream-static joins re-evaluate the static side per batch. Feature
+    * extraction is stateless
     * per-document, the model rides in as a broadcast stream-static join
     * on a literal key, and the decision is the same integer
     * 2000·(w·x) − threshold ≥ 0 rule — so streamed decisions are

@@ -86,7 +86,7 @@ class AuditSpec extends SparkSpec {
         // aggregate over the next round's degree table (no crossJoin)
         "x74_tfidf_topk", // single-row doc-count broadcast into the scoring join (x19's stats shape)
         "x80_ann_graph_beam", // nlist-row centroid-table and 1-row entry broadcasts (x12's bound; nlist is the quantizer knob, never corpus-sized)
-        "x81_selector_train", // 1-row trained-model broadcast (7 longs) + 1-row n_err aggregate
+        "x81_selector_train", // 1-row trained-model broadcast (6 longs) + 1-row n_err aggregate
         "x81b_selector_score", // the same 1-row model broadcast against the scoring scan
         "x81c_selector_eval", // same model broadcast feeding the confusion aggregate
         "p6_learned_curation") // x81b's model broadcast inside the composed curation chain

@@ -259,6 +259,13 @@ class Round16Spec extends SparkSpec {
       && ev.getAs[Long]("accuracy_milli") == 1000)
   }
 
+  test("x81: an empty corpus trains to zero rows (oracle-parity degenerate)") {
+    // the oracle's GROUP BY over `FROM f, model` yields 0 groups on an
+    // empty corpus; the Spark global-aggregate chain must not emit its
+    // 1 all-NULL row (the n_pos + n_neg > 0 guard)
+    assert(queries.PipelineOps.x81TrainOver(spark, mkLabeled(Seq.empty)).count() == 0L)
+  }
+
   test("x81: feature domains stay bounded on a monster token") {
     val monster = mkLabeled(Seq(
       (1L, "z" * 500000, "en"), (2L, "the a", "en"), (3L, "uno dos", "es")))

@@ -697,8 +697,15 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "text", "lang", "n_chars")
-    // train at rest on the full corpus, serve the model to the stream
-    val model = graft.queries.PipelineOps.x81TrainOver(spark, docs)
+    // train at rest on the full corpus, then MATERIALIZE the model row
+    // before serving it to the stream (a live training plan would re-run
+    // the training aggregate inside every micro-batch — see the scaladoc)
+    val m = graft.queries.PipelineOps.x81TrainOver(spark, docs)
+      .select("w_bias", "w_ttr", "w_stop", "w_len", "w_wlen", "threshold")
+      .collect()(0)
+    val model = Seq((m.getLong(0), m.getLong(1), m.getLong(2),
+        m.getLong(3), m.getLong(4), m.getLong(5)))
+      .toDF("w_bias", "w_ttr", "w_stop", "w_len", "w_wlen", "threshold")
     val mem = MemoryStream[(Long, String, String, Long)]
     val q = Streams.selectorScoreStream(
         mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), model)
