@@ -4634,6 +4634,117 @@ object PipelineOps {
        |    FROM dd) WHERE rk <= 10)
        |SELECT doc_id, source, score FROM cap ORDER BY doc_id""".stripMargin
 
+  // ===== x82: margin-based mutual-NN pair mining (CSLS) ===================
+
+  /** Pinned constant block and neighborhood for [[x82MarginMining]] —
+    * the x1c doctrine: an absolute bound, not a fraction, so the
+    * pairwise work is the same whether the corpus is 60k or 60B
+    * vectors. */
+  private[graft] val MineBlock = 1000L
+  private[graft] val MineK = 3
+
+  /** x82: margin-based mutual-nearest-neighbor pair mining — the
+    * bitext/parallel-pair mining primitive (LASER/CCMatrix shape): two
+    * sides of the embedding space (label < 5 vs label ≥ 5 — two
+    * "languages" in the aligned-encoder picture), score every cross-side
+    * pair by CSLS (cross-domain similarity local scaling:
+    * csls(x,y) = 2·cos(x,y) − r_A(x) − r_B(y), each r the mean cosine of
+    * a point to its k nearest cross-side neighbors), and keep the pairs
+    * that are EACH OTHER's best CSLS match. The margin term is what
+    * makes mining work in practice: it cancels hubness (a vector that is
+    * everyone's neighbor has a high r and stops winning every pair), so
+    * mutual-top-1 under CSLS is the standard mined-pair criterion.
+    *
+    * Cross-engine exactness: cosines quantize to integer MICRO-units
+    * (cast(round(cos·10⁶) as long) — the proven x80 centroid pattern)
+    * BEFORE any aggregation, and the k-neighborhood mean is carried
+    * ×k·10⁶ as an exact integer sum (3·csls in micro-units =
+    * 6·sim₆ − Σtop3_A − Σtop3_B) — no floating mean, no FP sum order,
+    * monotone in csls so the ranking is unchanged. Ties break on the
+    * partner id (ascending) in both engines.
+    *
+    * 100 TB shape: the declared key is exact over a PINNED block
+    * ([[MineBlock]] per side — ≤10⁶ scored pairs, constant in corpus
+    * size); both sides and their neighborhood sums broadcast. The
+    * corpus-scale path applies the same CSLS arithmetic over ANN
+    * candidates (x8's LSH buckets or x12c's cells) exactly as x41's
+    * semantic dedup does for its threshold — the scoring rule is the
+    * operator; candidate generation composes with the ANN family.
+    */
+  def x82MarginMining(s: SparkSession, d: String): DataFrame =
+    x82Over(s, Tables.embeddings(s, d))
+
+  private[graft] def x82Over(s: SparkSession, embAll: DataFrame): DataFrame = {
+    VectorCosine.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = embAll.filter(col("vec_id") < MineBlock)
+    val a = emb.filter(col("label") < 5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.filter(col("label") >= 5)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // persisted: three consumers (both neighborhood sums + the scored
+    // join) would otherwise each recompute the ≤10⁶-cosine block
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("sim6", expr(
+        "cast(round(graft_cosine(a_emb, b_emb) * 1000000) as long)"))
+      .select(col("a_id"), col("b_id"), col("sim6"))
+      .persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(pairs))
+    // k-NN neighborhood sums per side (integer micro-units, exact)
+    val rnA = row_number().over(
+      w.partitionBy(col("a_id")).orderBy(col("sim6").desc, col("b_id")))
+    val rnB = row_number().over(
+      w.partitionBy(col("b_id")).orderBy(col("sim6").desc, col("a_id")))
+    val sumA = pairs.withColumn("rn", rnA).filter(col("rn") <= MineK)
+      .groupBy(col("a_id")).agg(sum(col("sim6")).as("ra_sum"))
+    val sumB = pairs.withColumn("rn", rnB).filter(col("rn") <= MineK)
+      .groupBy(col("b_id")).agg(sum(col("sim6")).as("rb_sum"))
+    val scored = pairs
+      .join(broadcast(sumA), Seq("a_id"))
+      .join(broadcast(sumB), Seq("b_id"))
+      .withColumn("csls3",
+        lit(6L) * col("sim6") - col("ra_sum") - col("rb_sum"))
+    scored
+      .withColumn("bestA", row_number().over(
+        w.partitionBy(col("a_id")).orderBy(col("csls3").desc, col("b_id"))))
+      .withColumn("bestB", row_number().over(
+        w.partitionBy(col("b_id")).orderBy(col("csls3").desc, col("a_id"))))
+      .filter(col("bestA") === 1 && col("bestB") === 1)
+      .select(col("a_id"), col("b_id"), col("sim6").as("sim_micro"),
+        col("csls3").as("csls3_micro"))
+      .orderBy(col("a_id"))
+  }
+
+  val x82Sql: String = {
+    val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CAST(ROUND(($cos) * 1000000) AS BIGINT) AS sim6
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $MineBlock AND label < 5) a,
+       |       (SELECT * FROM embeddings WHERE vec_id < $MineBlock AND label >= 5) b),
+       |ra AS (SELECT a_id, CAST(SUM(sim6) AS BIGINT) AS ra_sum FROM (
+       |    SELECT a_id, sim6, ROW_NUMBER() OVER (PARTITION BY a_id
+       |           ORDER BY sim6 DESC, b_id) AS rn FROM pairs) WHERE rn <= $MineK
+       |  GROUP BY a_id),
+       |rb AS (SELECT b_id, CAST(SUM(sim6) AS BIGINT) AS rb_sum FROM (
+       |    SELECT b_id, sim6, ROW_NUMBER() OVER (PARTITION BY b_id
+       |           ORDER BY sim6 DESC, a_id) AS rn FROM pairs) WHERE rn <= $MineK
+       |  GROUP BY b_id),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id, p.sim6,
+       |         6 * p.sim6 - ra.ra_sum - rb.rb_sum AS csls3
+       |  FROM pairs p JOIN ra USING (a_id) JOIN rb USING (b_id)),
+       |ranked AS (
+       |  SELECT a_id, b_id, sim6, csls3,
+       |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY csls3 DESC, b_id) AS ba,
+       |         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY csls3 DESC, a_id) AS bb
+       |  FROM scored)
+       |SELECT a_id, b_id, sim6 AS sim_micro, CAST(csls3 AS BIGINT) AS csls3_micro
+       |FROM ranked WHERE ba = 1 AND bb = 1 ORDER BY a_id""".stripMargin
+  }
+
   // ===== x32: bigram corpus-coherence score ==============================
 
   /** Corpus-statistical fluency signal: a document whose bigrams are
@@ -6767,7 +6878,8 @@ object PipelineOps {
     "x81_selector_train" -> (x81SelectorTrain _),
     "x81b_selector_score" -> (x81bSelectorScore _),
     "x81c_selector_eval" -> (x81cSelectorEval _),
-    "p6_learned_curation" -> (p6LearnedCuration _)
+    "p6_learned_curation" -> (p6LearnedCuration _),
+    "x82_margin_mining" -> (x82MarginMining _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6775,6 +6887,7 @@ object PipelineOps {
     "x81b_selector_score" -> x81bSql,
     "x81c_selector_eval" -> x81cSql,
     "p6_learned_curation" -> p6Sql,
+    "x82_margin_mining" -> x82Sql,
     "x38_subword_tokens" -> x38Sql,
     "x39_incremental_dedup" -> x39Sql,
     "x39b_refresh_merge" -> x39bSql,

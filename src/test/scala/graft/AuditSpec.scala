@@ -89,7 +89,8 @@ class AuditSpec extends SparkSpec {
         "x81_selector_train", // 1-row trained-model broadcast (6 longs) + 1-row n_err aggregate
         "x81b_selector_score", // the same 1-row model broadcast against the scoring scan
         "x81c_selector_eval", // same model broadcast feeding the confusion aggregate
-        "p6_learned_curation") // x81b's model broadcast inside the composed curation chain
+        "p6_learned_curation", // x81b's model broadcast inside the composed curation chain
+        "x82_margin_mining") // cross-side cosine block: both sides pinned to MineBlock (x1c's absolute-constant doctrine), B-side broadcast
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k
       }.toSet

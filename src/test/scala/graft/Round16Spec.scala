@@ -266,6 +266,27 @@ class Round16Spec extends SparkSpec {
     assert(queries.PipelineOps.x81TrainOver(spark, mkLabeled(Seq.empty)).count() == 0L)
   }
 
+  // ===== x82: margin-based mutual-NN pair mining (CSLS) ===================
+
+  test("x82: mines exactly the aligned pairs, each endpoint at most once") {
+    val s = spark; import s.implicits._
+    // six near-orthogonal A-side directions; B side = the same directions
+    // slightly perturbed — the planted alignment a_i ↔ b_(10+i)
+    def dir(i: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.05f); v(i) = 1.0f; v((i + 1) % 8) += eps; v
+    }
+    val rows =
+      (0 until 6).map(i => (i.toLong, dir(i, 0.0f), 0)) ++
+      (0 until 6).map(i => ((10 + i).toLong, dir(i, 0.08f), 9))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val mined = queries.PipelineOps.x82Over(spark, emb).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(mined.toSet == (0 until 6).map(i => (i.toLong, (10 + i).toLong)).toSet)
+    // mutual-top-1 means each endpoint appears at most once per side
+    assert(mined.map(_._1).distinct.length == mined.length)
+    assert(mined.map(_._2).distinct.length == mined.length)
+  }
+
   test("x81: feature domains stay bounded on a monster token") {
     val monster = mkLabeled(Seq(
       (1L, "z" * 500000, "en"), (2L, "the a", "en"), (3L, "uno dos", "es")))
