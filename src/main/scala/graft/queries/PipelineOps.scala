@@ -4496,10 +4496,73 @@ object PipelineOps {
         expr("(1000L * (tp + tn)) div (tp + fp + fn + tn)").as("accuracy_milli"))
   }
 
+  /** x81d: the selector's OPERATING CURVE — the view a pipeline owner
+    * reads before choosing a keep-rate: 10 evenly spaced score
+    * thresholds across the observed [min, max] score range, and at each
+    * one the kept count, true positives, and milli precision/recall.
+    * x81c reports the single point the training tie rule picks
+    * (cutoff 0); the curve shows what moving the cutoff buys — the
+    * decision data-selection tuning actually runs on (keep-rate vs
+    * label agreement trade).
+    *
+    * Shape: NO global sort (a rank-based P@k curve would need one) —
+    * one min/max/count aggregate, a 10-row threshold grid broadcast
+    * into one conditional-count pass (a bounded nested-loop: N·10
+    * comparisons), 10 output rows. Linear and shuffle-free at any
+    * corpus size. Sentinels mirror x81c: -1 where a denominator is
+    * empty. On an empty corpus the grid survives with NULL thresholds
+    * and zero counts in BOTH engines (left join keeps the 10 rows).
+    */
+  def x81dSelectorCurve(s: SparkSession, d: String): DataFrame =
+    x81dCurveOver(s, Tables.documents(s, d))
+
+  private[graft] def x81dCurveOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (f, model, persisted) = selectorModelOver(s, selectorFeaturesOver(docs))
+    graft.ScopedCache.releaseAfterNextAction(s, persisted)
+    val scored = f.crossJoin(broadcast(model))
+      .withColumn("score", selectorScore)
+      .select(col("doc_id"), col("y"), col("score"))
+    val mm = scored.agg(min(col("score")).as("smin"),
+      max(col("score")).as("smax"), sum(col("y")).as("n_pos"))
+    val grid = s.range(10).select(col("id").as("decile"))
+      .crossJoin(broadcast(mm))
+      .withColumn("t", col("smin") + expr("(decile * (smax - smin)) div 10"))
+    grid.join(scored, col("score") >= col("t"), "left")
+      .groupBy(col("decile"), col("t"), col("n_pos"))
+      .agg(count(col("doc_id")).as("n_kept"),
+        coalesce(sum(col("y")), lit(0L)).as("tp"))
+      .select(col("decile"), col("t").as("threshold"), col("n_kept"), col("tp"),
+        when(col("n_kept") === 0L, -1L)
+          .otherwise(expr("(1000L * tp) div n_kept")).as("precision_milli"),
+        when(col("n_pos").isNull || col("n_pos") === 0L, -1L)
+          .otherwise(expr("(1000L * tp) div n_pos")).as("recall_milli"))
+      .orderBy(col("decile"))
+  }
+
+  val x81dSql: String =
+    s"""WITH $selectorCtes,
+       |scoredS AS (SELECT doc_id, y, CAST($selectorScoreSql AS BIGINT) AS score
+       |            FROM f, model),
+       |mm AS (SELECT MIN(score) AS smin, MAX(score) AS smax,
+       |              CAST(SUM(y) AS BIGINT) AS n_pos FROM scoredS),
+       |grid AS (SELECT CAST(g.range AS BIGINT) AS decile,
+       |                CAST(smin + (g.range * (smax - smin)) // 10 AS BIGINT) AS t,
+       |                n_pos
+       |         FROM mm, range(10) g)
+       |SELECT decile, t AS threshold,
+       |       CAST(COUNT(s.doc_id) AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(SUM(s.y), 0) AS BIGINT) AS tp,
+       |       CAST(CASE WHEN COUNT(s.doc_id) = 0 THEN -1
+       |            ELSE (1000 * COALESCE(SUM(s.y), 0)) // COUNT(s.doc_id) END AS BIGINT) AS precision_milli,
+       |       CAST(CASE WHEN n_pos IS NULL OR n_pos = 0 THEN -1
+       |            ELSE (1000 * COALESCE(SUM(s.y), 0)) // n_pos END AS BIGINT) AS recall_milli
+       |FROM grid LEFT JOIN scoredS s ON s.score >= grid.t
+       |GROUP BY decile, t, n_pos ORDER BY decile""".stripMargin
+
   /** DuckDB replay of [[selectorModelOver]]: features → class sums →
     * milli-means → (weights, threshold) — the same CTE chain in all
     * three x81 oracles. */
-  private val selectorCtes: String = {
+  private lazy val selectorCtes: String = {
     val sums = SelFeats.flatMap(n => Seq(
       s"CAST(SUM(CASE WHEN y = 1 THEN f_$n ELSE 0 END) AS BIGINT) AS sp_$n",
       s"CAST(SUM(CASE WHEN y = 0 THEN f_$n ELSE 0 END) AS BIGINT) AS sn_$n"
@@ -4538,7 +4601,7 @@ object PipelineOps {
        |  FROM means)""".stripMargin
   }
 
-  private val selectorScoreSql: String = "2000 * (" + SelFeats.map(n =>
+  private lazy val selectorScoreSql: String = "2000 * (" + SelFeats.map(n =>
     s"w_$n * f_$n").mkString(" + ") + ") - threshold"
 
   val x81Sql: String =
@@ -6879,6 +6942,7 @@ object PipelineOps {
     "x81b_selector_score" -> (x81bSelectorScore _),
     "x81c_selector_eval" -> (x81cSelectorEval _),
     "p6_learned_curation" -> (p6LearnedCuration _),
+    "x81d_selector_curve" -> (x81dSelectorCurve _),
     "x82_margin_mining" -> (x82MarginMining _)
   )
 
@@ -6887,6 +6951,7 @@ object PipelineOps {
     "x81b_selector_score" -> x81bSql,
     "x81c_selector_eval" -> x81cSql,
     "p6_learned_curation" -> p6Sql,
+    "x81d_selector_curve" -> x81dSql,
     "x82_margin_mining" -> x82Sql,
     "x38_subword_tokens" -> x38Sql,
     "x39_incremental_dedup" -> x39Sql,

@@ -90,6 +90,7 @@ class AuditSpec extends SparkSpec {
         "x81b_selector_score", // the same 1-row model broadcast against the scoring scan
         "x81c_selector_eval", // same model broadcast feeding the confusion aggregate
         "p6_learned_curation", // x81b's model broadcast inside the composed curation chain
+        "x81d_selector_curve", // model broadcast + the 10-row threshold-grid broadcast into the conditional-count pass
         "x82_margin_mining") // cross-side cosine block: both sides pinned to MineBlock (x1c's absolute-constant doctrine), B-side broadcast
       val bnlj = plans.collect {
         case (k, p) if p.contains("BroadcastNestedLoopJoin") => k

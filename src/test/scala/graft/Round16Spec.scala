@@ -266,6 +266,19 @@ class Round16Spec extends SparkSpec {
     assert(queries.PipelineOps.x81TrainOver(spark, mkLabeled(Seq.empty)).count() == 0L)
   }
 
+  test("x81d: the operating curve is monotone and anchored at keep-all") {
+    val rows = queries.PipelineOps.x81dCurveOver(spark, planted).collect()
+    assert(rows.length == 10)
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    val thr = rows.map(_.getAs[Long]("threshold"))
+    assert(kept.head == 12L) // decile 0 = min score ⇒ keeps the whole corpus
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b }) // tightening
+    assert(thr.zip(thr.tail).forall { case (a, b) => a <= b })
+    // on the separable planted corpus the top deciles keep only en docs
+    val last = rows.last
+    assert(last.getAs[Long]("precision_milli") == 1000L)
+  }
+
   // ===== x82: margin-based mutual-NN pair mining (CSLS) ===================
 
   test("x82: mines exactly the aligned pairs, each endpoint at most once") {
