@@ -1083,7 +1083,7 @@ object ScaleProbe {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/scaling_probe.json"),
         entries.mkString(
-          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"notes":{"x79c_winnow_recall":"no exponent row BY DESIGN: the audit corpus is constant-size (block-bounded all-pairs truth over doc_id<1000 plus a fixed twin count), so its cost does not scale with the corpus — replicating the corpus would only re-measure x79b, which has its own row","x82_margin_mining":"no exponent row BY DESIGN: both sides are pinned to MineBlock (x1c's absolute-constant doctrine), so the scored-pair block is the same <=1e6 whatever the corpus; the corpus-scaling path is ANN candidate generation (x8/x12c), which has its own rows","x81c_selector_eval":"no exponent row: shares x81b's plan minus the output projection — its exponent IS x81b's row"},"keys":{""",
+          s"""{"scales":[1,4,8],"sf_base":"$src","corpus":{"docs":"caesar_v2_punct_residual (letters+digits rotate; punctuation-only tokens still collide cross-replica)","rel":"key-offset disjoint replicas"},"notes":{"x79c_winnow_recall":"no exponent row BY DESIGN: the audit corpus is constant-size (block-bounded all-pairs truth over doc_id<1000 plus a fixed twin count), so its cost does not scale with the corpus — replicating the corpus would only re-measure x79b, which has its own row","x82_margin_mining":"no exponent row BY DESIGN: both sides are pinned to MineBlock (x1c's absolute-constant doctrine), so the scored-pair block is the same <=1e6 whatever the corpus; the corpus-scaling path is ANN candidate generation (x8/x12c), which has its own rows","x81c_selector_eval":"no exponent row: shares x81b's plan minus the output projection — its exponent IS x81b's row","x81d_selector_curve":"no exponent row: x81b's scan plus a 10-row grid conditional-count pass (N*10 bounded nested-loop) — the same linear class as x81b's row"},"keys":{""",
           ",", "}}").getBytes("UTF-8"))
       println("wrote docs/scaling_probe.json")
       spark.stop()
