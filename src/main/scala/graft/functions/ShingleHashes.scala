@@ -107,17 +107,24 @@ object ShingleHashes {
     new GenericArrayData(arr)
   }
 
-  /** `graft_shingle_hashes(toks)` → sorted distinct word-3-gram polyhash
+  /** The registered gram width. ONE definition (mirroring
+    * WinnowHashes.DefaultK): the x39/x39b published-layout tags read this,
+    * so a width change renames (invalidates) at-rest indexes instead of
+    * silently reusing wrong-geometry content (r16 ADVICE).
+    */
+  val DefaultK = 3
+
+  /** `graft_shingle_hashes(toks)` → sorted distinct word-k-gram polyhash
     * set; `graft_shingle_hashes_all(toks)` → positional multiset.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
-      exprs => ShingleHashes(exprs.head, 3, StringPolyHash.DefaultMod, distinctSorted = true),
+      exprs => ShingleHashes(exprs.head, DefaultK, StringPolyHash.DefaultMod, distinctSorted = true),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes_all",
-      exprs => ShingleHashes(exprs.head, 3, StringPolyHash.DefaultMod, distinctSorted = false),
+      exprs => ShingleHashes(exprs.head, DefaultK, StringPolyHash.DefaultMod, distinctSorted = false),
       "built-in")
   }
 }

@@ -3418,7 +3418,8 @@ object PipelineOps {
   private[graft] def x39IndexPath(s: SparkSession, d: String): String = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     s"${graft.Scratch.dir(s)}/graft_x39_index_" +
-      s"${refreshSplitTag}k3m${graft.functions.StringPolyHash.DefaultMod}_$tag"
+      s"${refreshSplitTag}k${graft.functions.ShingleHashes.DefaultK}" +
+      s"m${graft.functions.StringPolyHash.DefaultMod}_$tag"
   }
   /** Layout-name tag of the full decide chain (twin synthesis + the
     * exact-Jaccard keep threshold) — what x79e's `inserted/` adds on top
@@ -3427,6 +3428,15 @@ object PipelineOps {
   private def refreshDecideTag: String =
     s"t${TwinSelMod}x${TwinExactOffset / 10000000L}" +
       s"e${TwinEditOffset / 10000000L}j${math.round(JaccThreshold * 1000)}"
+
+  /** The simhash chain's analog of [[refreshDecideTag]] (r17, for x39b's
+    * published decision set): twin synthesis constants + the hamming keep
+    * threshold — what the simhash decide chain's OUTPUT depends on beyond
+    * the split and fingerprint geometry already in the layout name.
+    */
+  private def refreshDecideTagSimhash: String =
+    s"t${TwinSelMod}x${TwinExactOffset / 10000000L}" +
+      s"e${TwinEditOffset / 10000000L}h$HammingMax"
 
   /** The synthesized "new crawl": the doc_id % [[BatchSplitMod]] == 0
     * slice plus the two cross-boundary twin families. Shared by x39
@@ -3450,11 +3460,37 @@ object PipelineOps {
     * At 100 TB this is the co-partitioned union-write a table-format
     * MERGE executes — decisions and bodies join on doc_id, nothing else
     * shuffles.
+    *
+    * r17: the x79e `inserted/` decision-artifact pattern applied here
+    * (r16 verdict #1) — the x39 decide chain (batch fingerprinting + both
+    * banded index joins) runs ONCE per corpus snapshot, inside the
+    * stamped publish, exactly as a production MERGE materializes the
+    * decision set it executes; the steady-state merge plan reads the
+    * published decisions (a 1-column scan, flagged cached_artifact in
+    * bench records) and joins them to the batch bodies. The layout name
+    * embeds the split / twin / gram-geometry / hamming constants
+    * ([[refreshSplitTag]] + k/m + [[refreshDecideTagSimhash]]), so any
+    * decide-chain constant change invalidates the artifact rather than
+    * silently reusing wrong-chain decisions. Content is unchanged — the
+    * oracle replays the full decision from scratch at every SF and
+    * hash-checks the artifact's own rows.
     */
   def x39bRefreshMerge(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val survivors = x39IncrementalDedup(s, d)
-      .filter(col("status") === "inserted").select(col("doc_id"))
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val decidePath =
+      s"${graft.Scratch.dir(s)}/graft_x39b_decisions_" +
+        s"${refreshSplitTag}k${graft.functions.ShingleHashes.DefaultK}" +
+        s"m${graft.functions.StringPolyHash.DefaultMod}" +
+        s"${refreshDecideTagSimhash}_$tag"
+    graft.sources.MultiFormat.ensureLayout(
+      new java.io.File(s"$d/documents.parquet"), decidePath) {
+      x39IncrementalDedup(s, d)
+        .filter(col("status") === "inserted").select(col("doc_id"))
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$decidePath/inserted")
+    }
+    val survivors = Tables.cachedParquet(s, s"$decidePath/inserted")
     docs.filter(col("doc_id") % BatchSplitMod =!= 0)
       .select(col("doc_id"), lit("kept").as("status"),
         length(col("text")).cast("long").as("n_chars"))
@@ -4527,7 +4563,11 @@ object PipelineOps {
     val grid = s.range(10).select(col("id").as("decile"))
       .crossJoin(broadcast(mm))
       .withColumn("t", col("smin") + expr("(decile * (smax - smin)) div 10"))
-    grid.join(scored, col("score") >= col("t"), "left")
+    // explicit broadcast pin (r16 verdict #2/#6): the BNLJ build side must
+    // be the 10-row grid subtree — without the hint it is chosen by size
+    // ESTIMATE, and a stats misestimate would silently flip the broadcast
+    // to the corpus-sized scored frame. Zero semantic change.
+    broadcast(grid).join(scored, col("score") >= col("t"), "left")
       .groupBy(col("decile"), col("t"), col("n_pos"))
       .agg(count(col("doc_id")).as("n_kept"),
         coalesce(sum(col("y")), lit(0L)).as("tp"))
