@@ -567,7 +567,12 @@ object Bench {
     val failedJson = failedKeys.take(20).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val degradedJson = degraded.map("\"" + _ + "\"").getOrElse("null")
-    val noiseJson = s""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":${BenchGate.num(sumOfMins, 1)},"host_factor":${BenchGate.num(hostFactor, 2)},"host_mem_factor":${BenchGate.num(hostMemFactor, 2)},"degraded":$degradedJson,"regressions":${regressed.size},"regressed_keys":$regressedJson,"failed_keys":$failedJson"""
+    // gate-status self-description (r16 ADVICE #1): baseline_keys is the
+    // parsed committed-baseline size — 0 means the regression gate was
+    // DISABLED (missing/unreadable docs/bench_baseline.json), so a
+    // regressions:0 record can no longer masquerade as a verified-clean
+    // pass when the gate simply never ran.
+    val noiseJson = s""""noisy":$noisy,"noisy_keys":${stillNoisy.size},"retried":$retried,"sum_of_mins":${BenchGate.num(sumOfMins, 1)},"host_factor":${BenchGate.num(hostFactor, 2)},"host_mem_factor":${BenchGate.num(hostMemFactor, 2)},"degraded":$degradedJson,"regressions":${regressed.size},"regressed_keys":$regressedJson,"baseline_keys":${baseline.size},"failed_keys":$failedJson"""
     val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,$noiseJson,"failed":$failed,"queries":$qs,"stats":$statsJson,"plan":$planJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     println(fullRecord)
     // Durable copy of the FULL per-key record (r5 verdict wrong-#4): the

@@ -50,6 +50,17 @@ object Tables {
     if (!spark.conf.getOption("spark.graft.tuned").contains("true")) {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // r17: let AQE re-coalesce the OUTPUT partitioning of cached plans.
+      // Off (the default), every persist() materializes at the full
+      // pre-AQE shuffle width, so iterative keys (x73's per-round edges,
+      // x80's beams, x15's labels, the fingerprint tables) pin 32-64
+      // near-empty partitions and every downstream consumer stage pays
+      // that many task launches — measured pure orchestration: x73 ran
+      // 4.1 s with no stage over 0.4 s of CPU. Purely physical, same
+      // contract as the advisory coalescing above (results are
+      // partitioning-independent; ClusterProbe pins bit-identity).
+      spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       spark.conf.set("spark.graft.tuned", "true")
     }
 

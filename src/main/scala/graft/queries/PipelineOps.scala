@@ -52,6 +52,32 @@ object PipelineOps {
     * to a pinned constant-size block — the shape you'd actually run at
     * 100 TB when an exact sub-corpus answer is needed.
     */
+  /** Widen a STARVED scan-rooted frame (r17, guide §2.5 "input skew —
+    * one unsplittable file"): the bench SFs ship each table as a single
+    * small parquet file (one row group), so every scan is one task and a
+    * CPU-dense map chain rooted on it (kernel explodes, LSH signatures,
+    * pairwise blocks) serializes on one core of local[32]. When the
+    * frame's physical partitioning is below a quarter of the session's
+    * parallelism, hash-repartition it on its natural key to the
+    * session parallelism (the x68 exactPairsScored idiom, 1× — CPU
+    * stages lose nothing at one wave, and every TINY downstream stage
+    * inheriting the width pays per-task scheduling); otherwise —
+    * the production case, where the scan already has >= cores splits —
+    * this is the IDENTITY and no exchange is added. The condition, not a
+    * tuned constant, decides, so the same code is right at sf0.1 and at
+    * 100 TB (where repartitioning raw document bodies would be exactly
+    * the payload-shuffle §8 warns against). Results are partitioning-
+    * independent by contract (ClusterProbe pins bit-identity across
+    * executor topologies).
+    */
+  private[graft] def widenIfStarved(df: DataFrame,
+      key: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= cores) df.repartition(cores, key: _*)
+    else df
+  }
+
   def x1CosineTopk(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.plans.GraftPlanner.install(s)
@@ -192,7 +218,10 @@ object PipelineOps {
       : (DataFrame, DataFrame, DataFrame) = {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
-    val docs = Tables.documents(s, d)
+    // doc-keyed widening (r17): tokenize + 16-permutation hashing is
+    // per-document map work serialized by the one-task bench scan;
+    // identity at production scan parallelism
+    val docs = widenIfStarved(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
     // Set-dedup happens INSIDE the array (array_distinct over the hash
@@ -1169,9 +1198,14 @@ object PipelineOps {
   private def annLshPairs(planes: Int)(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
-    val sig = Tables.embeddings(s, d)
+    // bucket-keyed widening (r17): on the single-file bench layout the
+    // broadcast self-join probes — and ALL the in-bucket cosine work —
+    // ran inside the one-task scan stage (measured 1.0 s serialized);
+    // widened by the join key, the verification stage uses every core
+    val sig = widenIfStarved(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr(s"graft_lsh_bucket(embedding, $planes)").as("bucket"))
+        expr(s"graft_lsh_bucket(embedding, $planes)").as("bucket")),
+      col("bucket"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -1203,14 +1237,17 @@ object PipelineOps {
     // stages. A pair sharing buckets in both tables surfaces twice with the
     // same deterministic sim; distinct() collapses it — identical result set
     // to the union-of-joins formulation the oracle uses.
-    val sig = Tables.embeddings(s, d)
+    // (t, bucket)-keyed widening (r17): same serialized-probe fix as
+    // annLshPairs — the two-table candidate verification was one task
+    val sig = widenIfStarved(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         explode(array(
           struct(lit(1).as("t"), expr("graft_lsh_bucket(embedding, 8)").as("bkt")),
           struct(lit(2).as("t"), expr("graft_lsh_bucket(embedding, 14) div 256").as("bkt"))
         )).as("tb"))
       .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+        col("tb.t").as("t"), col("tb.bkt").as("bkt")),
+      col("t"), col("bkt"))
     sig.as("a").join(sig.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -2381,7 +2418,10 @@ object PipelineOps {
     */
   def x20Decontam(s: SparkSession, d: String): DataFrame = {
     graft.functions.WordGramSha.register(s)
-    val sh = Tables.documents(s, d)
+    // doc-keyed widening (r17): the W-gram SHA-256 explode is the key's
+    // dominant CPU (measured 2.5 s serialized in the one-task scan
+    // stage on the bench layout); identity at production scan parallelism
+    val sh = widenIfStarved(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= DecontamW)
       // fused codegen'd W-gram digest kernel (same digests as the old
@@ -3196,7 +3236,12 @@ object PipelineOps {
     */
   private def simhashFingerprints(corpus: DataFrame): DataFrame = {
     ShingleHashes.register(corpus.sparkSession)
-    val toks = corpus
+    // doc-keyed widening (r17): shingle-hash + explode is per-document
+    // map work otherwise serialized in the one-task scan stage on the
+    // bench layout; the doc_id hash partitioning is exactly what the
+    // bit-sum aggregate below requires, so the groupBy adds no second
+    // exchange. Identity at production scan parallelism.
+    val toks = widenIfStarved(corpus, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       // MULTISET variant (positional, no distinct): simhash bit sums weight
@@ -3283,6 +3328,15 @@ object PipelineOps {
     x27SimhashNeardup(s, d)
       .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      // pair-keyed widening (r17, the x68 exactPairsScored idiom): the
+      // banded-Levenshtein stage is ~10 ms of CPU per pair over a
+      // few-hundred-KB input — exactly the high-CPU/small-bytes shape the
+      // 16m AQE advisory coalesces to one task (measured 1.1 s
+      // serialized). An explicit pair-keyed repartition keeps the verify
+      // as wide as the session at any scale; per-pair work is bounded,
+      // so 2× parallelism partitions are right at 100 TB too.
+      .repartition(2 * s.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       // BANDED Levenshtein: the verification only needs distances up to
       // the keep cutoff floor(maxlen/5), and Spark's 3-arg levenshtein
       // runs the banded O(threshold·len) algorithm and returns -1 beyond
@@ -4427,7 +4481,13 @@ object PipelineOps {
     * |threshold| ≤ 5·2·10¹⁴ and |score| ≤ ~10¹⁵ — inside long range
     * with three orders of headroom, independent of corpus size (only
     * the CLASS SUMS grow with n, and they sit inside the milli-mean
-    * floor-divs).
+    * floor-divs). The milli-mean scaling itself (1000·sp_n) is the one
+    * corpus-size-DEPENDENT intermediate: it overflows long past class
+    * sums of ~9.2·10¹⁵, i.e. ~10¹² docs at the 10⁴ feature cap — Spark
+    * would wrap silently where DuckDB raises, so past that bound the
+    * engines diverge (r16 ADVICE; the KERNEL_DOMAINS discipline). At
+    * ~10¹² docs per TRAINING class, split the scaling as
+    * (sp div n)·1000 + ((sp mod n)·1000) div n before widening further.
     */
   private def selectorModelOver(s: SparkSession, feats: DataFrame)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
@@ -4781,8 +4841,14 @@ object PipelineOps {
     VectorCosine.register(s)
     val w = org.apache.spark.sql.expressions.Window
     val emb = embAll.filter(col("vec_id") < MineBlock)
-    val a = emb.filter(col("label") < 5)
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    // a-keyed widening (r17): the pinned-block cross join (<=10^6
+    // cosines) ran entirely in the one-task scan stage on the bench
+    // layout; widened by a_id it spreads over every core, and both
+    // downstream windows partition by a_id/b_id anyway. Identity at
+    // production scan parallelism.
+    val a = widenIfStarved(emb.filter(col("label") < 5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+      col("a_id"))
     val b = emb.filter(col("label") >= 5)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     // persisted: three consumers (both neighborhood sums + the scored
@@ -4807,6 +4873,12 @@ object PipelineOps {
       .join(broadcast(sumB), Seq("b_id"))
       .withColumn("csls3",
         lit(6L) * col("sim6") - col("ra_sum") - col("rb_sum"))
+    // NOTE (r17): an argmax-aggregate + broadcast-semi-join form of the
+    // mutual-best (max(struct(csls3, -partner)) per side) was tried to
+    // remove the two window sorts — it measured SLOWER (1.85 s -> 2.57 s
+    // at sf0.1): each broadcast build is its own serialized job and the
+    // scored frame re-derives per consumer, costing more than the sorts
+    // saved. The rank-window form stays.
     scored
       .withColumn("bestA", row_number().over(
         w.partitionBy(col("a_id")).orderBy(col("csls3").desc, col("b_id"))))
@@ -5593,7 +5665,10 @@ object PipelineOps {
     // session-registration order
     StringPolyHash.register(s)
     ShingleHashes.register(s)
-    val hashed = corpus
+    // doc-keyed widening (r17): the shingle explode feeding every exact
+    // verify ran in the one-task scan stage on the bench layout;
+    // identity at production scan parallelism
+    val hashed = widenIfStarved(corpus, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))
@@ -6077,7 +6152,11 @@ object PipelineOps {
   private[graft] def winnowFingerprints(s: SparkSession, corpus: DataFrame): DataFrame = {
     graft.functions.WinnowHashes.register(s)
     val enc = 1L << WinnowPosBits
-    corpus
+    // doc-keyed widening (r17): the tokenize + winnow-kernel + explode
+    // chain is per-document map work that ran entirely in the one-task
+    // scan stage on the bench layout (measured 2.7 s serialized for
+    // x79b); at production scan parallelism this is the identity
+    widenIfStarved(corpus, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3 &&
         (size(col("toks")) - 2).cast("long") < lit(WinnowMaxGrams))
@@ -6640,7 +6719,9 @@ object PipelineOps {
   private def blockTruthOver(s: SparkSession, corpus: DataFrame): DataFrame = {
     StringPolyHash.register(s)
     ShingleHashes.register(s)
-    val hashed = corpus
+    // doc-keyed widening (r17): same serialized-scan fix as
+    // shingleVerifyPairs — identity at production scan parallelism
+    val hashed = widenIfStarved(corpus, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))
