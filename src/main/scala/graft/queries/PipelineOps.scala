@@ -5665,26 +5665,34 @@ object PipelineOps {
     // session-registration order
     StringPolyHash.register(s)
     ShingleHashes.register(s)
-    // doc-keyed widening (r17): the shingle explode feeding every exact
-    // verify ran in the one-task scan stage on the bench layout;
-    // identity at production scan parallelism
-    val hashed = widenIfStarved(corpus, col("doc_id"))
+    // Set-intersection over the ARRAY form (r17, guide §2.3 "shuffle keys
+    // and metadata instead of payloads" applied to the verify): the old
+    // form exploded every per-doc shingle set to rows and computed
+    // n_common by re-joining candidates on (doc, h) — a |cand|×|set| row
+    // explosion plus a pair-keyed aggregate, measured at 30.8 s of CPU in
+    // x79b's verify stage alone. graft_shingle_hashes emits the SORTED
+    // DISTINCT set, so size(array_intersect(ha, hb)) is the identical
+    // n_common (set semantics on both engines' definitions) at
+    // O(|set_a|+|set_b|) per candidate with no per-gram rows ever built:
+    // the sets travel as one ~1 KB array row per doc, the candidate joins
+    // stay doc-keyed, and the pair aggregate disappears. Measured: x79b
+    // verify stage 30.8 s CPU → sub-second; threshold semantics
+    // unchanged (jaccard ≥ 0.4 > 0 subsumes the old implicit
+    // n_common ≥ 1 of the inner gram join).
+    val sets = widenIfStarved(corpus, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(ShingleHashExpr)).as("h"))
+      .select(col("doc_id"), expr(ShingleHashExpr).as("hs"))
       .persist()
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
-    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(hashed.as("ha"), col("doc_a") === col("ha.doc_id"))
-      .join(hashed.as("hb"),
-        col("doc_b") === col("hb.doc_id") && col("ha.h") === col("hb.h"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(sets))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("n_sum"))
       .withColumn("jaccard", col("n_common").cast("double") /
-        (col("sa.n") + col("sb.n") - col("n_common")))
+        (col("n_sum") - col("n_common")))
       .filter(col("jaccard") >= JaccThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -6276,8 +6284,13 @@ object PipelineOps {
     // best-observed 3.80 s → 2.34 s, med 3.9 → 3.4; the x73
     // re-derivation lesson applied at birth)
     val fp = winnowDistinctFp(s, corpus).persist()
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(fp))
-    winnowCapSplit(s, fp)._1
+    // the KEPT side is ALSO persisted (r17): both sides of the candidate
+    // self-join consume it, and without its own persist the df-cap
+    // aggregate + join subtree computes once per side (StageProbe: two
+    // near-identical stages at 13.9 s and 3.5 s of CPU for x79b)
+    val kept = winnowCapSplit(s, fp)._1.persist()
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(fp, kept))
+    kept
   }
 
   /** The distinct (doc_id, fp_h) fingerprint table of a corpus — the raw
