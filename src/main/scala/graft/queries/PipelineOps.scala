@@ -220,17 +220,17 @@ object PipelineOps {
     ShingleHashes.register(s)
     // doc-keyed widening (r17): tokenize + 16-permutation hashing is
     // per-document map work serialized by the one-task bench scan;
-    // identity at production scan parallelism
-    val docs = widenIfStarved(Tables.documents(s, d), col("doc_id"))
+    // identity at production scan parallelism. The persisted table is the
+    // per-doc sorted-distinct shingle ARRAY (r17): the verify consumers
+    // intersect arrays per candidate pair (see shingleVerifyPairs for the
+    // measured row-explosion argument), and the minhash aggregate derives
+    // its exploded rows from the same cached arrays.
+    val sets = widenIfStarved(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    // Set-dedup happens INSIDE the array (array_distinct over the hash
-    // array) before explode — no shuffle needed for per-doc set semantics.
-    // The result feeds three consumers (minhash+sizes, exact intersection
-    // twice); persist so the tokenize+hash pipeline runs once per action.
-    val hashed = docs.select(col("doc_id"),
-        explode(expr(ShingleHashExpr)).as("h"))
+      .select(col("doc_id"), expr(ShingleHashExpr).as("hs"))
       .persist()
+    val hashed = sets.select(col("doc_id"), explode(col("hs")).as("h"))
 
     // one pass computes all 16 minima AND the set size (sizes reused by the
     // Jaccard verify below — saves a second scan + shuffle of `hashed`)
@@ -245,11 +245,11 @@ object PipelineOps {
     }.mkString(", ")
     val bands = minh.select(col("doc_id"),
       expr(s"stack($Bands, $bandSig) as (band, sig)"))
-    (hashed, minh, bands)
+    (sets, minh, bands)
   }
 
   def x3MinhashNeardup(s: SparkSession, d: String): DataFrame = {
-    val (hashed, minh, bands) = minhashMachinery(s, d)
+    val (sets, _, bands) = minhashMachinery(s, d)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -257,25 +257,25 @@ object PipelineOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sizes = minh.select(col("doc_id"), col("set_n").as("n"))
-    val inter = cand
-      .join(hashed.as("ha"), col("doc_a") === col("ha.doc_id"))
-      .join(hashed.as("hb"), col("doc_b") === col("hb.doc_id") && col("ha.h") === col("hb.h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-
-    val out = inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // array-form verify (r17, shingleVerifyPairs' measured argument): the
+    // candidate pairs intersect the cached per-doc shingle SETS directly —
+    // no per-gram rows, no pair-keyed aggregate; same n_common (both
+    // sides sorted distinct), same jaccard operands, same threshold.
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("n_sum"))
       .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("sa.n") + col("sb.n") - col("n_common")))
+        col("n_common").cast("double") / (col("n_sum") - col("n_common")))
       .filter(col("jaccard") >= JaccThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-    // hashed is consumed three times inside `out`'s single plan; release it
-    // once the caller's first action completes (no cross-query leak)
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
+    // sets is consumed three times inside `out`'s single plan (bands via
+    // the minhash aggregate + both verify sides); release it once the
+    // caller's first action completes (no cross-query leak)
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(sets))
     out
   }
 
@@ -366,34 +366,30 @@ object PipelineOps {
     * is bounded by the benchmark suite size, never by the corpus.
     */
   def x58FuzzyDecontam(s: SparkSession, d: String): DataFrame = {
-    val (hashed, minh, bands) = minhashMachinery(s, d)
+    val (sets, _, bands) = minhashMachinery(s, d)
     val evalB = bands.filter(col("doc_id") % FuzzyDecontamMod === 0)
       .select(col("doc_id").as("test_doc"), col("band"), col("sig"))
     val trainB = bands.filter(col("doc_id") % FuzzyDecontamMod =!= 0)
     val cand = trainB.join(broadcast(evalB), Seq("band", "sig"))
       .select(col("doc_id"), col("test_doc"))
       .distinct()
-    val sizes = minh.select(col("doc_id"), col("set_n").as("n"))
-    val trainH = hashed.select(col("doc_id"), col("h").as("t_h"))
-    val evalH = hashed.select(col("doc_id").as("e_doc"), col("h").as("e_h"))
-    val inter = cand
-      .join(trainH, Seq("doc_id"))
-      .join(evalH, col("test_doc") === col("e_doc") && col("t_h") === col("e_h"))
-      .groupBy(col("doc_id"), col("test_doc"))
-      .agg(count(lit(1)).as("n_common"))
-    val out = inter
-      .join(sizes, Seq("doc_id"))
-      .join(sizes.select(col("doc_id").as("e_doc"), col("n").as("e_n")),
-        col("test_doc") === col("e_doc"))
+    // array-form verify (r17): same rewrite as x3 — candidates intersect
+    // the cached shingle sets, no per-gram row explosion
+    val out = cand
+      .join(sets.select(col("doc_id"), col("hs").as("ht")), Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("test_doc"), col("hs").as("he")),
+        Seq("test_doc"))
+      .select(col("doc_id"), col("test_doc"),
+        size(array_intersect(col("ht"), col("he"))).cast("long").as("n_common"),
+        (size(col("ht")) + size(col("he"))).cast("long").as("n_sum"))
       .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n") + col("e_n") - col("n_common")))
+        col("n_common").cast("double") / (col("n_sum") - col("n_common")))
       .filter(col("jaccard") >= JaccThreshold)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("test_doc")).as("n_eval_docs"),
            max(col("jaccard")).as("max_jaccard"))
       .orderBy(col("doc_id"))
-    graft.ScopedCache.releaseAfterNextAction(s, Seq(hashed))
+    graft.ScopedCache.releaseAfterNextAction(s, Seq(sets))
     out
   }
 
