@@ -1224,7 +1224,7 @@ object PipelineOps {
     * each table. The union is a distinct over (pair, sim) — sim is
     * deterministic, so the dedup key is exact.
     */
-  private def x8cPairs(s: SparkSession, d: String): DataFrame = {
+  private def x8cPairsRaw(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
     // ONE self-join keyed (table, bucket) instead of one join per table:
@@ -1249,11 +1249,26 @@ object PipelineOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("sim"))
-      .distinct()
   }
 
+  private def x8cPairs(s: SparkSession, d: String): DataFrame =
+    x8cPairsRaw(s, d).distinct()
+
+  /** Top-20 via a BOUNDED PREFIX CUT then dedup (r17): the full distinct
+    * shuffled the whole 17 MB pair table to deduplicate rows the top-20
+    * never reads. A pair found by both hash tables surfaces as two
+    * IDENTICAL rows (sim is deterministic), i.e. duplicates are TIED on
+    * every sort key — so the top-40 prefix of the total order contains
+    * every distinct top-20 pair (at worst each of the leading 20 pairs
+    * appears twice), and distinct-after-prefix is exactly
+    * distinct-then-top-20. TakeOrdered keeps a 40-row heap per partition
+    * and shuffles 40 rows instead of the pair table.
+    */
   def x8cAnnLshMulti(s: SparkSession, d: String): DataFrame =
-    x8cPairs(s, d)
+    x8cPairsRaw(s, d)
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(40)
+      .distinct()
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
 
@@ -1453,9 +1468,11 @@ object PipelineOps {
   def x13EmbedDedup(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
-    val sig = Tables.embeddings(s, d)
+    // bucket-keyed widening (r17): same serialized-probe fix as
+    // annLshPairs — the in-bucket cosine verification ran one-task
+    val sig = widenIfStarved(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr("graft_lsh_bucket(embedding)").as("bucket"))
+        expr("graft_lsh_bucket(embedding)").as("bucket")), col("bucket"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .filter(expr("graft_cosine(a.embedding, b.embedding)") >= EmbedDupThreshold)
@@ -3152,8 +3169,11 @@ object PipelineOps {
     */
   def m6GifFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // doc-keyed widening (r17): GIF encode + LZW decode is the heaviest
+    // per-row media kernel (0.7 s serialized in the one-task bench scan);
+    // identity at production scan parallelism
     graft.multimodal.Media.decodeGifSampled(
-      Tables.documents(s, d)
+      widenIfStarved(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])])
       .orderBy(col("doc_id"))
@@ -6833,7 +6853,9 @@ object PipelineOps {
     */
   def x65SkipgramCooc(s: SparkSession, d: String): DataFrame = {
     val win = 3
-    Tables.documents(s, d)
+    // doc-keyed widening (r17): the nested-transform skip-gram explode is
+    // per-document map work serialized by the one-task bench scan
+    widenIfStarved(Tables.documents(s, d), col("doc_id"))
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(

@@ -1291,7 +1291,12 @@ object RelationalOps {
     * construction/extraction round-trip exact.
     */
   def f15Variant(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    // event-keyed widening (r17): two parse_json + to_json round-trips per
+    // row are ~100 us of CPU each — the most compute-dense map chain in
+    // the relational family, measured 9.9 s serialized in the one-task
+    // bench scan stage. Identity at production scan parallelism
+    // (PipelineOps.widenIfStarved contract).
+    graft.queries.PipelineOps.widenIfStarved(Tables.events(s, d), col("event_id"))
       .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'long')"))
       .withColumn("vm", expr("CAST(round(value * 1000000) AS BIGINT)"))
       // build the document with to_json, NOT string concat: to_json escapes
