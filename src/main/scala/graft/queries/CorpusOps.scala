@@ -1190,7 +1190,11 @@ object CorpusOps {
     StringPolyHash.register(s)
     // stage 0: boilerplate extraction — langid/quality below score the
     // extracted text ('doc' + lang + body), never raw markup
-    val docs = Tables.documents(s, d)
+    // doc-keyed widening (r17): HTML synth + strip + token explode is the
+    // pipeline's dominant map chain, serialized by the one-task bench
+    // scan; identity at production scan parallelism
+    val docs = graft.queries.PipelineOps.widenIfStarved(
+        Tables.documents(s, d), col("doc_id"))
       .withColumn("text",
         expr(htmlStripExpr(s"($HtmlSynthExpr)")))
     val stats = docs

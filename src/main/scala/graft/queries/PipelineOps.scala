@@ -822,7 +822,10 @@ object PipelineOps {
     StringPolyHash.register(s)
     graft.functions.WordGramSha.register(s)
     val w = org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+    // doc-keyed widening (r17): the k-gram SHA explode and the final
+    // clean-hash reconstruction are per-document map work serialized by
+    // the one-task bench scan; identity at production scan parallelism
+    val toks = widenIfStarved(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val occ = toks
       .filter(size(col("t")) >= SubstrK)
