@@ -464,7 +464,10 @@ object PipelineOps {
     // cache; nothing persists the exploded postings (500k rows at sf0.1,
     // quadratically more at scale — cache the 5k docs, not the postings)
     val base = Tables.documents(s, d)
-    val docs0 = base
+    // doc-keyed widening (r17): the fused shingle kernel feeding both the
+    // stop-list df aggregate and the kept-set regroup ran in the one-task
+    // bench scan; identity at production scan parallelism
+    val docs0 = widenIfStarved(base, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -493,6 +496,15 @@ object PipelineOps {
       .join(broadcast(stop), Seq("h"), "left_anti")
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      // explicit doc-keyed width pin (r17): with cached-plan AQE
+      // coalescing on (Tables.tune), this small-bytes cache would
+      // materialize at ~1 partition and serialize its three CPU-dense
+      // consumers (prefix postings + both SortedIntersectCount verify
+      // sides) — the regression gate caught exactly that (x9 min
+      // 1.14 → 2.44 on a quiet host). The pin costs nothing at scale:
+      // the verify joins key on doc_id and reuse this exact partitioning
+      // instead of exchanging again.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .persist() // read 3× below (prefix postings + both verify sides)
     // prefix postings: first n - floor(0.6n) + 1 sorted hashes per doc
     val pre = docs.select(col("doc_id"),
