@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to sbt's stdout instead of through the sbt
+// logger: the driver parses the bench's one-line JSON records from stdout,
+// and the default LoggedOutput prefixes every child line with "[info] ",
+// which defeats line-level JSON parsing (PERF parsed:null since r14 —
+// r17 verdict #2). Program stdout is the data channel; sbt's own [info]
+// build lines are unaffected.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,6 +33,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage-codegen class cache (STATIC conf, so it must be set before
+  // the session exists — a -D reaches every entry point). The default LRU
+  // holds 100 generated classes; this suite compiles ~1000+ distinct
+  // codegen units per sweep (262 queries x several stages), so at the
+  // default EVERY trial re-runs janino on every stage — pure fixed-cost
+  // driver work (r17 verdict #9's ~0.25 s/key tail). Scale-neutral: the
+  // cache is per-JVM compilation state, not data- or core-count-dependent.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
   // local[32] runs the whole executor fleet in this one JVM: 32 concurrent
   // tasks × multi-MB aggregation maps need real heap, and 8g was measured
   // spilling (and GC-stalling neighbor queries) on the 13M-pair x68
