@@ -40,7 +40,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default EVERY trial re-runs janino on every stage — pure fixed-cost
   // driver work (r17 verdict #9's ~0.25 s/key tail). Scale-neutral: the
   // cache is per-JVM compilation state, not data- or core-count-dependent.
-  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("SPARK_CODEGEN_CACHE", "5000")}",
   // local[32] runs the whole executor fleet in this one JVM: 32 concurrent
   // tasks × multi-MB aggregation maps need real heap, and 8g was measured
   // spilling (and GC-stalling neighbor queries) on the 13M-pair x68

@@ -164,6 +164,14 @@ object BenchGate {
         b > 0 && m > RegressGate * b && m - b > RegressFloorSec) => k
     }.sorted
 
+  /** Compact per-key median map for the tail-safe headline line (r17
+    * verdict #2): 3-dp medians keyed by query name, emitted in sweep
+    * order. Factored out of the main so Round18Spec can pin the format
+    * the driver's per-query parser consumes.
+    */
+  def queriesJson(names: Seq[String], med: Map[String, Double]): String =
+    names.map(n => "\"" + n + "\":" + num(med(n), 3)).mkString("{", ",", "}")
+
   /** Parse the flat {"key":sec,...} baseline JSON. Regex, not a JSON lib
     * (none on the classpath): the file is machine-written by [[Bench]]
     * itself in exactly this shape, and a malformed file parses to empty —
@@ -630,8 +638,7 @@ object Bench {
     // the LAST ~1 KB of stdout, which is all the driver's artifact keeps
     // as `tail`; `total` is duplicated at the end because the leading
     // `value` field is the one thing that truncation window loses.
-    val qs3 = names.map(n => "\"" + n + "\":" + BenchGate.num(results(n), 3))
-      .mkString("{", ",", "}")
+    val qs3 = BenchGate.queriesJson(names, results)
     println(s"""{"metric":"headline","value":$total,"unit":"sec","queries":$qs3,"comparable":$comparable,$noiseJson,"failed":$failed,"nqueries":${names.size},"slowest":$slowest,"total":${BenchGate.num(total, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -72,6 +72,27 @@ object PipelineOps {
     */
   private[graft] def widenIfStarved(df: DataFrame,
       key: org.apache.spark.sql.Column*): DataFrame = {
+    // Precondition (r17 ADVICE #1): the partition probe below calls df.rdd,
+    // which under AQE eagerly materializes shuffle query stages — running
+    // real jobs at query-CONSTRUCTION time that the final action does not
+    // reuse. Safe only on scan/union-rooted frames (narrow ops over leaf
+    // relations plan to zero exchanges, so .rdd is a metadata-only walk).
+    // The walk below rejects anything else loudly at construction.
+    def scanRooted(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+           _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+           _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias |
+           _: org.apache.spark.sql.catalyst.plans.logical.Generate |
+           _: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        p.children.forall(scanRooted)
+      case _ => false
+    }
+    require(scanRooted(df.queryExecution.analyzed),
+      "widenIfStarved requires a scan/union-rooted frame (narrow ops only " +
+        "below it); anything wider makes the .rdd partition probe run jobs " +
+        s"during plan construction. Got:\n${df.queryExecution.analyzed}")
     val s = df.sparkSession
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 4 <= cores) df.repartition(cores, key: _*)
@@ -1239,6 +1260,15 @@ object PipelineOps {
     * each table. The union is a distinct over (pair, sim) — sim is
     * deterministic, so the dedup key is exact.
     */
+  /** Number of hash tables x8cPairsRaw explodes — each pair can surface at
+    * most once PER TABLE, so duplicate multiplicity in the raw pair stream
+    * is bounded by this. The x8c bounded prefix cut depends on exactly that
+    * bound (cut = X8cNumTables × top-k); deriving the cut from this constant
+    * makes the coupling break loudly if a third table is ever added
+    * (r17 ADVICE #2).
+    */
+  private val X8cNumTables = 2
+
   private def x8cPairsRaw(s: SparkSession, d: String): DataFrame = {
     VectorCosine.register(s)
     graft.functions.VectorLshBucket.register(s)
@@ -1279,13 +1309,15 @@ object PipelineOps {
     * distinct-then-top-20. TakeOrdered keeps a 40-row heap per partition
     * and shuffles 40 rows instead of the pair table.
     */
+  private val X8cTopK = 20
+
   def x8cAnnLshMulti(s: SparkSession, d: String): DataFrame =
     x8cPairsRaw(s, d)
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(40)
+      .limit(X8cNumTables * X8cTopK)
       .distinct()
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(20)
+      .limit(X8cTopK)
 
   val x8cSql: String = {
     def bucketOf(planes: Int): String = (0 until planes).map { j =>
@@ -3048,8 +3080,11 @@ object PipelineOps {
     */
   def m9AudioEnergy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // doc-keyed widening (r18, the m6 pattern): per-frame energy over the
+    // decoded samples is serialized in the one-task bench scan; identity
+    // at production scan parallelism
     graft.multimodal.Media.audioEnergy(
-      Tables.documents(s, d)
+      widenIfStarved(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])])
       .orderBy(col("doc_id"))
@@ -3126,8 +3161,11 @@ object PipelineOps {
     */
   def m4AudioDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // doc-keyed widening (r18, the m6 pattern): WAV wrap + AudioSystem
+    // decode measured 0.35 s of CPU serialized in the one-task bench scan;
+    // identity at production scan parallelism
     graft.multimodal.Media.decodeAudio(
-      Tables.documents(s, d)
+      widenIfStarved(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])])
       .orderBy(col("doc_id"))
@@ -3153,8 +3191,11 @@ object PipelineOps {
     */
   def m5PngDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // doc-keyed widening (r18, the m6 pattern): PNG encode (row filters +
+    // DEFLATE) and ImageIO decode are serialized in the one-task bench
+    // scan; identity at production scan parallelism
     graft.multimodal.Media.decodePng(
-      Tables.documents(s, d)
+      widenIfStarved(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])])
       .orderBy(col("doc_id"))
@@ -3211,6 +3252,14 @@ object PipelineOps {
 
   private val SimBits    = 31 // bits of the permuted polyhash used for simhash
   private val HammingMax = 3  // near-dup threshold (bits differing)
+  // affine shingle-hash mix (h * A + B) % P31 — referenced by both the
+  // Spark expression and the x39b artifact-layout tag, so a mix change
+  // invalidates at-rest decisions (r17 ADVICE #3)
+  private val SimMixA = 40503L
+  private val SimMixB = 11L
+  // banded-LSH cut of the SimBits-bit fingerprint (low→high bit widths);
+  // simhashBands derives its stack() from this, the x39b tag embeds it
+  private val SimBandBits = Seq(8, 8, 8, 7)
 
   /** Simhash near-duplicate JOIN — the hamming-distance sibling of x3's
     * minhash-Jaccard join (Charikar STOC'02; Manku et al. WWW'07 use the
@@ -3278,7 +3327,7 @@ object PipelineOps {
       // MULTISET variant (positional, no distinct): simhash bit sums weight
       // shingles by occurrence count. Codegen'd fused kernel since r11.
       .select(col("doc_id"), explode(expr("graft_shingle_hashes_all(toks)")).as("h"))
-      .withColumn("hp", expr(s"(h * 40503L + 11L) % ${P31}L"))
+      .withColumn("hp", expr(s"(h * ${SimMixA}L + ${SimMixB}L) % ${P31}L"))
     val bitSums = (0 until SimBits).map(b =>
       sum(expr(s"CASE WHEN (shiftright(hp, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val shExpr = (0 until SimBits)
@@ -3289,10 +3338,17 @@ object PipelineOps {
   }
 
   /** The lossless 4-band cut (8+8+8+7 bits) of a simhash column. */
-  private def simhashBands(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("sh"), expr(
-      "stack(4, 0, sh & 255L, 1, shiftright(sh, 8) & 255L, " +
-        "2, shiftright(sh, 16) & 255L, 3, shiftright(sh, 24) & 127L) as (band, bv)"))
+  private def simhashBands(sh: DataFrame): DataFrame = {
+    // band extraction derived from SimBandBits so the layout constant the
+    // x39b artifact tag pins IS the one the plan executes
+    val cuts = SimBandBits.scanLeft(0)(_ + _).zip(SimBandBits).zipWithIndex
+      .map { case ((off, w), i) =>
+        val src = if (off == 0) "sh" else s"shiftright(sh, $off)"
+        s"$i, $src & ${(1L << w) - 1}L"
+      }.mkString(", ")
+    sh.select(col("doc_id"), col("sh"),
+      expr(s"stack(${SimBandBits.size}, $cuts) as (band, bv)"))
+  }
 
   def x27SimhashNeardup(s: SparkSession, d: String): DataFrame = {
     StringPolyHash.register(s)
@@ -3519,9 +3575,17 @@ object PipelineOps {
     * threshold — what the simhash decide chain's OUTPUT depends on beyond
     * the split and fingerprint geometry already in the layout name.
     */
+  /** Decide-chain constant tag for the x39b artifact layout name. r17
+    * ADVICE #3: beyond the twin/hamming selectors this now also folds the
+    * full FINGERPRINT GEOMETRY — SimBits, the 40503/11 affine mix mod P31,
+    * and the 8/8/8/7 band cut — because the at-rest decisions depend on
+    * every one of them; a code change to any would otherwise silently
+    * reuse stale decisions (the source stamp only covers data changes).
+    */
   private def refreshDecideTagSimhash: String =
     s"t${TwinSelMod}x${TwinExactOffset / 10000000L}" +
-      s"e${TwinEditOffset / 10000000L}h$HammingMax"
+      s"e${TwinEditOffset / 10000000L}h$HammingMax" +
+      s"g${SimBits}a${SimMixA}c${SimMixB}b${SimBandBits.mkString("")}"
 
   /** The synthesized "new crawl": the doc_id % [[BatchSplitMod]] == 0
     * slice plus the two cross-boundary twin families. Shared by x39

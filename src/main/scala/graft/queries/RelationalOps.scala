@@ -810,7 +810,18 @@ object RelationalOps {
   // The inverse of a4's pivot: aggregate wide, then stack() to long form —
   // stack is the built-in Generator, so the unpivot is map-side only.
   def a6Unpivot(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // orderkey-keyed widening (r18): the single-file scan runs the three
+    // double→decimal casts + partial sums in 3 skewed tasks (~1 s CPU,
+    // StageProbe); hash-repartitioning the 4-column projection on the
+    // high-cardinality orderkey parallelizes the decimal work while the
+    // partial aggregate still shrinks each partition to 3 rows before the
+    // final exchange. Decimal sums are exact and associative, so the
+    // result is partitioning-independent; identity at production scan
+    // parallelism (widenIfStarved contract).
+    graft.queries.PipelineOps.widenIfStarved(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_orderkey")),
+      col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
            sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),

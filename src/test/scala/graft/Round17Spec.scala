@@ -32,15 +32,25 @@ class Round17Spec extends SparkSpec {
     // first build publishes decisions (one action per corpus snapshot)
     SparkEntry.queries("x39b_refresh_merge")(spark, TestSpark.sf0001).count()
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // r17 ADVICE #4 (flake guard): count only jobs attributable to THIS
+    // thread's construction via a unique job group (thread-local), so a
+    // lingering async job from the preceding count(), a ScopedCache
+    // release, or another suite's straggler can never trip the assertion.
+    val group = s"x39b-steady-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val df = SparkEntry.queries("x39b_refresh_merge")(spark, TestSpark.sf0001)
-      Thread.sleep(1000)
+      spark.sparkContext.setJobGroup(group, "x39b steady-state construction")
+      val df = try
+        SparkEntry.queries("x39b_refresh_merge")(spark, TestSpark.sf0001)
+      finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(1000) // listener bus is async; give group events time
       assert(jobs.get() === 0,
         s"steady-state x39b construction ran ${jobs.get()} job(s) — " +
           "the published decision set must be reused, not re-decided")
